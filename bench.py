@@ -1,0 +1,84 @@
+"""Benchmark harness — runs the headline queries and prints one JSON line.
+
+Protocol (BASELINE.md): per-query wall-clock median of 3 warm runs at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Queries are forced with the noop sink so the
+full plan executes without driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ml_pipelines_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan/agg, star join, semi join,
+# window, collect, JSON, text/dedup/similarity added as they land).
+HEADLINE = [
+    "q1_pricing_summary",
+    "star_join_revenue",
+    "semi_join",
+    "group_collect_sorted",
+    "monthly_rollup",
+    "json_extract",
+    "topk_per_group",
+    "window_lag",
+    "dedup_exact_docs",
+    "minhash_near_dup",
+    "knn_bruteforce",
+    "text_quality",
+    "tumbling_window",
+]
+
+RUNS = 3
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="ml_pipelines_spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ml_pipelines_spark.queries import QUERIES
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        _force(fn(spark, sf_dir))  # warm (JIT, broadcast, file listing)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Datalake I/O — partitioned parquet scans and writes (SURVEY.md §2.1).
+
+Re-expresses the reference's PyArrow Dataset layer (S1-S5) as Spark reads:
+hive-partition discovery, predicate/projection pushdown, and partition-value
+listing are all Catalyst built-ins, so this module is thin on purpose.
+
+Scale posture: reads declare schemas (no inference job over 100 TB of
+footers), writes partition by low-cardinality keys only, and the
+partition-listing query is metadata-only (no data files touched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .schemas import TESTDATA_SCHEMAS
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Hive-partitioned parquet scan (S1; reference TrainDatasets.py:183-189).
+
+    Passing ``schema`` skips schema inference (a full footer-listing job at
+    datalake scale) and pins the read contract, mirroring the reference's
+    explicit ``pa.schema`` handed to ``ds.dataset``. Works with any Hadoop
+    filesystem URI (``gs://``, ``s3a://``, ``hdfs://``, local) — the S4
+    GCS binding of the reference is just a path scheme here.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "append",
+) -> None:
+    """Partitioned parquet write (S2; reference TrainDatasets.py:175-181).
+
+    The reference caps fan-out with ``max_partitions=4096`` because it
+    partitions by per-image keys; we instead require low-cardinality
+    ``partition_cols`` and let AQE coalesce output files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def partition_values(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Distinct partition tuples without reading data columns (S5).
+
+    The reference regex-parses ``dataset.files`` paths
+    (TrainDatasets.py:213-233, 504-517). In Spark a distinct over partition
+    columns is satisfied from directory metadata + column pruning, so this
+    is the declarative equivalent — and it doesn't silently truncate on a
+    malformed path the way the reference's ``break`` at :224 does.
+    """
+    return df.select(*partition_cols).distinct()
+
+
+def partition_values_from_paths(df: DataFrame, pattern: str, names: list[str]) -> DataFrame:
+    """File-path variant of S5 for non-hive layouts: regex over
+    ``input_file_name()`` (reference path_pat TrainDatasets.py:216, 506)."""
+    cols = [
+        F.regexp_extract(F.input_file_name(), pattern, i + 1).alias(n)
+        for i, n in enumerate(names)
+    ]
+    return df.select(*cols).distinct()
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables (TESTDATA.md) with declared schemas."""
+    return {
+        name: read_table(spark, f"{sf_dir}/{name}.parquet", schema)
+        for name, schema in TESTDATA_SCHEMAS.items()
+    }
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views for spark.sql use."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,650 @@
+"""Relational core queries — scans, projections, filters, joins, aggregates.
+
+Covers SURVEY.md §2.2 (P1-P9), §2.3 (J1-J6), §2.4 (A1-A9), §2.7 (F1-F12)
+and set-ops, each re-expressed as a declarative Spark plan with a DuckDB
+oracle twin. Citations in each docstring point at the reference behavior
+(file:line under /root/reference/MLPipelines/) being re-expressed.
+
+Scale notes inline: every query here is a single Catalyst plan — filters
+and projections push into the parquet scan, dimension joins broadcast,
+aggregations do map-side partial aggregation. No driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_table
+from ..schemas import TESTDATA_SCHEMAS
+from .registry import query
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its declared schema."""
+    return read_table(spark, f"{sf_dir}/{name}.parquet", TESTDATA_SCHEMAS[name])
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape).
+# Exercises scan → pushed range predicate → group-by with partial aggs —
+# the same scan/filter/aggregate loop as the reference's E1 lifecycle
+# (TrainDatasets.py:235-287) but with numeric aggregates Spark gives free.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1: projection with cast — the reference's view dicts
+# (TrainDatasets.py:25-68) apply named outputs + int64/timestamp casts in
+# the scan; Catalyst collapses select+cast into the parquet reader.
+# ---------------------------------------------------------------------------
+@query(
+    "proj_cast",
+    """
+    SELECT o_orderkey                         AS order_id,
+           CAST(o_custkey AS INTEGER)         AS cust_id,
+           strftime(o_orderdate, '%Y-%m-%d')  AS order_date,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS total_price_floor
+    FROM orders
+    """,
+)
+def proj_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Date-typed outputs are formatted as strings: Spark/DuckDB/pandas
+    # disagree about date materialization (date32 vs datetime64), which
+    # breaks value-hash comparison even when values are equal.
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").cast("int").alias("cust_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        # Explicit floor: CAST(double AS BIGINT) truncates in Spark but
+        # rounds in DuckDB — never rely on implicit double→int semantics.
+        F.floor("o_totalprice").cast("bigint").alias("total_price_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3: IN-list predicate on a partition-style key
+# (reference: ds.field("project_id").isin(project_ids),
+# TrainDatasets.py:200,249,335). On a hive-partitioned lake this prunes
+# directories before any I/O.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_isin",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4: equality predicate on a partition-style key
+# (reference: ds.field("item_id") == iid, TrainDatasets.py:403,443,526).
+# ---------------------------------------------------------------------------
+@query(
+    "filter_eq",
+    """
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_regionkey = 2
+    """,
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select("n_nationkey", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6: array-overlap anti-filter — the reference's skip_tags filter drops
+# rows whose tag array intersects a skip list (TrainDatasets.py:201,
+# 204-211, implemented there as a pandas .apply). Pure built-ins here.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_array_overlap",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE NOT list_has_any(string_split(text, ' '), ['stream', 'window'])
+    """,
+)
+def filter_array_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tags = F.split(F.col("text"), " ")
+    skip = F.array(F.lit("stream"), F.lit("window"))
+    return docs.filter(~F.arrays_overlap(tags, skip)).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# P5/J2: left-semi join — the reference restricts annotations to the
+# image_names of selected projects by collecting a key list and pushing
+# .isin (TrainDatasets.py:289-294). At scale the key list never fits on
+# the driver; a semi-join keeps it distributed.
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    keys = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: left-anti join — the reference's badimage/skip-tag exclusion drops
+# images (and transitively their annotations) from a deny set
+# (TrainDatasets.py:201, 342-344).
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J1 + J6: fact-to-fact equi-join plus broadcast dimension-dictionary
+# joins. The reference does J1 as a dict probe per row
+# (create_coco_from_feather.py:74-106) and J6 as label_id->name dict
+# lookups (CvatApi.py:371); here the dims (nation, region, customer at
+# this scale) broadcast so the only shuffle is lineitem⋈orders.
+# ---------------------------------------------------------------------------
+@query(
+    "star_join_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = F.broadcast(t(spark, sf_dir, "customer"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            region.r_name.alias("region_name"), nation.n_name.alias("nation_name")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: distinct keys (reference: .unique() calls, TrainDatasets.py:202,329).
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_keys",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A2 + A7: deterministic keep-first dedup. The reference's
+# drop_duplicates (TrainDatasets.py:233,517) keeps pandas iteration
+# order; distributed engines have no such order, so "first" is defined by
+# an explicit sort key — row_number over (key ORDER BY tiebreak).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_first",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_totalprice AS first_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_totalprice").alias("first_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: grouped counts (reference: len()/shape logging, TrainDatasets.py:254).
+# ---------------------------------------------------------------------------
+@query(
+    "count_per_group",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: group + collect (annotations-per-image, create_yolo_from_feather.py:
+# 41-55). Collected order is nondeterministic in any parallel engine, so
+# the collected list is sorted — same policy on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "group_collect_sorted",
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def group_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: flatten-collect — the reference flattens all tag arrays of an image
+# with a nested comprehension (TrainDatasets.py:341); here: all token
+# arrays of a source, flattened, counted.
+# ---------------------------------------------------------------------------
+@query(
+    "flatten_collect",
+    """
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def flatten_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: sorted-distinct dictionary encode — category -> dense id starting at
+# 1 (background=0 reserved), reference create_coco_from_feather.py:59-70.
+# row_number over an explicit ordering replaces iteration-order ids.
+# ---------------------------------------------------------------------------
+@query(
+    "dict_encode",
+    """
+    SELECT p_brand AS category,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_brand) AS BIGINT) AS category_id
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+)
+def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("p_brand")
+    return (
+        t(spark, sf_dir, "part")
+        .select("p_brand")
+        .distinct()
+        .withColumn("category_id", F.row_number().over(w).cast("bigint"))
+        .select(F.col("p_brand").alias("category"), "category_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/A9: array min/max envelope + centroid (segmentation2bbox,
+# COCOUtils.py:82-89; np.mean(corners) COCOUtils.py:41) — expressed with
+# array HOFs over the embeddings vectors (same array<float> type as the
+# reference's segmentation/dims columns).
+# ---------------------------------------------------------------------------
+@query(
+    "array_envelope",
+    """
+    SELECT vec_id,
+           ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 5) AS vmin,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 5) AS vmax,
+           ROUND(CAST(list_aggregate(embedding, 'sum') AS DOUBLE) / len(embedding), 5) AS vmean,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def array_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    total = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.array_min(e).cast("double"), 5).alias("vmin"),
+        F.round(F.array_max(e).cast("double"), 5).alias("vmax"),
+        F.round(total / F.size(e), 5).alias("vmean"),
+        F.size(e).alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: regex extract — partition-path parsing (TrainDatasets.py:216,506).
+# Same regex semantics both sides (no lookarounds — RE2-safe).
+# ---------------------------------------------------------------------------
+@query(
+    "regex_extract",
+    """
+    SELECT doc_id,
+           regexp_extract('project_id=' || CAST(doc_id AS VARCHAR) || '/job_id=7/image_name=img_' ||
+                          CAST(doc_id AS VARCHAR) || '.jpeg/part-0.parquet',
+                          'project_id=(\\d+)/job_id=(\\d+)/image_name=(.+)/', 1) AS project_id,
+           regexp_extract('project_id=' || CAST(doc_id AS VARCHAR) || '/job_id=7/image_name=img_' ||
+                          CAST(doc_id AS VARCHAR) || '.jpeg/part-0.parquet',
+                          'project_id=(\\d+)/job_id=(\\d+)/image_name=(.+)/', 3) AS image_name
+    FROM documents
+    """,
+)
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("project_id="),
+        F.col("doc_id").cast("string"),
+        F.lit("/job_id=7/image_name=img_"),
+        F.col("doc_id").cast("string"),
+        F.lit(".jpeg/part-0.parquet"),
+    )
+    pat = r"project_id=(\d+)/job_id=(\d+)/image_name=(.+)/"
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(path, pat, 1).alias("project_id"),
+        F.regexp_extract(path, pat, 3).alias("image_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3/F4: filename normalization — redundant .jpeg/.jpg suffix strip
+# (JPEG_PAT, CvatApi.py:24) + numeric task-id prefix drop
+# (CvatApi.py:269-280).
+# ---------------------------------------------------------------------------
+@query(
+    "filename_normalize",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace('42_img_' || CAST(doc_id AS VARCHAR) || '.JPeG.jpg',
+                              '\\.[Jj][Pp][Ee]?[Gg](\\.[Jj][Pp][Ee]?[Gg])?$', ''),
+               '^[0-9]+_', '') || '.jpeg' AS image_name
+    FROM documents
+    """,
+)
+def filename_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("42_img_"), F.col("doc_id").cast("string"), F.lit(".JPeG.jpg"))
+    # Reference JPEG_PAT (CvatApi.py:24) anchored at end; then numeric
+    # prefix drop (CvatApi.py:269-280); then forced .jpeg extension
+    # (CvatApi.py:296).
+    stripped = F.regexp_replace(raw, r"\.[Jj][Pp][Ee]?[Gg](\.[Jj][Pp][Ee]?[Gg])?$", "")
+    deprefixed = F.regexp_replace(stripped, r"^[0-9]+_", "")
+    return docs.select(
+        "doc_id", F.concat(deprefixed, F.lit(".jpeg")).alias("image_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5-adjacent: JSON field extraction from stringified-JSON columns — the
+# reference models semi-structured data as JSON strings (gt_attr,
+# TrainDatasets.py:98); events.props has the same shape.
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY k
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6-adjacent: timestamp bucketing + grouped aggregates (monthly rollup).
+# ---------------------------------------------------------------------------
+@query(
+    "monthly_rollup",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY order_month
+    """,
+)
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 + F12: scalar string/arithmetic functions in one projection —
+# lower() (CvatApi.py:72) and element-wise area rcoco[2]*rcoco[3]
+# (create_coco_from_feather.py:21,40) over an array column.
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_funcs",
+    """
+    SELECT vec_id,
+           lower('Label_' || CAST(label AS VARCHAR)) AS category,
+           ROUND(CAST(embedding[3] AS DOUBLE) * CAST(embedding[4] AS DOUBLE), 6) AS area
+    FROM embeddings
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.lower(F.concat(F.lit("Label_"), F.col("label").cast("string"))).alias("category"),
+        F.round(
+            F.element_at("embedding", 3).cast("double")
+            * F.element_at("embedding", 4).cast("double"),
+            6,
+        ).alias("area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8: flat coordinate list -> (x,y) pair restructure
+# (np.array(seg).reshape(-1,2), COCOUtils.py:14) — expressed with array
+# HOFs: x coords are even indices, y coords odd.
+# ---------------------------------------------------------------------------
+@query(
+    "array_restructure",
+    """
+    SELECT vec_id,
+           ROUND(CAST(embedding[1] AS DOUBLE), 5) AS x0,
+           ROUND(CAST(embedding[2] AS DOUBLE), 5) AS y0,
+           ROUND(CAST(embedding[3] AS DOUBLE), 5) AS x1,
+           ROUND(CAST(embedding[4] AS DOUBLE), 5) AS y1,
+           CAST(len(embedding) / 2 AS BIGINT) AS n_points
+    FROM embeddings
+    """,
+)
+def array_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+
+    def coord(i: int, name: str):
+        return F.round(F.element_at("embedding", i).cast("double"), 5).alias(name)
+
+    return emb.select(
+        "vec_id",
+        coord(1, "x0"),
+        coord(2, "y0"),
+        coord(3, "x1"),
+        coord(4, "y1"),
+        (F.size("embedding") / 2).cast("bigint").alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set op: union-all of per-source frames (pd.concat,
+# TrainDatasets.py:196,245,331) — multi-path read / unionByName.
+# ---------------------------------------------------------------------------
+@query(
+    "union_all",
+    """
+    SELECT o_orderkey AS key, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey AS key, 'low' AS bucket FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key"), F.lit("urgent").alias("bucket")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_orderkey").alias("key"), F.lit("low").alias("bucket")
+    )
+    return urgent.unionByName(low)
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (engine completeness; no reference surface — SURVEY.md
+# §2.9 notes the reference has no sorts/limits). Deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
