@@ -74,12 +74,42 @@ def partition_values_from_paths(df: DataFrame, pattern: str, names: list[str]) -
     return df.select(*cols).distinct()
 
 
+def read_ns_timestamp_table(
+    spark: SparkSession, path: str, schema: StructType, ns_cols: list[str]
+) -> DataFrame:
+    """Read a parquet file whose timestamp columns are TIMESTAMP(NANOS).
+
+    Spark rejects nanosecond parquet timestamps outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as epoch
+    nanos (long). Convert with integer division — ``ts div 1000`` — not
+    float division: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit integer
+    range, so a float path silently corrupts microseconds.
+    """
+    from pyspark.sql.types import LongType, StructField
+
+    raw = StructType(
+        [
+            StructField(f.name, LongType() if f.name in ns_cols else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.schema(raw).parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's synthetic tables (TESTDATA.md) with declared schemas."""
-    return {
-        name: read_table(spark, f"{sf_dir}/{name}.parquet", schema)
-        for name, schema in TESTDATA_SCHEMAS.items()
-    }
+    out = {}
+    for name, schema in TESTDATA_SCHEMAS.items():
+        if name == "events":  # ts is parquet TIMESTAMP(NANOS)
+            out[name] = read_ns_timestamp_table(
+                spark, f"{sf_dir}/{name}.parquet", schema, ["ts"]
+            )
+        else:
+            out[name] = read_table(spark, f"{sf_dir}/{name}.parquet", schema)
+    return out
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:

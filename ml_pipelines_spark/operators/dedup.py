@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines.
+
+First-class 100 TB components (BASELINE.json north star): exact dedup,
+normalized-fingerprint dedup, MinHash+LSH near-dup, SimHash, and n-gram
+Jaccard. The reference's only dedup surface is `drop_duplicates` on
+partition tuples (TrainDatasets.py:233,517); everything further is new,
+built Spark-first.
+
+Design choices for scale and verifiability:
+
+- All hashing is **md5-based** (lexicographic min over hex strings for
+  MinHash, hex-digit bits for SimHash). md5 is available in every engine,
+  so each construction has an exact SQL twin for oracle checking, and
+  results are independent of cluster size, partitioning, and Spark
+  version — a property MLlib's MinHashLSH (private per-version hash
+  coefficients) cannot give.
+- Candidate generation is banded LSH: shuffle volume is
+  O(docs × bands), never O(docs²). Exact verification runs only on
+  LSH candidates.
+- Ubiquitous shingles can be dropped by document frequency before the
+  join (``max_doc_freq``) — at 100 TB the hot-key tail of stop-shingles
+  is what skews the shingle join; cutting it bounds the worst partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import fingerprint, tokens, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str], order_col: str) -> DataFrame:
+    """Keep one deterministic representative per distinct ``cols`` value
+    (hash-partitioned groupBy; 'first' = min ``order_col``)."""
+    w = Window.partitionBy(*cols).orderBy(order_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def fingerprint_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by normalized-content fingerprint: representative id, dup
+    count. The canonical exact-dedup pass of an LLM data pipeline."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column, num_perm: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature as array<string>: element i is the lexicographic
+    min of md5(i:shingle) over the document's word shingles.
+
+    A uniformly-hashed min over hex strings is a standard MinHash
+    permutation; using the hex string itself keeps it engine-portable.
+    Null for documents with no shingles.
+    """
+    sh = F.array_distinct(word_shingles(text, k=shingle_k))
+    return F.when(
+        F.size(sh) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
+                )
+            ),
+        ),
+    )
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of each contiguous signature slice. Two docs
+    collide on a band iff that slice matches exactly."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "|", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+            )
+        ),
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k=shingle_k))
+            ).alias("shingle"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle self-join.
+
+    inter(a,b) = shared distinct shingles; union = |A| + |B| - inter.
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents before the join — the skew guard for web-scale corpora.
+    Output: (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: banded-LSH candidate generation + exact
+    Jaccard verification on candidates only.
+
+    Shuffle volume is O(docs × bands) for candidates plus the verify
+    join — this is the 100 TB path. rows_per_band = num_perm // bands.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    banded = sig.select(
+        "id",
+        F.posexplode(band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact verify: jaccard over full shingle sets, candidates only.
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    inter = (
+        sh.alias("sa")
+        .join(candidates, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.id") == F.col("id_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["inter"])
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over distinct whitespace tokens: each token's md5 supplies
+    ``bits`` bits; bit j of the signature is 1 iff the sum of (2·bit−1)
+    contributions over tokens is positive.
+
+    Implemented by token explode + grouped bit-sum (shuffle keyed on the
+    id — bounded by corpus size, not pair count). ``bits`` ≤ 32 keeps the
+    md5-hex arithmetic portable to the SQL oracle.
+    """
+    if bits % 4 != 0 or bits > 32:
+        raise ValueError("bits must be a multiple of 4, at most 32")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(tokens(F.trim(F.lower(F.col(text_col)))))
+        ).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    # hex digit value at position p (1-based): strpos over the hex alphabet,
+    # identical construction in the DuckDB twin.
+    def digit(p: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring("h", p, 1)) - 1
+
+    contribs = []
+    for j in range(bits):
+        d = digit(j // 4 + 1)
+        bit = F.floor(d / (2 ** (3 - j % 4))) % 2
+        contribs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = toks.groupBy("id").agg(*contribs)
+    value = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return sums.select("id", value.cast("bigint").alias("simhash"))

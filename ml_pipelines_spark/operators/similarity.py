@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the north-star contract:
+
+- **Brute-force cosine top-k** — the exactness baseline. Dot products are
+  computed with `zip_with` + left-fold `aggregate` in float64; the fold
+  order is index order, which makes results bit-identical to a serial
+  engine (verified against DuckDB) — so ranking, thresholds, and top-k
+  membership are oracle-checkable with no tolerance games.
+- **Random-hyperplane LSH (SimHash-for-vectors) bucketing** — the scale
+  path: each vector gets a b-bit bucket key from the signs of b fixed
+  random projections; candidate search touches only colliding buckets.
+  At 100 TB this turns an O(N) scan per query into an O(N/2^b) bucket
+  probe, and the bucketed table can be written out partitioned by key.
+
+Hyperplanes are generated from a seeded NumPy RNG and embedded as plan
+literals — deterministic across runs, engines, and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Float64 dot product, left-fold in index order (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def lit_vector(vec: list[float]) -> Column:
+    """A query vector as a plan literal (array<double>)."""
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def query_vector(dim: int, seed: int = 7) -> list[float]:
+    """Deterministic unit query vector for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    Single narrow scan → per-row cosine (whole-stage codegen) → global
+    top-k. The final ordering shuffles only k·partitions rows thanks to
+    the rank-filter; ties break on id for determinism.
+    """
+    q = lit_vector(query_vec)
+    scored = emb.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Fixed random projection planes (seeded, embedded as literals)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """b-character '0'/'1' bucket key from projection signs."""
+    bits = [
+        F.when(dot_expr(vec, lit_vector(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Recall comes from bucket width (fewer planes → bigger buckets); at
+    scale the bucket key becomes a partition/cluster key so a probe reads
+    a single partition. Falls back to an empty frame if the bucket is
+    empty (caller may re-probe with fewer planes — multiprobe is the
+    standard extension).
+    """
+    qkey = "".join(
+        "1" if float(np.dot(np.array(query_vec), np.array(p))) >= 0 else "0"
+        for p in planes
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("bucket") == qkey)
+    q = lit_vector(query_vec)
+    scored = candidates.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Pairs are generated only within buckets (self-join on the bucket
+    key — shuffle O(N), pair work O(Σ bucket²) instead of O(N²)), then
+    verified with the exact cosine.
+    """
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

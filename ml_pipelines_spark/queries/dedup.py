@@ -1,1 +1,221 @@
-"""Placeholder — queries registered in later build phase."""
+"""Deduplication queries — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Every construction is md5-based (operators.dedup), so each has an exact
+DuckDB twin: the oracle re-derives signatures, bands, and candidates from
+scratch in SQL and must produce the identical pair set — a much stronger
+check than row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    fingerprint_dedup_stats,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_expr_bits,
+)
+from .registry import query
+from .relational import t
+
+# Shared SQL fragments -------------------------------------------------------
+
+_SHINGLES_CTE = """
+    w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM {table}
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM w
+    )
+"""
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+JACCARD_T = 0.8
+
+_SIG_CTE = f"""
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, {NUM_PERM - 1}),
+                   i -> list_aggregate(
+                            list_transform(s, sg -> md5(CAST(i AS VARCHAR) || ':' || sg)),
+                            'min')) AS sig,
+               s
+        FROM sh WHERE len(s) > 0
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by normalized fingerprint. Duplicates are injected
+# deterministically (docs with doc_id % 10 == 0 appear twice) so the
+# query demonstrably collapses them.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_docs",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY fp
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    return fingerprint_dedup_stats(corpus, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (first 4 permutations shown — full signature is
+# array-typed; scalar columns keep the hash comparison simple).
+# ---------------------------------------------------------------------------
+@query(
+    "minhash_signature",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _SIG_CTE
+    + """
+    SELECT doc_id, sig[1] AS m0, sig[2] AS m1, sig[3] AS m2, sig[4] AS m3
+    FROM sig
+    """,
+)
+def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), num_perm=NUM_PERM, shingle_k=3)
+    return (
+        docs.select("doc_id", sig.alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .select(
+            "doc_id",
+            F.element_at("sig", 1).alias("m0"),
+            F.element_at("sig", 2).alias("m1"),
+            F.element_at("sig", 3).alias("m2"),
+            F.element_at("sig", 4).alias("m3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup pairs, exact-Jaccard verified. The oracle
+# rebuilds the identical banding in SQL: same md5 permutations, same
+# band slices, same candidate semantics — pair sets must match exactly.
+# ---------------------------------------------------------------------------
+_BAND_KEYS = ", ".join(
+    f"md5(array_to_string(sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], '|')) AS bk{b}"
+    for b in range(BANDS)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM keyed" for b in range(BANDS)
+)
+
+@query(
+    "minhash_near_dup",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _SIG_CTE
+    + f"""
+    , keyed AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+    banded AS ({_BAND_UNION}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(sa.s, sb.s))
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 5) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.s, sb.s))
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {JACCARD_T}
+    """,
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_T,
+        num_perm=NUM_PERM, bands=BANDS, shingle_k=3,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (no LSH) — the recall baseline the LSH
+# variant is measured against (tests assert LSH ⊆ exact and recall).
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 5) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+      AND len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_T}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=JACCARD_T, shingle_k=3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit portable variant). Bit construction from md5 hex digits
+# is replicated digit-for-digit in the oracle.
+# ---------------------------------------------------------------------------
+_BITS = 16
+
+def _sql_digit(j: int) -> str:
+    p = j // 4 + 1
+    return f"(strpos('0123456789abcdef', h[{p}:{p}]) - 1)"
+
+_SUMS = ", ".join(
+    f"SUM(2 * (({_sql_digit(j)} // {2 ** (3 - j % 4)}) % 2) - 1) AS s{j}"
+    for j in range(_BITS)
+)
+_VALUE = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_BITS))
+
+@query(
+    "simhash_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sums AS (SELECT doc_id, {_SUMS} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_VALUE} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_expr_bits(docs, "doc_id", "text", bits=_BITS).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )

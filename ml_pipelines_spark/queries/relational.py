@@ -16,14 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import read_table
+from ..io import read_ns_timestamp_table, read_table
 from ..schemas import TESTDATA_SCHEMAS
 from .registry import query
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its declared schema."""
-    return read_table(spark, f"{sf_dir}/{name}.parquet", TESTDATA_SCHEMAS[name])
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":  # ts is parquet TIMESTAMP(NANOS)
+        return read_ns_timestamp_table(spark, path, TESTDATA_SCHEMAS[name], ["ts"])
+    return read_table(spark, path, TESTDATA_SCHEMAS[name])
 
 
 # ---------------------------------------------------------------------------

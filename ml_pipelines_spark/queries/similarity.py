@@ -1,1 +1,149 @@
-"""Placeholder — queries registered in later build phase."""
+"""Similarity-search queries over the embeddings table.
+
+The brute-force cosine top-k is exactly oracle-checked: both engines
+compute float64 dot products as an index-order left fold, which is
+bit-identical (verified empirically), so ranking and top-k membership
+match with no tolerance. The LSH variants embed the same seeded
+hyperplane literals in both plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    ann_lsh_topk,
+    embedding_near_dup_pairs,
+    hyperplanes,
+    knn_bruteforce,
+    query_vector,
+)
+from .registry import query
+from .relational import t
+
+DIM = 64
+K = 10
+QUERY_VEC = query_vector(DIM, seed=7)
+PLANES = hyperplanes(DIM, n_planes=4, seed=13)
+NEAR_DUP_T = 0.4
+
+
+def _sql_vec(vec: list[float]) -> str:
+    # CAST to DOUBLE[] — DuckDB otherwise types long float literals as
+    # DECIMAL and overflows scale 38 on multiplication.
+    return "CAST([" + ", ".join(repr(v) for v in vec) + "] AS DOUBLE[])"
+
+
+def _sql_dot(vec_expr: str, lit_list: str) -> str:
+    """Index-order left-fold dot product — mirrors operators.similarity
+    dot_expr exactly."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({vec_expr})), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lit_list})[i]), 'sum')"
+    )
+
+
+def _sql_self_dot(vec_expr: str) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({vec_expr})), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * CAST({vec_expr}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+_QLIT = _sql_vec(QUERY_VEC)
+
+# Query bucket computed once in Python (exactly as ann_lsh_topk does) and
+# embedded as a literal in the oracle — never re-derived in SQL, where a
+# float32 roundtrip could flip a near-zero projection sign.
+import numpy as _np
+
+_QBUCKET = "".join(
+    "1" if float(_np.dot(_np.array(QUERY_VEC), _np.array(p))) >= 0 else "0"
+    for p in PLANES
+)
+# Query-vector norm, same fold construction over the same literals.
+_QNORM = (
+    f"sqrt(list_aggregate(list_transform(generate_series(1, {DIM}), "
+    f"i -> ({_QLIT})[i] * ({_QLIT})[i]), 'sum'))"
+)
+
+
+@query(
+    "knn_bruteforce",
+    f"""
+    WITH scored AS (
+        SELECT vec_id,
+               {_sql_dot('embedding', _QLIT)} / (sqrt({_sql_self_dot('embedding')}) * {_QNORM}) AS cosine
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT vec_id, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT vec_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= {K}
+    """,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, QUERY_VEC, k=K)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = [
+        f"CASE WHEN {_sql_dot(vec_expr, _sql_vec(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in PLANES
+    ]
+    return " || ".join(bits)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    cand AS (SELECT vec_id, embedding FROM bucketed WHERE bucket = '{_QBUCKET}'),
+    scored AS (
+        SELECT vec_id,
+               {_sql_dot('embedding', _QLIT)} / (sqrt({_sql_self_dot('embedding')}) * {_QNORM}) AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT vec_id, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT vec_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= {K}
+    """,
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, QUERY_VEC, k=K, planes=PLANES)
+
+
+_PAIR_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len(a.vec)), "
+    "i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE)), 'sum')"
+)
+_PAIR_COS = (
+    f"{_PAIR_DOT} / (sqrt({_sql_self_dot('a.vec')}) * sqrt({_sql_self_dot('b.vec')}))"
+)
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id AS id, embedding AS vec, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b, ROUND({_PAIR_COS}, 6) AS cosine
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE {_PAIR_COS} >= {NEAR_DUP_T}
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=NEAR_DUP_T, planes=PLANES)

@@ -1,1 +1,103 @@
-"""Placeholder — queries registered in later build phase."""
+"""Sampling / splitting queries — SURVEY.md §2.6 (R1-R3).
+
+The hash-split queries are fully oracle-checkable because assignment is
+md5-deterministic (identical in DuckDB). The seeded-random variants use
+Spark's RNG, which no oracle can reproduce — they register rows-only
+checks plus property tests in tests/test_splits.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.splits import hash_split_expr, nested_entity_split
+from .registry import query
+from .relational import t
+
+_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+# DuckDB twin of hash_split_expr with the same thresholds:
+# 0.8 -> 'cccc', 0.9 -> 'e666' (4 hex digits of round(f * 65536)).
+_SPLIT_CASE = """
+    CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+# ---------------------------------------------------------------------------
+# R2 (deterministic form): entity-keyed split assignment. Every row with
+# the same key gets the same label — the leakage invariant of
+# TrainDatasets.py:149-150 holds by construction, with zero shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "hash_split_assign",
+    f"""
+    SELECT c_custkey, {_SPLIT_CASE} AS split
+    FROM customer
+    """,
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", hash_split_expr(F.col("c_custkey"), _FRACTIONS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 materialization: split labels propagated to dependent rows (orders ≙
+# annotations, customers ≙ images). The label is computed from the join
+# key directly — no second pass over the entity table at all.
+# ---------------------------------------------------------------------------
+@query(
+    "hash_split_materialize",
+    f"""
+    SELECT split, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM (
+        SELECT o_totalprice,
+               CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                    WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM orders
+    )
+    GROUP BY split
+    """,
+)
+def hash_split_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("split", hash_split_expr(F.col("o_custkey"), _FRACTIONS))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1+R2 (reference-exact seeded form): nested sample → 80/20 val/test →
+# semi-join materialization. Spark RNG — rows-only driver check; the
+# statistical and leakage properties are pytest-verified.
+# ---------------------------------------------------------------------------
+@query("seeded_nested_split")
+def seeded_nested_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    splits = nested_entity_split(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        "c_custkey",
+        p=0.2,
+        test_split=True,
+        seed=42,
+    )
+    parts = [
+        df.groupBy(F.lit(name).alias("split")).agg(F.count(F.lit(1)).alias("n_rows"))
+        for name, df in splits.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,1 +1,134 @@
-"""Placeholder — queries registered in later build phase."""
+"""Event-time window queries over the events table (batch mode — the
+same plans run under readStream + watermark; tests/test_streaming.py
+proves batch/stream equivalence on a real file stream).
+
+Oracle mapping: tumbling = date_trunc; sliding = each event expanded to
+its duration/slide covering windows; session = gaps-and-islands with the
+same gap, end = last event + gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from .registry import query
+from .relational import t
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@query(
+    "tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format("window.start", _TS_FMT).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "sliding_window",
+    """
+    WITH expanded AS (
+        SELECT u.ws AS window_start, value
+        FROM events,
+             UNNEST([date_trunc('hour', ts) + INTERVAL (CASE WHEN minute(ts) >= 30 THEN 30 ELSE 0 END) MINUTE,
+                     date_trunc('hour', ts) + INTERVAL (CASE WHEN minute(ts) >= 30 THEN 0 ELSE -30 END) MINUTE]) AS u(ws)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev,
+        "ts",
+        duration="1 hour",
+        slide="30 minutes",
+        keys=[],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format("window.start", _TS_FMT).alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "session_window",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 6 HOUR
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        gap="6 hours",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", _TS_FMT_US).alias("session_start"),
+        F.date_format("session_window.end", _TS_FMT_US).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

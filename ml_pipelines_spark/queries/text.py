@@ -1,1 +1,134 @@
-"""Placeholder — queries registered in later build phase."""
+"""Text-analysis queries over the documents table — token counting,
+quality scoring, language ID, fingerprinting, shingling.
+
+All implementations are pure JVM-side column expressions
+(functions.text); the DuckDB twins mirror every normalization step, so
+these double as cross-engine specs of the text pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .registry import query
+from .relational import t
+
+_SW = "', '".join(T.ENGLISH_STOPWORDS)
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS ws_toks,
+               string_split_regex(lower(text), '\\s+') AS lower_toks,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ws_toks) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           ROUND((len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                 / greatest(len(text), 1), 5) AS punct_ratio,
+           ROUND(len(list_filter(lower_toks, x -> list_contains(['{_SW}'], x)))
+                 / greatest(len(ws_toks), 1), 5) AS stopword_ratio,
+           ROUND(list_aggregate(list_transform(ws_toks, x -> len(x)), 'sum')
+                 / greatest(len(ws_toks), 1), 5) AS mean_token_len,
+           ROUND(least(len(ws_toks) / 64.0, 1.0) * 0.4
+                 + (1.0 - least(4.0 * (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                                       / greatest(len(text), 1), 1.0)) * 0.3
+                 + (CASE WHEN list_aggregate(list_transform(ws_toks, x -> len(x)), 'sum')
+                              / greatest(len(ws_toks), 1) BETWEEN 2.0 AND 12.0
+                         THEN 1.0 ELSE 0.3 END) * 0.3, 5) AS quality
+    FROM toks
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(txt).alias("n_tokens"),
+        T.bpe_ish_token_count(txt).alias("n_bpe_tokens"),
+        F.round(T.punct_ratio(txt), 5).alias("punct_ratio"),
+        F.round(T.stopword_ratio(txt), 5).alias("stopword_ratio"),
+        F.round(T.mean_token_length(txt), 5).alias("mean_token_len"),
+        F.round(T.quality_score(txt), 5).alias("quality"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = "', '".join(T.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> list_contains(['{markers}'], x)))"
+    )
+
+
+_LANGS = list(T.LANG_MARKERS)
+_HITS = {lang: _lang_hits_sql(lang) for lang in _LANGS}
+_BEST = "greatest(" + ", ".join(_HITS.values()) + ")"
+_CASE = "CASE WHEN " + _BEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {_HITS[lang]} = {_BEST} THEN '{lang}'" for lang in _LANGS
+) + " END"
+
+
+@query(
+    "lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang, {_CASE} AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "word_shingles",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN 0 ELSE len(w) - 2 END AS n_shingles,
+           CASE WHEN len(w) < 3 THEN NULL
+                ELSE w[1] || ' ' || w[2] || ' ' || w[3] END AS first_shingle,
+           CASE WHEN len(w) < 3 THEN 0
+                ELSE len(list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) END AS n_distinct_shingles
+    FROM toks
+    """,
+)
+def word_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = T.word_shingles(F.col("text"), k=3)
+    return docs.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.element_at(sh, 1).alias("first_shingle"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )

@@ -1,1 +1,194 @@
-"""Placeholder — queries registered in later build phase."""
+"""Window / sequence operators — SURVEY.md §2.5 (W1-W6).
+
+The reference's only sequence structure is tracked annotations along a
+``frame`` axis (CvatApi.py:427-731): sort keyframes per track (W1), find
+the track end (W2), pair consecutive keyframes (W3), fan out the frames
+between them with interpolated geometry (W4), propagate the last keyframe
+forward (W5), and carry attributes forward (W6). The driver's ``events``
+table plays the role of the track stream here (user_id ≙ track_id,
+ts ≙ frame order).
+
+The full geometry interpolation kernel is in
+``ml_pipelines_spark.operators.interpolation`` (applyInPandas); these
+queries cover the relational scaffolding, which is where the scale risk
+lives: everything below is a single shuffle on the partition key, and the
+frame fan-out (explode) happens after the shuffle, map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import query
+from .relational import t
+
+
+# ---------------------------------------------------------------------------
+# W1+W3: sort within key + lead/lag pairing of consecutive rows
+# (reference: sorted(track["shapes"], key=frame) CvatApi.py:143,670,683 and
+# the prev_shape/shape walk at :667-710).
+# ---------------------------------------------------------------------------
+@query(
+    "window_lag",
+    """
+    SELECT user_id, event_id,
+           LAG(event_id)  OVER w AS prev_event_id,
+           ROUND(value - LAG(value) OVER w, 4) AS value_delta,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        (micros - F.lag(micros).over(w)).alias("micros_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: last value per key — track end frame: sorted(...)[-1]["frame"]
+# (CvatApi.py:143). arg-max keeps it a single aggregation (no window
+# shuffle + filter), which matters when keys are many and rows are wide.
+# ---------------------------------------------------------------------------
+@query(
+    "last_per_key",
+    """
+    SELECT user_id,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           ROUND(arg_max(value, ts), 4) AS last_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.round(F.max_by("value", "ts"), 4).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 (relational skeleton): gap-fill interpolation between consecutive
+# keyframes — for each pair, emit one row per intermediate frame with
+# linearly interpolated value. This is exactly the reference's frame
+# fan-out (CvatApi.py:626-631: np.linspace between keyframe coordinates);
+# the polygon-geometry part lives in the pandas kernel.
+#
+# Frames are synthesized as (rank-1)*5 per user so gaps are bounded and
+# deterministic. sequence()+explode fans out AFTER the shuffle — the
+# exploded rows never cross the network.
+# ---------------------------------------------------------------------------
+@query(
+    "interp_gap_fill",
+    """
+    WITH kf AS (
+        SELECT user_id,
+               (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 5 AS frame,
+               value
+        FROM events
+    ), paired AS (
+        SELECT user_id, frame, value,
+               LEAD(frame) OVER (PARTITION BY user_id ORDER BY frame) AS next_frame,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY frame) AS next_value
+        FROM kf
+    )
+    SELECT user_id, CAST(u.f AS BIGINT) AS frame,
+           ROUND(value + (next_value - value) * (u.f - frame) / (next_frame - frame), 4) AS value
+    FROM paired, UNNEST(generate_series(frame, next_frame - 1)) AS u(f)
+    WHERE next_frame IS NOT NULL
+    UNION ALL
+    SELECT user_id, CAST(frame AS BIGINT) AS frame, ROUND(value, 4) AS value
+    FROM paired WHERE next_frame IS NULL
+    """,
+)
+def interp_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = Window.partitionBy("user_id").orderBy("frame")
+    kf = ev.select(
+        "user_id",
+        ((F.row_number().over(w) - 1) * 5).alias("frame"),
+        "value",
+    )
+    paired = kf.select(
+        "user_id",
+        "frame",
+        "value",
+        F.lead("frame").over(wf).alias("next_frame"),
+        F.lead("value").over(wf).alias("next_value"),
+    )
+    interior = (
+        paired.filter(F.col("next_frame").isNotNull())
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("frame"), F.col("next_frame") - 1)
+            ).alias("f"),
+            "frame",
+            "value",
+            "next_frame",
+            "next_value",
+        )
+        .select(
+            "user_id",
+            F.col("f").cast("bigint").alias("frame"),
+            F.round(
+                F.col("value")
+                + (F.col("next_value") - F.col("value"))
+                * (F.col("f") - F.col("frame"))
+                / (F.col("next_frame") - F.col("frame")),
+                4,
+            ).alias("value"),
+        )
+    )
+    tail = paired.filter(F.col("next_frame").isNull()).select(
+        "user_id",
+        F.col("frame").cast("bigint").alias("frame"),
+        F.round("value", 4).alias("value"),
+    )
+    return interior.unionByName(tail)
+
+
+# ---------------------------------------------------------------------------
+# W5+W6: forward-fill / carry-forward — last keyframe propagated until the
+# next (CvatApi.py:664-665, 712-715), attributes carried from the previous
+# keyframe (:700-703). Values exist only on 'purchase' events; every other
+# event sees the most recent purchase value.
+# ---------------------------------------------------------------------------
+@query(
+    "forward_fill",
+    """
+    SELECT user_id, event_id,
+           ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS last_purchase_value
+    FROM events
+    """,
+)
+def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(purchase_value, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    )

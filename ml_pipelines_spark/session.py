@@ -23,6 +23,10 @@ from pyspark.sql import SparkSession
 # overridable via environment or by passing extra_conf.
 _DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (e.g. pandas-written ns timestamps) is
+    # otherwise an illegal type for Spark; read as long and convert at the
+    # scan edge (io.read_table handles it).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

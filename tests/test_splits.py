@@ -1,0 +1,76 @@
+"""Property tests for the split module — the reference's leakage
+invariant (TrainDatasets.py:149-150): the split unit is the entity key,
+never the row; no entity appears in two splits; every row is assigned."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.splits import (
+    hash_split,
+    nested_entity_split,
+    shuffle_split,
+)
+from ml_pipelines_spark.queries.relational import t
+
+
+def test_hash_split_leakage_and_coverage(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    tagged = hash_split(orders, "o_custkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # Every row assigned exactly one label.
+    assert tagged.filter(F.col("split").isNull()).count() == 0
+    assert tagged.count() == orders.count()
+    # No key in two splits.
+    leaked = (
+        tagged.select("o_custkey", "split")
+        .distinct()
+        .groupBy("o_custkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert leaked == 0
+    # Fractions roughly honored (keys, not rows).
+    by_split = dict(
+        tagged.select("o_custkey", "split")
+        .distinct()
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    total = sum(by_split.values())
+    assert abs(by_split.get("train", 0) / total - 0.8) < 0.06
+    # Deterministic across invocations.
+    again = hash_split(orders, "o_custkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (
+        tagged.select("o_custkey", "split")
+        .exceptAll(again.select("o_custkey", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_nested_entity_split_partitions_rows(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = t(spark, sf_dir, "customer")
+    splits = nested_entity_split(orders, cust, "c_custkey", p=0.2, test_split=True, seed=7)
+    n_total = orders.count()
+    n_assigned = sum(df.count() for df in splits.values())
+    assert n_assigned == n_total
+    # Leakage: pairwise key-set intersections empty.
+    keysets = {k: df.select("c_custkey").distinct() for k, df in splits.items()}
+    names = list(keysets)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            assert keysets[names[i]].intersect(keysets[names[j]]).count() == 0
+
+
+def test_shuffle_split_disjoint_and_complete(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    rest, sampled = shuffle_split(cust, "c_custkey", p=0.3, seed=11)
+    n = cust.select("c_custkey").distinct().count()
+    assert rest.count() + sampled.count() == n
+    assert rest.intersect(sampled).count() == 0
+    # Seeded: same seed, same result.
+    rest2, sampled2 = shuffle_split(cust, "c_custkey", p=0.3, seed=11)
+    assert sampled.exceptAll(sampled2).count() == 0
