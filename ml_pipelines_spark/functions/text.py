@@ -36,6 +36,19 @@ ENGLISH_STOPWORDS = LANG_MARKERS["en"] + (
 )
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable and evaluate ``body`` on it.
+
+    Higher-order-function lambdas re-evaluate every *unbound* subexpression
+    they reference on each invocation (Catalyst inlines the subtree; HOFs
+    run interpreted, outside codegen CSE). Wrapping the value in a
+    single-element array and ``transform``-ing over it makes it a bound
+    lambda variable — computed exactly once per row. Turns
+    O(perms x shingles) re-evaluation of ``split`` into O(1).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens."""
     return F.split(text, TOKEN_SPLIT_RE)
@@ -129,12 +142,17 @@ def fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) from whitespace tokens.
     Empty array when the text has fewer than k tokens."""
-    toks = tokens(F.trim(F.lower(text)))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+
+    def shingle(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            )
         )
-    )
+
+    return let(tokens(F.trim(F.lower(text))), shingle)

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.text import fingerprint, let, tokens, word_shingles
 
 
 # ---------------------------------------------------------------------------
@@ -68,16 +68,22 @@ def minhash_signature(text: Column, num_perm: int = 16, shingle_k: int = 3) -> C
     A uniformly-hashed min over hex strings is a standard MinHash
     permutation; using the hex string itself keeps it engine-portable.
     Null for documents with no shingles.
+
+    The shingle array is let-bound so it is computed once per row, not
+    once per permutation (functions.text.let).
     """
-    sh = F.array_distinct(word_shingles(text, k=shingle_k))
-    return F.when(
-        F.size(sh) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
-                )
+    return let(
+        F.array_distinct(word_shingles(text, k=shingle_k)),
+        lambda sh: F.when(
+            F.size(sh) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                lambda i: F.array_min(
+                    F.transform(
+                        sh,
+                        lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+                    )
+                ),
             ),
         ),
     )
@@ -86,12 +92,15 @@ def minhash_signature(text: Column, num_perm: int = 16, shingle_k: int = 3) -> C
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """LSH band keys: md5 of each contiguous signature slice. Two docs
     collide on a band iff that slice matches exactly."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                "|", F.slice(signature, b * rows_per_band + 1, rows_per_band)
-            )
+    return let(
+        signature,
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(
+                    "|", F.slice(sig, b * rows_per_band + 1, rows_per_band)
+                )
+            ),
         ),
     )
 
