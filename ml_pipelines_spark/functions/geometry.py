@@ -1,0 +1,128 @@
+"""Expression-level geometry scalar functions (SURVEY.md §2.7 F8-F12, §2.4 A8).
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side, codegen,
+SQL-oracle-checkable. The numpy kernel (rotated bboxes, G1-G4) lives in
+`operators.geometry`; this module covers the parts that never need Python:
+envelope bboxes, aabb↔polygon restructuring, YOLO coordinate normalization.
+
+Reference behaviors re-expressed (citations under /root/reference/MLPipelines/):
+- segmentation2bbox      COCOUtils.py:82-89
+- aabb2poly              COCOUtils.py:91-101
+- rect → closed polygon  CvatApi.py:317-325
+- YOLO normalize         create_yolo_from_feather.py:9-23
+- flat seg ↔ point pairs COCOUtils.py:14 / create_coco_from_feather.py:29
+- bbox area              create_coco_from_feather.py:21,40
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import let
+
+
+def _pair_indexes(s: Column) -> Column:
+    """1-based pair indexes [1..size/2]; empty for fewer than 2 elements
+    (guarded — Spark's sequence(1,0) would *descend*, not return empty)."""
+    n_pairs = F.floor(F.size(s) / 2).cast("int")
+    return F.when(
+        n_pairs >= 1, F.sequence(F.lit(1), n_pairs)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def seg_points(seg: Column) -> Column:
+    """Flat [x0,y0,x1,y1,...] → array of [x,y] pairs (F8;
+    reference reshape(-1,2) at COCOUtils.py:14)."""
+    return let(
+        seg,
+        lambda s: F.transform(
+            _pair_indexes(s),
+            lambda i: F.array(
+                F.element_at(s, i * 2 - 1), F.element_at(s, i * 2)
+            ),
+        ),
+    )
+
+
+def seg_coord(seg: Column, axis: int) -> Column:
+    """Every-other-element slice: axis 0 = xs, 1 = ys."""
+    return let(
+        seg,
+        lambda s: F.transform(
+            _pair_indexes(s),
+            lambda i: F.element_at(s, i * 2 - 1 + axis),
+        ),
+    )
+
+
+def segmentation_bbox(seg: Column) -> Column:
+    """Axis-aligned envelope [xmin, ymin, w, h] as array<double>
+    (G5/A8; reference segmentation2bbox COCOUtils.py:82-89)."""
+
+    def bbox(s: Column) -> Column:
+        xs = seg_coord(s, 0)
+        ys = seg_coord(s, 1)
+        xmin = F.array_min(xs).cast("double")
+        ymin = F.array_min(ys).cast("double")
+        return F.array(
+            xmin,
+            ymin,
+            F.array_max(xs).cast("double") - xmin,
+            F.array_max(ys).cast("double") - ymin,
+        )
+
+    return let(seg, bbox)
+
+
+def aabb_to_polygon(aabb: Column) -> Column:
+    """[x,y,w,h] → 4-corner flat polygon [x0,y0,...] (F11;
+    reference aabb2poly COCOUtils.py:91-101)."""
+    return let(
+        aabb,
+        lambda a: F.array(
+            F.element_at(a, 1),
+            F.element_at(a, 2),
+            F.element_at(a, 1) + F.element_at(a, 3),
+            F.element_at(a, 2),
+            F.element_at(a, 1) + F.element_at(a, 3),
+            F.element_at(a, 2) + F.element_at(a, 4),
+            F.element_at(a, 1),
+            F.element_at(a, 2) + F.element_at(a, 4),
+        ),
+    )
+
+
+def rect_to_closed_polygon(ltrb: Column) -> Column:
+    """[left,top,right,bottom] → closed 5-point flat polygon (F10;
+    reference rect shape expansion CvatApi.py:317-325)."""
+    return let(
+        ltrb,
+        lambda r: F.array(
+            F.element_at(r, 1), F.element_at(r, 2),
+            F.element_at(r, 3), F.element_at(r, 2),
+            F.element_at(r, 3), F.element_at(r, 4),
+            F.element_at(r, 1), F.element_at(r, 4),
+            F.element_at(r, 1), F.element_at(r, 2),
+        ),
+    )
+
+
+def bbox_area(bbox: Column) -> Column:
+    """w*h of an [x,y,w,h] box (F12; reference rcoco[2]*rcoco[3],
+    create_coco_from_feather.py:21,40)."""
+    return (F.element_at(bbox, 3) * F.element_at(bbox, 4)).cast("double")
+
+
+def yolo_box(bbox: Column, img_w: Column, img_h: Column) -> Column:
+    """[x,y,w,h] absolute → YOLO [x_center,y_center,w,h] normalized to
+    image dims (F9; reference create_yolo_from_feather.py:9-23)."""
+    return let(
+        bbox,
+        lambda b: F.array(
+            (F.element_at(b, 1) + F.element_at(b, 3) / 2) / img_w,
+            (F.element_at(b, 2) + F.element_at(b, 4) / 2) / img_h,
+            F.element_at(b, 3) / img_w,
+            F.element_at(b, 4) / img_h,
+        ),
+    )

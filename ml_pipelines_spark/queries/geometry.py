@@ -1,1 +1,180 @@
-"""Placeholder — queries registered in later build phase."""
+"""Geometry queries — envelope bboxes, polygon restructuring, YOLO
+normalization (oracle-backed), and the rotated-bbox numpy kernel
+(rows-only; property-tested in tests/test_geometry.py).
+
+Synthetic polygons are derived deterministically from the driver's
+``embeddings`` table: the first 8 embedding values, cast to double and
+affinely mapped into pixel space, form a 4-point polygon per row. Both
+sides (Spark and DuckDB) build the polygon with the same arithmetic on
+the same float32 inputs, so values match exactly before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geometry import (
+    aabb_to_polygon,
+    bbox_area,
+    segmentation_bbox,
+    yolo_box,
+)
+from ..operators.geometry import with_rotated_bbox
+from .registry import query
+from .relational import t
+
+# Shared synthetic-segmentation CTE: 4 points from the first 8 embedding
+# values, mapped to [0, 1000]-ish pixel coordinates.
+_SEG_SQL = """
+    seg AS (
+        SELECT vec_id,
+               list_transform(embedding[1:8],
+                              v -> CAST(v AS DOUBLE) * 400.0 + 500.0) AS s
+        FROM embeddings
+    )
+"""
+
+
+def _seg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.slice("embedding", 1, 8), lambda v: v.cast("double") * 400.0 + 500.0
+        ).alias("s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5/A8: axis-aligned envelope of a polygon, plus F12 area.
+# Reference: segmentation2bbox COCOUtils.py:82-89; area
+# create_coco_from_feather.py:21,40.
+# ---------------------------------------------------------------------------
+@query(
+    "seg_bbox",
+    "WITH " + _SEG_SQL + """
+    , xs AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i-1]) AS x,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i]) AS y
+        FROM seg
+    )
+    SELECT vec_id,
+           ROUND(list_aggregate(x, 'min'), 4) AS bx,
+           ROUND(list_aggregate(y, 'min'), 4) AS by,
+           ROUND(list_aggregate(x, 'max') - list_aggregate(x, 'min'), 4) AS bw,
+           ROUND(list_aggregate(y, 'max') - list_aggregate(y, 'min'), 4) AS bh,
+           ROUND((list_aggregate(x, 'max') - list_aggregate(x, 'min'))
+                 * (list_aggregate(y, 'max') - list_aggregate(y, 'min')), 4) AS area
+    FROM xs
+    """,
+)
+def seg_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _seg_df(spark, sf_dir)
+    bbox = segmentation_bbox(F.col("s"))
+    return df.select(
+        "vec_id",
+        F.round(F.element_at(bbox, 1), 4).alias("bx"),
+        F.round(F.element_at(bbox, 2), 4).alias("by"),
+        F.round(F.element_at(bbox, 3), 4).alias("bw"),
+        F.round(F.element_at(bbox, 4), 4).alias("bh"),
+        F.round(bbox_area(bbox), 4).alias("area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10/F11: aabb → 4-corner polygon (and implicitly rect → closed polygon).
+# Reference: aabb2poly COCOUtils.py:91-101; CvatApi.py:317-325.
+# ---------------------------------------------------------------------------
+@query(
+    "aabb_poly",
+    "WITH " + _SEG_SQL + """
+    , xs AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i-1]) AS x,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i]) AS y
+        FROM seg
+    ),
+    bb AS (
+        SELECT vec_id,
+               list_aggregate(x, 'min') AS bx, list_aggregate(y, 'min') AS by,
+               list_aggregate(x, 'max') AS x2, list_aggregate(y, 'max') AS y2
+        FROM xs
+    )
+    SELECT vec_id,
+           ROUND(bx, 4) AS p0x, ROUND(by, 4) AS p0y,
+           ROUND(x2, 4) AS p1x, ROUND(by, 4) AS p1y,
+           ROUND(x2, 4) AS p2x, ROUND(y2, 4) AS p2y,
+           ROUND(bx, 4) AS p3x, ROUND(y2, 4) AS p3y
+    FROM bb
+    """,
+)
+def aabb_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _seg_df(spark, sf_dir)
+    poly = aabb_to_polygon(segmentation_bbox(F.col("s")))
+    names = ["p0x", "p0y", "p1x", "p1y", "p2x", "p2y", "p3x", "p3y"]
+    return df.select(
+        "vec_id",
+        *[F.round(F.element_at(poly, i + 1), 4).alias(n) for i, n in enumerate(names)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9: YOLO coordinate normalization (absolute bbox → center/wh fractions).
+# Reference: create_yolo_from_feather.py:9-23.
+# ---------------------------------------------------------------------------
+@query(
+    "yolo_norm",
+    "WITH " + _SEG_SQL + """
+    , xs AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i-1]) AS x,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i]) AS y
+        FROM seg
+    ),
+    bb AS (
+        SELECT vec_id,
+               list_aggregate(x, 'min') AS bx, list_aggregate(y, 'min') AS by,
+               list_aggregate(x, 'max') - list_aggregate(x, 'min') AS bw,
+               list_aggregate(y, 'max') - list_aggregate(y, 'min') AS bh
+        FROM xs
+    )
+    SELECT vec_id,
+           ROUND((bx + bw / 2) / 1920.0, 6) AS xc,
+           ROUND((by + bh / 2) / 1080.0, 6) AS yc,
+           ROUND(bw / 1920.0, 6) AS w,
+           ROUND(bh / 1080.0, 6) AS h
+    FROM bb
+    """,
+)
+def yolo_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _seg_df(spark, sf_dir)
+    yb = yolo_box(segmentation_bbox(F.col("s")), F.lit(1920.0), F.lit(1080.0))
+    return df.select(
+        "vec_id",
+        F.round(F.element_at(yb, 1), 6).alias("xc"),
+        F.round(F.element_at(yb, 2), 6).alias("yc"),
+        F.round(F.element_at(yb, 3), 6).alias("w"),
+        F.round(F.element_at(yb, 4), 6).alias("h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1-G4: rotated-bbox kernel (numpy pandas UDF — genuinely non-SQL;
+# rows-only driver check, property tests in tests/test_geometry.py).
+# Reference: rbb_coco_from_seg COCOUtils.py:8-15 et seq.
+# ---------------------------------------------------------------------------
+@query("rbb_from_seg")
+def rbb_from_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_rotated_bbox(_seg_df(spark, sf_dir), seg_col="s")
+    return df.select(
+        "vec_id",
+        F.round(F.element_at("rcoco", 1), 4).alias("rx"),
+        F.round(F.element_at("rcoco", 2), 4).alias("ry"),
+        F.round(F.element_at("rcoco", 3), 4).alias("rw"),
+        F.round(F.element_at("rcoco", 4), 4).alias("rh"),
+        F.round(F.element_at("rcoco", 5), 6).alias("rtheta"),
+        F.round(F.element_at("coco", 3), 4).alias("bw"),
+        F.round(F.element_at("coco", 4), 4).alias("bh"),
+    ).filter(F.col("rx").isNotNull())
