@@ -1,0 +1,118 @@
+"""YOLO txt-per-image export (SURVEY.md §2.1 S11, §2.4 A4).
+
+Re-expresses the reference exporter (create_yolo_from_feather.py:25-70):
+group annotations by image, normalize boxes to image dims, one txt file
+per image with one "<category_id> <coords...>" line per annotation.
+
+Spark-first shape: the O(images x annotations) driver dict of the
+reference becomes one broadcast join + one groupBy; files are written by
+``foreachPartition`` so the fan-out runs on executors (each partition
+writes its own images — at scale point the output at a shared
+filesystem/object store path).
+
+Reference semantics preserved:
+- inner-join drop: images without annotations produce no file, and
+  annotations are only exported for images present in the image table
+  (the reference's KeyError-on-missing becomes a clean inner join).
+- bbox mode: [x_center, y_center, w, h] normalized (:13-23);
+  segmentation mode: alternating x/width y/height fractions (:9-11).
+
+Divergence (documented): coordinates are fixed-point %.6f instead of
+Python repr() floats — reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geometry import segmentation_bbox, seg_points, yolo_box
+
+
+def yolo_lines(
+    anno: DataFrame,
+    images: DataFrame,
+    categories: DataFrame,
+    segmentation: bool = False,
+) -> DataFrame:
+    """(image_name, line) pairs — one YOLO annotation line per row.
+
+    ``images`` must carry (image_name, width, height); ``categories``
+    (name, category_id) is the cat_map argument of the reference.
+    """
+    dims = F.broadcast(images.select("image_name", "width", "height"))
+    cats = F.broadcast(categories)
+    joined = anno.join(dims, "image_name", "inner").join(
+        cats, anno["category"] == cats["name"], "inner"
+    )
+    # Fixed-point quantization BEFORE formatting: floor(x*1e6 + 0.5)/1e6
+    # is pure float64 arithmetic, bit-identical in any engine, unlike
+    # ROUND/printf whose decimal tie-rounding differs (Java HALF_UP on the
+    # decimal expansion vs C on the binary value).
+    def q6(c: Column) -> Column:
+        return F.format_string("%.6f", F.floor(c * 1e6 + 0.5) / 1e6)
+
+    if segmentation:
+        coords = F.array_join(
+            F.flatten(
+                F.transform(
+                    seg_points(F.col("segmentation")),
+                    lambda p: F.array(
+                        q6(F.element_at(p, 1) / F.col("width")),
+                        q6(F.element_at(p, 2) / F.col("height")),
+                    ),
+                )
+            ),
+            " ",
+        )
+    else:
+        box = yolo_box(
+            segmentation_bbox(F.col("segmentation")),
+            F.col("width").cast("double"),
+            F.col("height").cast("double"),
+        )
+        coords = F.concat_ws(
+            " ",
+            q6(F.element_at(box, 1)),
+            q6(F.element_at(box, 2)),
+            q6(F.element_at(box, 3)),
+            q6(F.element_at(box, 4)),
+        )
+    return joined.select(
+        "image_name",
+        F.format_string("%d ", F.col("category_id")).alias("__cat"),
+        coords.alias("__coords"),
+    ).select("image_name", F.concat("__cat", "__coords").alias("line"))
+
+
+def yolo_files(lines: DataFrame) -> DataFrame:
+    """One row per output file: (image_name, content) with lines joined
+    in deterministic order (create_yolo_from_feather.py:58-68)."""
+    return (
+        lines.groupBy("image_name")
+        .agg(F.sort_array(F.collect_list("line")).alias("ls"))
+        .select(
+            "image_name",
+            F.concat(F.array_join("ls", "\n"), F.lit("\n")).alias("content"),
+        )
+    )
+
+
+def write_yolo_dir(lines: DataFrame, output_txt_dir: str) -> int:
+    """Write <image_name>.txt files from executors; returns file count.
+
+    ``output_txt_dir`` must be visible to executors (shared fs / fuse
+    mount on a cluster; any local dir under local[*])."""
+    os.makedirs(output_txt_dir, exist_ok=True)
+    files = yolo_files(lines)
+
+    def write_partition(rows):
+        for row in rows:
+            path = os.path.join(output_txt_dir, row["image_name"] + ".txt")
+            with open(path, "w") as f:
+                f.write(row["content"])
+
+    files.foreachPartition(write_partition)
+    return files.count()

@@ -71,8 +71,9 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = normalize_frame(spark_df), normalize_frame(oracle_df)
     if a != b:
-        only_spark = [r for r in a if r not in set(b)][:5]
-        only_oracle = [r for r in b if r not in set(a)][:5]
+        set_a, set_b = set(a), set(b)
+        only_spark = [r for r in a if r not in set_b][:5]
+        only_oracle = [r for r in b if r not in set_a][:5]
         problems.append(
             f"value mismatch; sample spark-only={only_spark} oracle-only={only_oracle}"
         )
