@@ -1,0 +1,351 @@
+"""Multimodal binary-column operators (SURVEY.md §2.1 S12/S13, §2.8 G6/G7).
+
+Images/video live *inside* tables as opaque ``binary`` columns with typed
+metadata — the reference's model (``image_bytes: pa.binary()``
+TrainDatasets.py:134, ``crop: pa.binary()`` :464) — and every pixel-level
+operation runs as an Arrow-batched ``mapInPandas`` over those columns, so
+the plumbing (schema, batching, partitioning) is exactly what a 100 TB
+multimodal pipeline needs.
+
+Codec strategy: this container has no PIL/libjpeg, so pixel work runs on
+the deterministic **FIMG fake codec** below (magic ``FIMG`` + u16 dims +
+channels + EXIF-style orientation + raw payload). Real JPEG/PNG bytes are
+detected and rejected with a clearly-marked ``NotImplementedError`` —
+swapping ``decode_image``/``encode_image`` for PIL-backed versions is the
+only change needed in production; every Spark-side signature stays put.
+
+Reference behaviors re-expressed:
+- EXIF-orientation normalize + re-encode  CvatApi.py:223-239 (G7/S13)
+- segmentation redaction (black fill)     TrainDatasets.py:296-310 (G6)
+- JPEG directory sink with manifest       TrainDatasets.py:318-368 (S12)
+- directory-of-images source              via spark.read.format("binaryFile")
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FIMG_MAGIC = b"FIMG"
+_HEADER = struct.Struct(">4sHHBB")  # magic, width, height, channels, orientation
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake codec (documented stand-in for PIL/libjpeg)
+# ---------------------------------------------------------------------------
+
+def encode_image(pixels: np.ndarray, orientation: int = 1) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 array as FIMG bytes."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    return _HEADER.pack(FIMG_MAGIC, w, h, c, orientation) + pixels.astype(
+        np.uint8
+    ).tobytes()
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode FIMG bytes → ((h, w, c) uint8 array, orientation).
+
+    Real image formats are *detected* but not decodable in this container:
+    """
+    head = bytes(data[:4])
+    if head != FIMG_MAGIC:
+        if head[:3] == b"\xff\xd8\xff" or head == b"\x89PNG":
+            raise NotImplementedError(
+                "STUB: real JPEG/PNG decode requires PIL/libjpeg, which is "
+                "not installed in this container. Swap decode_image/"
+                "encode_image for PIL-backed versions in production."
+            )
+        raise ValueError("not a FIMG image")
+    _, w, h, c, orientation = _HEADER.unpack(bytes(data[: _HEADER.size]))
+    px = np.frombuffer(bytes(data), dtype=np.uint8, offset=_HEADER.size)
+    return px.reshape(h, w, c).copy(), orientation
+
+
+def synth_pixels(width: int, height: int, channels: int = 1, seed: int = 0) -> np.ndarray:
+    """Deterministic pixel pattern (value = (31*i + 7*seed) mod 251)."""
+    n = width * height * channels
+    return ((31 * np.arange(n, dtype=np.int64) + 7 * seed) % 251).astype(
+        np.uint8
+    ).reshape(height, width, channels)
+
+
+def normalize_orientation(pixels: np.ndarray, orientation: int) -> np.ndarray:
+    """Undo EXIF-style orientation (subset the reference handles:
+    1 = as-is, 3 = 180°, 6 = 90° CW stored → rotate CCW to view,
+    8 = 90° CCW stored → rotate CW; CvatApi.py:227-236)."""
+    if orientation == 3:
+        return np.rot90(pixels, 2)
+    if orientation == 6:
+        return np.rot90(pixels, 3)
+    if orientation == 8:
+        return np.rot90(pixels, 1)
+    return pixels
+
+
+def fill_polygon_mask(mask: np.ndarray, polygon: np.ndarray) -> None:
+    """Even-odd scanline polygon fill into a boolean (h, w) mask — the
+    numpy stand-in for PIL ImageDraw.polygon(fill=...) used by the
+    reference's redaction (TrainDatasets.py:303-309)."""
+    h, w = mask.shape
+    xs, ys = polygon[:, 0], polygon[:, 1]
+    y0 = max(int(np.floor(ys.min())), 0)
+    y1 = min(int(np.ceil(ys.max())), h - 1)
+    n = len(polygon)
+    for y in range(y0, y1 + 1):
+        yc = y + 0.5
+        crossings = []
+        for i in range(n):
+            x_a, y_a = xs[i], ys[i]
+            x_b, y_b = xs[(i + 1) % n], ys[(i + 1) % n]
+            if (y_a <= yc < y_b) or (y_b <= yc < y_a):
+                t = (yc - y_a) / (y_b - y_a)
+                crossings.append(x_a + t * (x_b - x_a))
+        crossings.sort()
+        for j in range(0, len(crossings) - 1, 2):
+            xa = max(int(np.ceil(crossings[j] - 0.5)), 0)
+            xb = min(int(np.floor(crossings[j + 1] - 0.5)), w - 1)
+            if xb >= xa:
+                mask[y, xa : xb + 1] = True
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, c) → (out_h, out_w, c)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[rows][:, cols]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side operators (Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+IMAGE_META_FIELDS = [
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("orientation", IntegerType()),
+    StructField("n_bytes", LongType()),
+]
+
+
+def _meta_schema(df: DataFrame, image_col: str) -> StructType:
+    keep = [f for f in df.schema.fields if f.name != image_col]
+    return StructType(keep + IMAGE_META_FIELDS)
+
+
+def image_meta(df: DataFrame, image_col: str = "image_bytes") -> DataFrame:
+    """Decode binary column → typed metadata columns, dropping the pixels
+    (the 'describe the blob' half of S12's manifest)."""
+    schema = _meta_schema(df, image_col)
+    other = [f.name for f in schema.fields if f.name not in
+             {"width", "height", "channels", "orientation", "n_bytes"}]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[image_col]:
+                px, orientation = decode_image(b)
+                h, w, c = px.shape
+                metas.append((w, h, c, orientation, len(b)))
+            out = pdf[other].copy()
+            out[["width", "height", "channels", "orientation", "n_bytes"]] = (
+                pd.DataFrame(metas, index=pdf.index)
+            )
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _transform_images(df: DataFrame, image_col: str, fn) -> DataFrame:
+    """Shared binary→binary mapInPandas scaffold (same schema out)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[image_col] = [fn(b) for b in pdf[image_col]]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=df.schema)
+
+
+def exif_normalize(df: DataFrame, image_col: str = "image_bytes") -> DataFrame:
+    """G7/S13: apply stored orientation, re-encode upright
+    (CvatApi.py:223-239)."""
+
+    def fix(b: bytes) -> bytes:
+        px, orientation = decode_image(b)
+        return encode_image(normalize_orientation(px, orientation), 1)
+
+    return _transform_images(df, image_col, fix)
+
+
+def redact_regions(
+    df: DataFrame,
+    image_col: str = "image_bytes",
+    regions_col: str = "regions",
+) -> DataFrame:
+    """G6: fill each flat-polygon region with black
+    (TrainDatasets.py:296-310). ``regions_col`` is array<array<double>>."""
+    cols = df.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for b, regions in zip(pdf[image_col], pdf[regions_col]):
+                px, orientation = decode_image(b)
+                if regions is not None and len(regions):
+                    mask = np.zeros(px.shape[:2], dtype=bool)
+                    for seg in regions:
+                        poly = np.asarray(seg, dtype=np.float64).reshape(-1, 2)
+                        if len(poly) >= 3:
+                            fill_polygon_mask(mask, poly)
+                    px = px.copy()
+                    px[mask] = 0
+                out_bytes.append(encode_image(px, orientation))
+            pdf = pdf.copy()
+            pdf[image_col] = out_bytes
+            yield pdf[cols]
+
+    return df.mapInPandas(gen, schema=df.schema)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, image_col: str = "image_bytes"
+) -> DataFrame:
+    """Nearest-neighbor thumbnail/crop-resize (feature-extraction prep)."""
+
+    def rz(b: bytes) -> bytes:
+        px, orientation = decode_image(b)
+        return encode_image(resize_nearest(px, out_w, out_h), orientation)
+
+    return _transform_images(df, image_col, rz)
+
+
+def pixel_checksum(df: DataFrame, image_col: str = "image_bytes") -> DataFrame:
+    """Adds ``pix_sum`` (int64 sum over pixel values) — golden-test hook
+    for pixel-level transforms."""
+    schema = StructType(df.schema.fields + [StructField("pix_sum", LongType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pix_sum"] = [
+                int(decode_image(b)[0].astype(np.int64).sum())
+                for b in pdf[image_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Fake video: concatenated FIMG frames
+# ---------------------------------------------------------------------------
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    return b"".join(encode_image(f) for f in frames)
+
+
+def iter_video_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """(frame_idx, frame_bytes) pairs from a concatenated-FIMG blob.
+
+    Module-level on purpose: closures shipped to executors must reference
+    it (and not the struct.Struct header) so cloudpickle serializes by
+    module reference.
+    """
+    off, idx = 0, 0
+    while off + _HEADER.size <= len(data):
+        _, w, h, c, _o = _HEADER.unpack(bytes(data[off : off + _HEADER.size]))
+        frame_len = _HEADER.size + w * h * c
+        yield idx, bytes(data[off : off + frame_len])
+        off += frame_len
+        idx += 1
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int,
+    video_col: str = "video_bytes",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Explode every k-th frame of a multi-frame binary column into
+    (id_cols..., frame_idx, image_bytes) rows — the frame-sample step of
+    a video pipeline, with the fan-out running inside mapInPandas."""
+    id_cols = id_cols or [c for c in df.columns if c != video_col]
+    schema = StructType(
+        [f for f in df.schema.fields if f.name in id_cols]
+        + [StructField("frame_idx", IntegerType()),
+           StructField("image_bytes", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ids = tuple(row[c_] for c_ in id_cols)
+                for idx, frame in iter_video_frames(row[video_col]):
+                    if idx % every_k == 0:
+                        rows.append(ids + (idx, frame))
+            yield pd.DataFrame(rows, columns=id_cols + ["frame_idx", "image_bytes"])
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Directory sink/source (S12/S13)
+# ---------------------------------------------------------------------------
+
+def write_image_dir(
+    df: DataFrame,
+    out_dir: str,
+    name_col: str = "image_name",
+    image_col: str = "image_bytes",
+    ext: str = ".fimg",
+) -> DataFrame:
+    """S12: write one file per row from executors; returns the manifest
+    DataFrame (name, width, height, n_bytes) like the reference's
+    obj-detect exporter (TrainDatasets.py:318-368)."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = df.select(name_col, image_col)
+
+    def write_partition(rows):
+        for row in rows:
+            with open(os.path.join(out_dir, row[name_col] + ext), "wb") as f:
+                f.write(bytes(row[image_col]))
+
+    payload.foreachPartition(write_partition)
+    return image_meta(df.select(name_col, image_col), image_col)
+
+
+def read_image_dir(spark: SparkSession, path: str, glob: str = "*.fimg") -> DataFrame:
+    """S13: directory-of-images source via the built-in binaryFile format
+    (path, modificationTime, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.[A-Za-z0-9]+$", 1).alias(
+                "image_name"
+            ),
+            F.col("content").alias("image_bytes"),
+            F.col("length").alias("n_bytes"),
+        )
+    )

@@ -1,1 +1,118 @@
-"""Placeholder — queries registered in later build phase."""
+"""Multimodal-column queries — binary image plumbing over mapInPandas.
+
+A deterministic FIMG image is synthesized per ``embeddings`` row (dims
+and orientation are closed-form functions of vec_id), pushed through the
+*real* binary-column pipeline (encode → mapInPandas decode → transform),
+and the resulting metadata is compared against a DuckDB oracle that
+computes the same closed forms directly — so the oracle checks the whole
+Spark binary/Arrow/mapInPandas path, not just arithmetic.
+
+Pixel-level outputs (checksums after EXIF-normalize / redaction) are
+also oracle-checkable because the fake payload is a closed-form pixel
+pattern and the transforms are permutation/zeroing operations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from ..operators.images import (
+    encode_image,
+    exif_normalize,
+    image_meta,
+    pixel_checksum,
+    synth_pixels,
+)
+from .registry import query
+from .relational import t
+
+
+def synth_images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FIMG image per embeddings row: width = 8 + vec_id % 24,
+    height = 8 + (3 * vec_id) % 24, orientation cycles {1,3,6,8}."""
+    base = t(spark, sf_dir, "embeddings").select("vec_id")
+    schema = StructType(
+        [StructField("vec_id", LongType()),
+         StructField("image_bytes", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        orients = [1, 3, 6, 8]
+        for pdf in batches:
+            out = []
+            for vid in pdf["vec_id"]:
+                w = 8 + int(vid) % 24
+                h = 8 + (3 * int(vid)) % 24
+                px = synth_pixels(w, h, channels=1, seed=int(vid))
+                out.append((vid, encode_image(px, orients[int(vid) % 4])))
+            yield pd.DataFrame(out, columns=["vec_id", "image_bytes"])
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Binary decode → typed metadata (the core multimodal plumbing check).
+# n_bytes = 10-byte header + w*h; pix_sum has a closed form because
+# pixel i = (31*i + 7*seed) % 251.
+# ---------------------------------------------------------------------------
+_META_CLOSED_FORM = """
+    meta AS (
+        SELECT vec_id,
+               8 + vec_id % 24 AS width,
+               8 + (3 * vec_id) % 24 AS height,
+               CAST(CASE vec_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                    WHEN 2 THEN 6 ELSE 8 END AS INT)
+                   AS orientation
+        FROM embeddings
+    )
+"""
+
+
+@query(
+    "image_meta_decode",
+    "WITH " + _META_CLOSED_FORM + """
+    SELECT vec_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           1 AS channels, orientation,
+           CAST(10 + width * height AS BIGINT) AS n_bytes
+    FROM meta
+    """,
+)
+def image_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synth_images_df(spark, sf_dir)
+    return image_meta(imgs, "image_bytes").select(
+        "vec_id", "width", "height", "channels", "orientation", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXIF normalization: orientations 6/8 swap dims; pixel multiset is
+# preserved (rotation is a permutation), so pix_sum equals the closed-form
+# sum over i of (31*i + 7*vec_id) % 251.
+# ---------------------------------------------------------------------------
+@query(
+    "image_exif_normalize",
+    "WITH " + _META_CLOSED_FORM + """
+    SELECT vec_id,
+           CAST(CASE WHEN orientation IN (6, 8) THEN height ELSE width END AS INT)
+               AS width,
+           CAST(CASE WHEN orientation IN (6, 8) THEN width ELSE height END AS INT)
+               AS height,
+           1 AS orientation,
+           CAST(list_aggregate(
+                    list_transform(generate_series(0, width * height - 1),
+                                   i -> (31 * i + 7 * vec_id) % 251),
+                    'sum') AS BIGINT) AS pix_sum
+    FROM meta
+    """,
+)
+def image_exif_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = exif_normalize(synth_images_df(spark, sf_dir), "image_bytes")
+    with_sum = pixel_checksum(imgs, "image_bytes")
+    return image_meta(with_sum, "image_bytes").select(
+        "vec_id", "width", "height", "orientation", "pix_sum"
+    )

@@ -1,0 +1,178 @@
+"""Multimodal binary-column tests — codec, pixel kernels, Spark plumbing,
+directory sink/source, and oracle parity for the metadata queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ml_pipelines_spark.operators.images import (
+    decode_image,
+    encode_image,
+    encode_video,
+    exif_normalize,
+    fill_polygon_mask,
+    image_meta,
+    normalize_orientation,
+    pixel_checksum,
+    read_image_dir,
+    redact_regions,
+    resize_images,
+    resize_nearest,
+    sample_frames,
+    synth_pixels,
+    write_image_dir,
+)
+from ml_pipelines_spark.testing import check_query
+
+
+class TestCodec:
+    def test_roundtrip(self):
+        px = synth_pixels(13, 7, 3, seed=5)
+        data = encode_image(px, orientation=6)
+        out, orientation = decode_image(data)
+        assert orientation == 6
+        assert np.array_equal(out, px)
+
+    def test_real_jpeg_is_clearly_stubbed(self):
+        with pytest.raises(NotImplementedError, match="STUB"):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            decode_image(b"NOPE" + b"\x00" * 16)
+
+    def test_orientation_normalize(self):
+        px = synth_pixels(4, 2, 1, seed=1)
+        assert normalize_orientation(px, 1) is px
+        assert np.array_equal(normalize_orientation(px, 3), np.rot90(px, 2))
+        # 90-degree variants swap dims
+        assert normalize_orientation(px, 6).shape[:2] == (4, 2)
+        assert normalize_orientation(px, 8).shape[:2] == (4, 2)
+        # rotations are pixel-preserving permutations
+        for o in (3, 6, 8):
+            assert normalize_orientation(px, o).sum() == px.sum()
+
+
+class TestPixelKernels:
+    def test_fill_polygon_square(self):
+        mask = np.zeros((10, 10), dtype=bool)
+        poly = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], dtype=float)
+        fill_polygon_mask(mask, poly)
+        assert mask[3, 3] and mask[7, 7]
+        assert not mask[0, 0] and not mask[9, 9]
+        assert mask.sum() == 36  # pixel centers strictly inside [2,8]²
+
+    def test_fill_polygon_triangle(self):
+        mask = np.zeros((10, 10), dtype=bool)
+        fill_polygon_mask(mask, np.array([[0, 0], [9, 0], [0, 9]], dtype=float))
+        assert mask[1, 1]
+        assert not mask[9, 9]
+
+    def test_resize_nearest(self):
+        px = synth_pixels(8, 8, 1, seed=0)
+        out = resize_nearest(px, 4, 4)
+        assert out.shape == (4, 4, 1)
+        assert np.array_equal(out[0, 0], px[0, 0])
+        up = resize_nearest(px, 16, 16)
+        assert np.array_equal(up[::2, ::2], px)
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    rows = []
+    for i in range(8):
+        px = synth_pixels(10 + i, 6 + i, 1, seed=i)
+        rows.append((f"img_{i}", bytearray(encode_image(px, [1, 3, 6, 8][i % 4]))))
+    schema = StructType(
+        [StructField("image_name", StringType()),
+         StructField("image_bytes", BinaryType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+class TestSparkPlumbing:
+    def test_image_meta(self, image_df):
+        pdf = image_meta(image_df).toPandas().set_index("image_name")
+        for i in range(8):
+            r = pdf.loc[f"img_{i}"]
+            assert (r["width"], r["height"]) == (10 + i, 6 + i)
+            assert r["n_bytes"] == 10 + (10 + i) * (6 + i)
+
+    def test_exif_normalize_swaps_dims(self, image_df):
+        out = image_meta(exif_normalize(image_df)).toPandas().set_index("image_name")
+        for i in range(8):
+            r = out.loc[f"img_{i}"]
+            assert r["orientation"] == 1
+            if [1, 3, 6, 8][i % 4] in (6, 8):
+                assert (r["width"], r["height"]) == (6 + i, 10 + i)
+            else:
+                assert (r["width"], r["height"]) == (10 + i, 6 + i)
+
+    def test_redact_matches_numpy_golden(self, spark):
+        px = synth_pixels(20, 20, 1, seed=3)
+        region = [2.0, 2.0, 12.0, 2.0, 12.0, 12.0, 2.0, 12.0]
+        schema = StructType(
+            [
+                StructField("image_bytes", BinaryType()),
+                StructField("regions", ArrayType(ArrayType(DoubleType()))),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(bytearray(encode_image(px)), [region])], schema
+        )
+        out = pixel_checksum(redact_regions(df)).toPandas()
+        # golden: same kernel applied directly
+        from ml_pipelines_spark.operators.images import fill_polygon_mask as fpm
+
+        mask = np.zeros((20, 20), dtype=bool)
+        fpm(mask, np.array(region).reshape(-1, 2))
+        want = px.copy()
+        want[mask] = 0
+        assert out["pix_sum"][0] == int(want.astype(np.int64).sum())
+        assert int(mask.sum()) == 100  # 10x10 interior
+
+    def test_resize_images(self, image_df):
+        out = image_meta(resize_images(image_df, 5, 4)).toPandas()
+        assert set(zip(out["width"], out["height"])) == {(5, 4)}
+
+    def test_sample_frames(self, spark):
+        frames = [synth_pixels(6, 4, 1, seed=s) for s in range(10)]
+        schema = StructType(
+            [StructField("clip_id", StringType()),
+             StructField("video_bytes", BinaryType())]
+        )
+        df = spark.createDataFrame(
+            [("clip_a", bytearray(encode_video(frames)))], schema
+        )
+        out = sample_frames(df, every_k=3, video_col="video_bytes").toPandas()
+        assert list(out["frame_idx"]) == [0, 3, 6, 9]
+        px0, _ = decode_image(out["image_bytes"][0])
+        assert np.array_equal(px0, frames[0])
+
+    def test_write_read_image_dir(self, spark, image_df, tmp_path):
+        out_dir = str(tmp_path / "imgs")
+        manifest = write_image_dir(image_df, out_dir)
+        assert manifest.count() == 8
+        back = read_image_dir(spark, out_dir)
+        pdf = back.toPandas().set_index("image_name")
+        assert len(pdf) == 8
+        src = image_df.toPandas().set_index("image_name")
+        for name in src.index:
+            assert bytes(pdf.loc[name, "image_bytes"]) == bytes(
+                src.loc[name, "image_bytes"]
+            )
+
+
+@pytest.mark.parametrize("name", ["image_meta_decode", "image_exif_normalize"])
+def test_oracle_parity(spark, sf_dir, name):
+    assert check_query(spark, sf_dir, name) == []
