@@ -1,0 +1,70 @@
+"""Track interpolation query — the W4 applyInPandas kernel over synthetic
+tracks (rows-only driver check; kernel semantics are property-tested in
+tests/test_cvat_tracks.py; reference CvatApi.py:427-731).
+
+Synthetic tracks: every embeddings row becomes a track whose two
+keyframe polygons are derived from the embedding (frames 0 and
+4 + vec_id % 4); the kernel gap-fills and propagates to end_frame 12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.tracks import interpolate_tracks
+from .registry import query
+from .relational import t
+
+_KEYFRAMES_SCHEMA = StructType(
+    [
+        StructField("track_id", LongType()),
+        StructField("frame", IntegerType()),
+        StructField("points", ArrayType(DoubleType())),
+        StructField("outside", BooleanType()),
+    ]
+)
+
+
+def _keyframes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    poly = F.transform(
+        F.slice("embedding", 1, 8), lambda v: v.cast("double") * 300.0 + 400.0
+    )
+    shifted = F.transform(poly, lambda v: v + 50.0)
+    last_frame = (F.lit(4) + F.col("vec_id") % 4).cast("int")
+    kf0 = emb.select(
+        F.col("vec_id").alias("track_id"),
+        F.lit(0).cast("int").alias("frame"),
+        poly.alias("points"),
+        F.lit(False).alias("outside"),
+    )
+    kf1 = emb.select(
+        F.col("vec_id").alias("track_id"),
+        last_frame.alias("frame"),
+        shifted.alias("points"),
+        F.lit(False).alias("outside"),
+    )
+    return kf0.unionByName(kf1)
+
+
+@query("track_interpolation")
+def track_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = interpolate_tracks(_keyframes_df(spark, sf_dir), end_frame=12)
+    return dense.select(
+        "track_id",
+        "frame",
+        "keyframe",
+        F.size("points").alias("n_coords"),
+        F.round(F.element_at("points", 1), 3).alias("x0"),
+        F.round(F.element_at("points", 2), 3).alias("y0"),
+    ).orderBy("track_id", "frame")

@@ -1,0 +1,282 @@
+"""CVAT REST ingestion source (SURVEY.md §2.1 S6-S9, §3 E2).
+
+Re-expresses the reference's CvatApi walk (CvatApi.py:35-201) as a
+transport-injected adapter producing Spark DataFrames:
+
+- S6 fetch_project: projects → labels (+ attribute specs) and the
+  paginated task/job walk (CvatApi.py:61-96);
+- S7 fetch_annotations: per-job frames/tags/shapes (CvatApi.py:101-121);
+- S8 fetch_track_annotations: tracks with keyframes, ready for the
+  interpolation kernel (CvatApi.py:123-148, operators.tracks);
+- S9 export_images: async export with 202→201 polling, zip download
+  (CvatApi.py:150-201).
+
+The transport is a plain callable ``transport(path, params) -> dict``
+(binary endpoints return bytes) so tests inject canned fixtures and
+production injects an authenticated HTTP client — the adapter itself
+never imports a network stack.
+
+Scale shape: metadata walks are driver-side (small), but per-job
+annotation fetches fan out with ``fetch_shapes_distributed`` — a
+mapInPandas over the job-id list, so 10k jobs pull concurrently from
+executors instead of serially from the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+Transport = Callable[[str, dict], object]
+
+# Redundant .jpeg/.jpg suffix collapse (F2; reference JPEG_PAT CvatApi.py:24).
+JPEG_SUFFIX_RE = r"\.[Jj][Pp][Ee]?[Gg](\.[Jj][Pp][Ee]?[Gg])?$"
+# Numeric task-id prefix (F4; CvatApi.py:269-280).
+TASK_PREFIX_RE = r"^[0-9]+_"
+
+
+def normalize_image_name(name: str) -> str:
+    """Basename, drop numeric task prefix, collapse jpeg suffixes, force
+    .jpeg (F2-F4; CvatApi.py:107-109, 269-280, 372-384)."""
+    base = name.rsplit("/", 1)[-1]
+    base = re.sub(JPEG_SUFFIX_RE, "", base)
+    if re.match(TASK_PREFIX_RE, base):
+        base = base.split("_", 1)[1]
+    return base + ".jpeg"
+
+
+def normalize_image_name_col(name):
+    """Expression twin of normalize_image_name (oracle-checkable)."""
+    base = F.element_at(F.split(name, "/"), -1)
+    base = F.regexp_replace(base, JPEG_SUFFIX_RE, "")
+    base = F.regexp_replace(base, TASK_PREFIX_RE, "")
+    return F.concat(base, F.lit(".jpeg"))
+
+
+class CvatSource:
+    """Transport-injected CVAT adapter. Paths mirror the reference's
+    endpoints (``projects/{id}``, ``tasks``, ``jobs/{id}/annotations``...)."""
+
+    def __init__(self, transport: Transport):
+        self._get = transport
+
+    # -- S6: project walk ---------------------------------------------------
+    def fetch_project(self, project_id: int) -> dict:
+        """labels {id → lower-name}, attr specs {spec_id → name}, and the
+        (task_id, job_id) list, following pagination (CvatApi.py:61-96)."""
+        project = self._get(f"projects/{project_id}", {})
+        labels = {
+            lab["id"]: lab["name"].lower() for lab in project.get("labels", [])
+        }
+        attr_types = {
+            attr["id"]: attr["name"]
+            for lab in project.get("labels", [])
+            for attr in lab.get("attributes", [])
+        }
+        jobs: list[tuple[int, int]] = []
+        page = self._get("tasks", {"project_id": project_id, "page": 1})
+        while True:
+            for task in page["results"]:
+                for seg in task.get("segments", []):
+                    for job in seg.get("jobs", []):
+                        jobs.append((task["id"], job["id"]))
+            if not page.get("next"):
+                break
+            page = self._get("tasks", {"project_id": project_id,
+                                       "page": page["next"]})
+        return {"labels": labels, "attr_types": attr_types, "jobs": jobs}
+
+    # -- S7: per-job shapes -------------------------------------------------
+    def fetch_annotations(self, job_id: int) -> dict:
+        """frame→name map, tags, shapes for one job (CvatApi.py:101-121)."""
+        job = self._get(f"jobs/{job_id}", {})
+        meta = self._get(f"tasks/{job['task_id']}/data/meta", {})
+        anno = self._get(f"jobs/{job_id}/annotations", {})
+        start = job.get("start_frame", 0)
+        frame_names = {
+            start + i: normalize_image_name(fr["name"])
+            for i, fr in enumerate(meta.get("frames", []))
+        }
+        return {
+            "task_id": job["task_id"],
+            "frame_names": frame_names,
+            "tags": anno.get("tags", []),
+            "shapes": anno.get("shapes", []),
+            "tracks": anno.get("tracks", []),
+        }
+
+    # -- S9: async image export --------------------------------------------
+    def export_images(
+        self,
+        task_id: int,
+        poll_sleep: Callable[[float], None] = None,
+        interval: float = 3.0,
+        max_polls: int = 100,
+    ) -> list[tuple[str, bytes]]:
+        """Request the export, poll 202→201, download and unzip
+        (CvatApi.py:150-201). Returns (image_name, bytes) pairs."""
+        poll_sleep = poll_sleep or (lambda _s: None)
+        for _ in range(max_polls):
+            status = self._get(f"tasks/{task_id}/dataset", {"action": "status"})
+            if status.get("http_status") == 201:
+                break
+            poll_sleep(interval)
+        else:
+            raise TimeoutError(f"export for task {task_id} never completed")
+        blob = self._get(f"tasks/{task_id}/dataset", {"action": "download"})
+        out = []
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            for name in zf.namelist():
+                if name.startswith("images/") and not name.endswith("/"):
+                    out.append(
+                        (normalize_image_name(name), zf.read(name))
+                    )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# DataFrame builders
+# ---------------------------------------------------------------------------
+
+SHAPE_SCHEMA = StructType(
+    [
+        StructField("project_id", LongType()),
+        StructField("task_id", LongType()),
+        StructField("job_id", LongType()),
+        StructField("track_id", LongType()),
+        StructField("image_name", StringType()),
+        StructField("category", StringType()),
+        StructField("shape_type", StringType()),
+        StructField("points", ArrayType(DoubleType())),
+        StructField("frame", IntegerType()),
+        StructField("outside", BooleanType()),
+        StructField("attributes", ArrayType(
+            StructType([StructField("spec_id", LongType()),
+                        StructField("value", StringType())]))),
+    ]
+)
+
+
+def _shape_rows(project_id: int, job_id: int, ann: dict, labels: dict) -> list[tuple]:
+    rows = []
+    for shape in ann["shapes"]:
+        rows.append(
+            (
+                project_id,
+                ann["task_id"],
+                job_id,
+                -1,
+                ann["frame_names"].get(shape["frame"]),
+                labels.get(shape["label_id"]),
+                shape.get("type", "polygon"),
+                [float(p) for p in shape.get("points", [])],
+                shape["frame"],
+                bool(shape.get("outside", False)),
+                [(a["spec_id"], str(a["value"])) for a in shape.get("attributes", [])],
+            )
+        )
+    for track in ann.get("tracks", []):
+        for shape in track.get("shapes", []):
+            rows.append(
+                (
+                    project_id,
+                    ann["task_id"],
+                    job_id,
+                    track["id"],
+                    ann["frame_names"].get(shape["frame"]),
+                    labels.get(track["label_id"]),
+                    shape.get("type", "polygon"),
+                    [float(p) for p in shape.get("points", [])],
+                    shape["frame"],
+                    bool(shape.get("outside", False)),
+                    [(a["spec_id"], str(a["value"]))
+                     for a in shape.get("attributes", [])],
+                )
+            )
+    return rows
+
+
+def shapes_df(
+    spark: SparkSession,
+    source: CvatSource,
+    project_id: int,
+) -> DataFrame:
+    """Driver-side ingestion: project walk + per-job annotations → one
+    shapes DataFrame (rect→polygon expansion left to rect_to_closed_polygon
+    and geometry to the rbb kernel, as in E2)."""
+    proj = source.fetch_project(project_id)
+    rows: list[tuple] = []
+    for _task_id, job_id in proj["jobs"]:
+        ann = source.fetch_annotations(job_id)
+        rows.extend(_shape_rows(project_id, job_id, ann, proj["labels"]))
+    return spark.createDataFrame(rows, SHAPE_SCHEMA)
+
+
+def fetch_shapes_distributed(
+    spark: SparkSession,
+    transport: Transport,
+    project_id: int,
+    n_slices: int | None = None,
+) -> DataFrame:
+    """Executor-side fan-out: the job list is parallelized and each
+    partition pulls its jobs through the transport inside mapInPandas —
+    the scale path for projects with thousands of jobs.
+
+    ``transport`` must be picklable (module-level callable / functools
+    partial of one).
+    """
+    source = CvatSource(transport)
+    proj = source.fetch_project(project_id)
+    labels = proj["labels"]
+    jobs = spark.createDataFrame(
+        proj["jobs"], StructType([StructField("task_id", LongType()),
+                                  StructField("job_id", LongType())])
+    )
+    if n_slices:
+        jobs = jobs.repartition(n_slices)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        src = CvatSource(transport)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for job_id in pdf["job_id"]:
+                ann = src.fetch_annotations(int(job_id))
+                rows.extend(_shape_rows(project_id, int(job_id), ann, labels))
+            yield pd.DataFrame(rows, columns=[f.name for f in SHAPE_SCHEMA.fields])
+
+    return jobs.mapInPandas(fetch, schema=SHAPE_SCHEMA)
+
+
+def images_df(
+    spark: SparkSession,
+    source: CvatSource,
+    task_ids: list[int],
+    poll_sleep=None,
+) -> DataFrame:
+    """S9 → DataFrame(image_name, image_bytes) via the async zip export."""
+    rows = []
+    for task_id in task_ids:
+        for name, data in source.export_images(task_id, poll_sleep=poll_sleep):
+            rows.append((name, bytearray(data)))
+    return spark.createDataFrame(
+        rows,
+        StructType([StructField("image_name", StringType()),
+                    StructField("image_bytes", BinaryType())]),
+    )
