@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ml_pipelines_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (scan/agg, star join, semi join,
-# window, collect, JSON, text/dedup/similarity added as they land).
+# window, collect, JSON, text/dedup/similarity, geometry kernel, exports,
+# multimodal mapInPandas, track interpolation, splits, streaming windows).
 HEADLINE = [
     "q1_pricing_summary",
     "star_join_revenue",
@@ -32,9 +33,19 @@ HEADLINE = [
     "window_lag",
     "dedup_exact_docs",
     "minhash_near_dup",
+    "simhash_docs",
+    "embedding_near_dup",
     "knn_bruteforce",
     "text_quality",
     "tumbling_window",
+    "session_window",
+    "seg_bbox",
+    "rbb_from_seg",
+    "coco_records",
+    "yolo_export_lines",
+    "image_meta_decode",
+    "track_interpolation",
+    "hash_split_materialize",
 ]
 
 RUNS = 3

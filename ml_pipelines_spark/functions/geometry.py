@@ -61,15 +61,19 @@ def segmentation_bbox(seg: Column) -> Column:
     (G5/A8; reference segmentation2bbox COCOUtils.py:82-89)."""
 
     def bbox(s: Column) -> Column:
-        xs = seg_coord(s, 0)
-        ys = seg_coord(s, 1)
-        xmin = F.array_min(xs).cast("double")
-        ymin = F.array_min(ys).cast("double")
-        return F.array(
-            xmin,
-            ymin,
-            F.array_max(xs).cast("double") - xmin,
-            F.array_max(ys).cast("double") - ymin,
+        # xs/ys are let-bound so each coordinate slice is materialized
+        # once, not once per min/max reference.
+        return let(
+            seg_coord(s, 0),
+            lambda xs: let(
+                seg_coord(s, 1),
+                lambda ys: F.array(
+                    F.array_min(xs).cast("double"),
+                    F.array_min(ys).cast("double"),
+                    (F.array_max(xs) - F.array_min(xs)).cast("double"),
+                    (F.array_max(ys) - F.array_min(ys)).cast("double"),
+                ),
+            ),
         )
 
     return let(seg, bbox)

@@ -176,14 +176,31 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: banded-LSH candidate generation + exact
     Jaccard verification on candidates only.
 
-    Shuffle volume is O(docs × bands) for candidates plus the verify
-    join — this is the 100 TB path. rows_per_band = num_perm // bands.
+    Plan shape (the 100 TB path):
+    1. ONE pass derives the exploded (id, shingle) table; signatures and
+       set sizes come from a single groupBy(id) with 16 map-side-combined
+       min aggregates — shingling and the md5 permutations are computed
+       exactly once, instead of re-deriving the text pipeline for every
+       downstream consumer.
+    2. Band keys explode O(docs × bands) rows; the self-join reuses one
+       shuffle (identical exchange on both sides).
+    3. Verification first semi-joins the shingle table down to candidate
+       ids, so the (id, shingle) shuffle only carries docs that actually
+       collided.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, shingle_k).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    # sizes + signature in one shuffle: min() over md5 per permutation is
+    # exactly the expression-level minhash_signature, computed aggregate-
+    # style (partial min on the map side).
+    per_perm = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    stats = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"), *per_perm)
+    sig = stats.select(
+        "id", "set_size", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
     banded = sig.select(
         "id",
         F.posexplode(band_keys(F.col("sig"), bands, rows_per_band)).alias(
@@ -198,20 +215,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Exact verify: jaccard over full shingle sets, candidates only.
-    sh = shingle_sets(df, id_col, text_col, shingle_k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # Exact verify on candidates only: prune the shingle table to
+    # colliding ids first (left_semi), then count shared shingles.
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh_c = sh.join(cand_ids, "id", "left_semi")
     inter = (
-        sh.alias("sa")
+        sh_c.alias("sa")
         .join(candidates, F.col("sa.id") == F.col("id_a"))
         .join(
-            sh.alias("sb"),
+            sh_c.alias("sb"),
             (F.col("sb.id") == F.col("id_b"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = sig.select("id", "set_size")
     return (
         candidates.join(inter, ["id_a", "id_b"], "left")
         .fillna(0, subset=["inter"])

@@ -248,43 +248,46 @@ def interpolate_tracks(
     (group_cols..., track_id, frame, points, outside); output is the
     dense frame sequence with keyframe flags.
 
-    One applyInPandas group per track — the per-track algorithm is
-    sequential, the fan-out across tracks is the parallelism.
+    Shape: repartition by track key + sortWithinPartitions + mapInPandas,
+    with a pandas groupby inside the batch. One Arrow batch carries MANY
+    tracks, so the per-group overhead of applyInPandas (one tiny pandas
+    frame per track — milliseconds each, hours at 10^7 tracks) is
+    amortized to one crossing per batch; per-track work itself is the
+    irreducible sequential kernel.
     """
     group_cols = group_cols or []
     keys = [*group_cols, "track_id"]
+    out_cols = [*group_cols, "track_id", "frame", "points", "outside", "keyframe"]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in group_cols]
         + TRACK_SHAPE_SCHEMA.fields
     )
 
-    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
-        shapes = [
-            {
-                "frame": int(r.frame),
-                "points": list(r.points),
-                "outside": bool(r.outside),
-            }
-            for r in pdf.itertuples()
-        ]
-        dense = interpolate_track(shapes, end_frame)
-        first = pdf.iloc[0]
-        return pd.DataFrame(
-            [
-                tuple(first[c] for c in group_cols)
-                + (
-                    first["track_id"],
-                    s["frame"],
-                    s["points"],
-                    s["outside"],
-                    s["keyframe"],
-                )
-                for s in dense
-            ],
-            columns=[*group_cols, "track_id", "frame", "points", "outside", "keyframe"],
-        )
+    def fill_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_rows: list[tuple] = []
+            for key, grp in pdf.groupby(keys, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                prefix = key[:-1] + (key[-1],)  # (group_cols..., track_id)
+                shapes = [
+                    {
+                        "frame": int(r.frame),
+                        "points": list(r.points),
+                        "outside": bool(r.outside),
+                    }
+                    for r in grp.itertuples()
+                ]
+                for s in interpolate_track(shapes, end_frame):
+                    out_rows.append(
+                        prefix
+                        + (s["frame"], s["points"], s["outside"], s["keyframe"])
+                    )
+            yield pd.DataFrame(out_rows, columns=out_cols)
 
-    return df.groupBy(*keys).applyInPandas(fill, schema=out_schema)
+    partitioned = df.repartition(*keys).sortWithinPartitions(*keys, "frame")
+    return partitioned.mapInPandas(fill_batches, schema=out_schema)
 
 
 def carry_forward_attributes(df: DataFrame, spec_cols: list[str]) -> DataFrame:

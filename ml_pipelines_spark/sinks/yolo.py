@@ -68,17 +68,24 @@ def yolo_lines(
             " ",
         )
     else:
+        from ..functions.text import let
+
         box = yolo_box(
             segmentation_bbox(F.col("segmentation")),
             F.col("width").cast("double"),
             F.col("height").cast("double"),
         )
-        coords = F.concat_ws(
-            " ",
-            q6(F.element_at(box, 1)),
-            q6(F.element_at(box, 2)),
-            q6(F.element_at(box, 3)),
-            q6(F.element_at(box, 4)),
+        # let-bound: the whole bbox chain evaluates once, not once per
+        # element_at reference.
+        coords = let(
+            box,
+            lambda bb: F.concat_ws(
+                " ",
+                q6(F.element_at(bb, 1)),
+                q6(F.element_at(bb, 2)),
+                q6(F.element_at(bb, 3)),
+                q6(F.element_at(bb, 4)),
+            ),
         )
     return joined.select(
         "image_name",
