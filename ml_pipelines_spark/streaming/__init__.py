@@ -1,5 +1,7 @@
-"""Event-time windowing — batch-first, streaming-ready."""
+"""Event-time windowing — batch-first, streaming-ready — plus custom
+stateful operators (applyInPandasWithState)."""
 
+from .stateful import running_totals, stream_dedup  # noqa: F401
 from .windows import (  # noqa: F401
     read_stream,
     session_agg,

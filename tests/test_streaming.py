@@ -25,6 +25,70 @@ def event_stream_dir(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_running_totals_state_accumulates(spark, event_stream_dir):
+    """applyInPandasWithState carries per-key state across micro-batches:
+    lifetime totals after draining the stream must equal the batch
+    aggregate, while per-batch counts stay partial."""
+    from ml_pipelines_spark.streaming import running_totals
+
+    d, schema = event_stream_dir
+    batch_df = spark.read.schema(schema).parquet(d)
+    expected = {
+        r["event_type"]: (r["n"], round(r["total"], 2))
+        for r in batch_df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+    out = running_totals(stream, "event_type", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM running_totals_test"
+        ).collect()
+    finally:
+        q.stop()
+    # one emission per key per micro-batch (3 files) → last emission per
+    # key holds the lifetime totals
+    last = {}
+    for r in rows:
+        last[r["event_type"]] = (r["total_events"], round(r["total_value"], 2))
+    assert last == expected
+    per_key_emissions = {}
+    for r in rows:
+        per_key_emissions.setdefault(r["event_type"], []).append(r["batch_events"])
+    # state accumulated across more than one batch for at least one key
+    assert any(len(v) > 1 for v in per_key_emissions.values())
+
+
+def test_stream_dedup_first_wins(spark, event_stream_dir):
+    from ml_pipelines_spark.streaming import stream_dedup
+
+    d, schema = event_stream_dir
+    stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+    out = stream_dedup(stream, ["user_id"], "ts", "1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT user_id, count(*) AS c FROM dedup_test GROUP BY 1").collect()
+    finally:
+        q.stop()
+    assert len(got) > 0
+    assert all(r["c"] == 1 for r in got)
+
+
 def test_tumbling_stream_matches_batch(spark, event_stream_dir):
     d, schema = event_stream_dir
     batch_df = spark.read.schema(schema).parquet(d)
