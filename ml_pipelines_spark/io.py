@@ -52,6 +52,34 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) external table write — the co-located
+    join path at 100 TB: two tables bucketed on the same keys with the
+    same bucket count join with ZERO exchanges (see tests/test_io.py for
+    the plan assertion).
+
+    The reference has no equivalent (its 'bucketing' is the pathological
+    per-image partitioning, TrainDatasets.py:151/157); this is the sane
+    replacement for repeat joins on a fact key.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def partition_values(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     """Distinct partition tuples without reading data columns (S5).
 

@@ -77,6 +77,28 @@ def hash_split_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R1 (deterministic form): fraction-sample of distinct keys by hash
+# bucket — the engine-portable twin of keys.sample(frac=p): ~20% of
+# customers, stable under reruns, cluster layout, and appends.
+# ---------------------------------------------------------------------------
+@query(
+    "hash_sample",
+    """
+    SELECT c_custkey
+    FROM customer
+    WHERE substr(md5('s1' || CAST(c_custkey AS VARCHAR)), 1, 4) < '3333'
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import hash_bucket_expr
+
+    cust = t(spark, sf_dir, "customer")
+    return cust.select("c_custkey").filter(
+        hash_bucket_expr(F.col("c_custkey"), salt="s1") < "3333"
+    )
+
+
+# ---------------------------------------------------------------------------
 # R1+R2 (reference-exact seeded form): nested sample → 80/20 val/test →
 # semi-join materialization. Spark RNG — rows-only driver check; the
 # statistical and leakage properties are pytest-verified.

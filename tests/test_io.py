@@ -57,6 +57,40 @@ def test_partition_values_metadata_scan(spark, lake):
     assert "ReadSchema: struct<>" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the join key must sort-merge join with no
+    shuffle exchange — the co-located join contract."""
+    from ml_pipelines_spark.io import write_bucketed
+
+    base = str(tmp_path_factory.mktemp("buckets"))
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = t(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(orders, "b_orders", base + "/o", ["o_orderkey"], 4,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", base + "/l", ["o_orderkey"], 4,
+        sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast (which bypasses bucketing);
+        # force the SMJ path the buckets exist for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_partition_values_from_paths(spark, lake):
     d, orders = lake
     back = read_table(spark, d)
