@@ -20,8 +20,10 @@ literals — deterministic across runs, engines, and cluster layouts.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
 
@@ -119,6 +121,76 @@ def ann_lsh_topk(
     q = lit_vector(query_vec)
     scored = candidates.select(
         F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int,
+    seed: int = 17,
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centers via MLlib (seeded)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def assign_centroid_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment (L2): one numpy matmul
+    per batch — the vectorized path that stays fast at 100 TB, where an
+    expression-level argmin over k dot products would be interpreted
+    per row."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    Cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, d)
+        # argmin ||x - c||² = argmin (‖c‖² - 2·x·c)
+        d = Cn[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse cell is one
+    of the query's ``n_probe`` nearest centroids.
+
+    At scale the assignment becomes a partition/cluster key for the
+    stored table, so a probe reads n_probe/k of the data; recall grows
+    with n_probe (n_probe = k degrades gracefully to exact brute force).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = (C * C).sum(axis=1) - 2.0 * (C @ q)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+
+    assigned = emb.withColumn(
+        "cell", assign_centroid_udf(centroids)(F.col(vec_col))
+    )
+    candidates = assigned.filter(F.col("cell").isin(probes))
+    scored = candidates.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), lit_vector(query_vec)).alias("cosine")
     )
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
     return (

@@ -124,6 +124,20 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, QUERY_VEC, k=K, planes=PLANES)
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN: MLlib k-means coarse cells + n_probe nearest-cell scan. The
+# quantizer is library-trained (not SQL-reproducible) → rows-only driver
+# check; recall vs knn_bruteforce is asserted in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+@query("ann_ivf_topk")
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_ivf_topk, kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, seed=17)
+    return ann_ivf_topk(emb, QUERY_VEC, k=K, centroids=cents, n_probe=3)
+
+
 _PAIR_DOT = (
     "list_aggregate(list_transform(generate_series(1, len(a.vec)), "
     "i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE)), 'sum')"

@@ -1,0 +1,50 @@
+"""Similarity-search quality properties — LSH/IVF recall vs the exact
+brute-force baseline (the oracle parity tests cover value correctness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.similarity import (
+    ann_ivf_topk,
+    assign_centroid_udf,
+    kmeans_centroids,
+    knn_bruteforce,
+)
+from ml_pipelines_spark.queries.relational import t
+from ml_pipelines_spark.queries.similarity import K, QUERY_VEC
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_recall_and_exactness(emb):
+    exact = knn_bruteforce(emb, QUERY_VEC, k=K).toPandas()
+    cents = kmeans_centroids(emb, k=8, seed=17)
+    approx = ann_ivf_topk(emb, QUERY_VEC, k=K, centroids=cents, n_probe=3).toPandas()
+    assert len(approx) == K
+    # every returned cosine must agree with the exact score for that id
+    merged = approx.merge(exact, on="vec_id", suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+    recall = len(merged) / K
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_ivf_full_probe_equals_bruteforce(emb):
+    cents = kmeans_centroids(emb, k=4, seed=17)
+    exact = knn_bruteforce(emb, QUERY_VEC, k=K).toPandas()
+    full = ann_ivf_topk(emb, QUERY_VEC, k=K, centroids=cents, n_probe=4).toPandas()
+    assert full[["vec_id", "rank"]].values.tolist() == exact[
+        ["vec_id", "rank"]
+    ].values.tolist()
+
+
+def test_centroid_assignment_partitions_everything(emb):
+    cents = kmeans_centroids(emb, k=8, seed=17)
+    assigned = emb.withColumn("cell", assign_centroid_udf(cents)(F.col("embedding")))
+    counts = assigned.groupBy("cell").count().toPandas()
+    assert counts["count"].sum() == emb.count()
+    assert (counts["cell"] >= 0).all() and (counts["cell"] < 8).all()
