@@ -22,7 +22,14 @@ from .registry import query
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with its declared schema."""
+    """Load one testdata table with its declared schema.
+
+    Pins the session confs the oracle comparison depends on (UTC
+    timestamp rendering, nanos-as-long parquet reads) so queries behave
+    identically under any caller-provided SparkSession, not just ours.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":  # ts is parquet TIMESTAMP(NANOS)
         return read_ns_timestamp_table(spark, path, TESTDATA_SCHEMAS[name], ["ts"])
