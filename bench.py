@@ -46,6 +46,8 @@ HEADLINE = [
     "image_meta_decode",
     "track_interpolation",
     "hash_split_materialize",
+    "asof_join_events",
+    "rollup_pricing",
 ]
 
 RUNS = 3

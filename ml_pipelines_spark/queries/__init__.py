@@ -26,5 +26,6 @@ from . import geometry  # noqa: E402,F401
 from . import export  # noqa: E402,F401
 from . import tracks  # noqa: E402,F401
 from . import udaf  # noqa: E402,F401
+from . import asof  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
