@@ -1,0 +1,106 @@
+"""Distributed dense id assignment (SURVEY.md §2.4 A7).
+
+The reference assigns dense 0-based ids by driver-side iteration order
+(create_coco_from_feather.py:75-84, 98-106). The naive Spark translation —
+``row_number()`` over a global ``Window.orderBy(...)`` — funnels every row
+through a single task: correct at 60k rows, a hard wall at 100 TB.
+
+``dense_ids`` keeps the same contract (dense, deterministic, ordered by the
+given columns) with no single-task pass over the data:
+
+1. A one-off driver job samples ~20·P key tuples (uniform via rand +
+   distributed TakeOrdered — never a full sort) and picks P-1 cut points,
+   embedded in the plan as struct literals.
+2. Each row's bucket = count of cut points ≤ its key (lexicographic struct
+   comparison). The bucket is a pure function of row DATA — not of
+   ``spark_partition_id()`` / ``monotonically_increasing_id`` — so every
+   branch and every recomputation agrees on it. (A partition-index scheme
+   was tried first and silently corrupted ids whenever the counts branch
+   and the main branch didn't share one exchange — column pruning makes
+   the two exchanges non-canonical, each re-samples its own range
+   boundaries via RangePartitioner, and the offsets no longer describe the
+   main branch's partitions. Data-derived buckets are immune by
+   construction.)
+3. ``row_number()`` over ``Window.partitionBy(bucket)`` ranks within
+   buckets (one hash shuffle, P-way parallel), a per-bucket count
+   aggregate turns into cumulative offsets (window over P rows — bytes,
+   not data), broadcast-joined back: id = offset + local rank.
+
+Ids depend only on the total order, not on where the cut points land
+(sampling quality affects balance, never correctness). Rows with fully
+identical sort keys may swap ids across runs — such rows are
+indistinguishable, so the assignment is deterministic up to row identity.
+Order columns must be non-null (struct comparison with nulls is null).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SAMPLES_PER_BUCKET = 20
+
+
+def _cut_points(
+    df: DataFrame, order_cols: list[str], parts: int
+) -> list:
+    """~P-1 boundary tuples from a uniform sample (one small driver job)."""
+    sample = (
+        df.select(F.struct(*order_cols).alias("__k"), F.rand(42).alias("__r"))
+        .orderBy("__r")
+        .limit(parts * _SAMPLES_PER_BUCKET)
+        .select("__k")
+        .collect()
+    )
+    keys = sorted(tuple(r["__k"]) for r in sample)
+    if not keys:
+        return []
+    step = max(1, len(keys) // parts)
+    bounds = []
+    for i in range(step, len(keys), step):
+        if not bounds or keys[i] != bounds[-1]:
+            bounds.append(keys[i])
+    return bounds[: parts - 1]
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` with dense ids ``start, start+1, ...`` in
+    ``order_cols`` order, without a single-task pass over the data."""
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    bounds = _cut_points(df, order_cols, parts)
+    key = F.struct(*order_cols)
+    bucket = F.lit(0)
+    for b in bounds:
+        bound_lit = F.struct(
+            *[F.lit(v).alias(c) for v, c in zip(b, order_cols)]
+        )
+        bucket = bucket + F.when(key >= bound_lit, 1).otherwise(0)
+    keyed = df.withColumn("__bkt", bucket)
+
+    local = Window.partitionBy("__bkt").orderBy(*order_cols)
+    ranked = keyed.withColumn("__rn", F.row_number().over(local))
+
+    counts = keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = counts.select(
+        "__bkt",
+        (
+            F.sum("__cnt").over(Window.orderBy("__bkt"))
+            - F.col("__cnt")
+            + F.lit(start - 1)
+        ).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__bkt")
+        .withColumn(id_col, (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__bkt", "__rn", "__off")
+    )

@@ -56,6 +56,31 @@ def query_vector(dim: int, seed: int = 7) -> list[float]:
     return [float(x) for x in v / np.linalg.norm(v)]
 
 
+def ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global top-k by cosine with dense 1-based ranks, scale-safe.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole input
+    through one task. Instead: per-partition top-k first (window keyed by
+    ``spark_partition_id()`` — each partition keeps ≤ k rows), so the
+    final global window sees at most k·P rows — bytes, not data — no
+    matter how big the scored set is.
+    """
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def knn_bruteforce(
     emb: DataFrame,
     query_vec: list[float],
@@ -65,20 +90,14 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k for one query vector.
 
-    Single narrow scan → per-row cosine (whole-stage codegen) → global
-    top-k. The final ordering shuffles only k·partitions rows thanks to
-    the rank-filter; ties break on id for determinism.
+    Single narrow scan → per-row cosine (whole-stage codegen) → two-phase
+    top-k (``ranked_topk``); ties break on id for determinism.
     """
     q = lit_vector(query_vec)
     scored = emb.select(
         F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return ranked_topk(scored, k, id_col)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
@@ -122,12 +141,7 @@ def ann_lsh_topk(
     scored = candidates.select(
         F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return ranked_topk(scored, k, id_col)
 
 
 def kmeans_centroids(
@@ -192,12 +206,7 @@ def ann_ivf_topk(
     scored = candidates.select(
         F.col(id_col), cosine_expr(F.col(vec_col), lit_vector(query_vec)).alias("cosine")
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return ranked_topk(scored, k, id_col)
 
 
 def embedding_near_dup_pairs(

@@ -40,6 +40,11 @@ _DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Default openCostInBytes (4 MiB) caps small-table scans at
+    # totalBytes/4MiB tasks — a 10 MiB table gets 3 of 32 cores for
+    # CPU-heavy expression pipelines. 256 KiB restores full parallelism;
+    # at 100 TB bytesPerCore >> openCost, so the setting is inert there.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }

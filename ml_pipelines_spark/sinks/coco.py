@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.geometry import segmentation_bbox
+from ..operators.ids import dense_ids
 
 COCO_INFO = {
     "description": "Dataset",
@@ -61,13 +62,12 @@ def coco_categories(anno: DataFrame, category_col: str = "category") -> DataFram
 
 def coco_images(images: DataFrame) -> DataFrame:
     """Dense 0-based image ids by image_name order
-    (A7; create_coco_from_feather.py:73-84)."""
-    w = Window.orderBy("image_name")
-    return images.select(
-        "image_name",
-        "width",
-        "height",
-        (F.row_number().over(w) - 1).alias("image_id"),
+    (A7; create_coco_from_feather.py:73-84). Distributed assignment —
+    no single-task global window (operators.ids)."""
+    return dense_ids(
+        images.select("image_name", "width", "height"),
+        ["image_name"],
+        id_col="image_id",
     )
 
 
@@ -82,8 +82,9 @@ def coco_annotations(
     (J1 + A7; create_coco_from_feather.py:98-106).
 
     The image side is dimension-sized next to annotations, so the join
-    broadcasts; id assignment is a single global row_number over the
-    explicit ``order_cols`` (default: image_name, category).
+    broadcasts; id assignment is distributed over the explicit
+    ``order_cols`` (default: image_name, category) via ``dense_ids`` —
+    deterministic, dense, and free of single-task global windows.
     """
     order_cols = order_cols or ["image_name", "category"]
     img_ids = F.broadcast(coco_images(images).select("image_name", "image_id"))
@@ -93,8 +94,7 @@ def coco_annotations(
         .join(cats, anno["category"] == cats["name"], "inner")
         .drop("name")
     )
-    w = Window.orderBy(*order_cols)
-    out = joined.withColumn("anno_id", F.row_number().over(w) - 1).withColumn(
+    out = dense_ids(joined, order_cols, id_col="anno_id").withColumn(
         "iscrowd", F.lit(0)
     )
     area = (F.element_at("rcoco", 3) * F.element_at("rcoco", 4)).alias("area")
