@@ -22,9 +22,13 @@ given columns) with no single-task pass over the data:
    main branch's partitions. Data-derived buckets are immune by
    construction.)
 3. ``row_number()`` over ``Window.partitionBy(bucket)`` ranks within
-   buckets (one hash shuffle, P-way parallel), a per-bucket count
-   aggregate turns into cumulative offsets (window over P rows — bytes,
-   not data), broadcast-joined back: id = offset + local rank.
+   buckets (one hash shuffle, P-way parallel). Per-bucket counts are
+   derived from the SAME window pass — ``max(rn)`` over the bucket
+   partition, then ``rn == cnt`` keeps exactly one row per bucket — so
+   the counts branch shares the sort-exchange with the main branch
+   (ReusedExchange; the upstream plan executes once, not twice).
+   Counts become cumulative offsets (window over P rows — bytes, not
+   data), broadcast-joined back: id = offset + local rank.
 
 Ids depend only on the total order, not on where the cut points land
 (sampling quality affects balance, never correctness). Rows with fully
@@ -88,19 +92,25 @@ def dense_ids(
     keyed = df.withColumn("__bkt", bucket)
 
     local = Window.partitionBy("__bkt").orderBy(*order_cols)
-    ranked = keyed.withColumn("__rn", F.row_number().over(local))
+    whole = Window.partitionBy("__bkt")
+    ranked = keyed.withColumn("__rn", F.row_number().over(local)).withColumn(
+        "__cnt", F.max("__rn").over(whole)
+    )
 
-    counts = keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
-    offsets = counts.select(
-        "__bkt",
-        (
-            F.sum("__cnt").over(Window.orderBy("__bkt"))
-            - F.col("__cnt")
-            + F.lit(start - 1)
-        ).alias("__off"),
+    offsets = (
+        ranked.filter(F.col("__rn") == F.col("__cnt"))
+        .select("__bkt", "__cnt")
+        .select(
+            "__bkt",
+            (
+                F.sum("__cnt").over(Window.orderBy("__bkt"))
+                - F.col("__cnt")
+                + F.lit(start - 1)
+            ).alias("__off"),
+        )
     )
     return (
         ranked.join(F.broadcast(offsets), "__bkt")
         .withColumn(id_col, (F.col("__off") + F.col("__rn")).cast("int"))
-        .drop("__bkt", "__rn", "__off")
+        .drop("__bkt", "__rn", "__cnt", "__off")
     )
