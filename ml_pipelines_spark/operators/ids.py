@@ -46,6 +46,27 @@ from pyspark.sql.window import Window
 _SAMPLES_PER_BUCKET = 20
 
 
+def dense_ids_small(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    start: int = 0,
+) -> DataFrame:
+    """Dense ids via one single-partition window — for dimension-sized
+    inputs that are about to be broadcast anyway.
+
+    If the result fits in a broadcast, one window task over it is
+    strictly cheaper than the distributed assignment: no sample job, no
+    counts branch, no offsets join — two stages total. The broadcast
+    itself is the binding constraint; whenever it would fit, this path
+    is safe. Use ``dense_ids`` for fact-sized inputs.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(
+        id_col, (F.row_number().over(w) + F.lit(start - 1)).cast("int")
+    )
+
+
 def _cut_points(
     df: DataFrame, order_cols: list[str], parts: int
 ) -> list:
@@ -74,14 +95,24 @@ def dense_ids(
     id_col: str = "id",
     start: int = 0,
     num_partitions: int | None = None,
+    sample_from: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``id_col`` with dense ids ``start, start+1, ...`` in
-    ``order_cols`` order, without a single-task pass over the data."""
+    ``order_cols`` order, without a single-task pass over the data.
+
+    ``sample_from``: optional cheaper stand-in for the cut-point sample
+    job (e.g. the pre-join input when every order column comes from one
+    side — the sample then scans 4 columns instead of re-executing the
+    join subtree). Correctness never depends on where the cut points
+    come from, only balance does; any DataFrame containing ``order_cols``
+    with roughly the final key distribution works.
+    """
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    bounds = _cut_points(df, order_cols, parts)
+    bounds = _cut_points(sample_from if sample_from is not None else df,
+                         order_cols, parts)
     key = F.struct(*order_cols)
     bucket = F.lit(0)
     for b in bounds:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.geometry import segmentation_bbox
-from ..operators.ids import dense_ids
+from ..operators.ids import dense_ids, dense_ids_small
 
 COCO_INFO = {
     "description": "Dataset",
@@ -60,15 +60,21 @@ def coco_categories(anno: DataFrame, category_col: str = "category") -> DataFram
     )
 
 
-def coco_images(images: DataFrame) -> DataFrame:
+def coco_images(images: DataFrame, distributed: bool = False) -> DataFrame:
     """Dense 0-based image ids by image_name order
-    (A7; create_coco_from_feather.py:73-84). Distributed assignment —
-    no single-task global window (operators.ids)."""
-    return dense_ids(
-        images.select("image_name", "width", "height"),
-        ["image_name"],
-        id_col="image_id",
-    )
+    (A7; create_coco_from_feather.py:73-84).
+
+    ``distributed=False`` (default): single-window assignment — correct
+    whenever the image dimension is broadcast-sized, which is the COCO
+    regime (the whole document collects to the driver at the end).
+    ``distributed=True``: sampled-cut-point assignment (operators.ids)
+    with no single-task pass, for datalake-scale image tables — pair it
+    with ``broadcast_images=False`` in :func:`coco_annotations`.
+    """
+    proj = images.select("image_name", "width", "height")
+    if distributed:
+        return dense_ids(proj, ["image_name"], id_col="image_id")
+    return dense_ids_small(proj, ["image_name"], id_col="image_id")
 
 
 def coco_annotations(
@@ -77,26 +83,41 @@ def coco_annotations(
     odtk: bool = True,
     train: bool = True,
     order_cols: list[str] | None = None,
+    broadcast_images: bool = True,
 ) -> DataFrame:
     """Annotation records with dense ids, joined to image ids
     (J1 + A7; create_coco_from_feather.py:98-106).
 
-    The image side is dimension-sized next to annotations, so the join
-    broadcasts; id assignment is distributed over the explicit
+    Annotation-id assignment is distributed over the explicit
     ``order_cols`` (default: image_name, category) via ``dense_ids`` —
     deterministic, dense, and free of single-task global windows.
+
+    ``broadcast_images`` picks one coherent strategy for the image side:
+    True (default) = broadcast join + single-window image ids (the image
+    dimension fits in a broadcast, so one window task over it is the
+    cheap and correct choice); False = shuffle join + distributed image
+    ids, for datalake-scale image tables where neither would fit.
     """
     order_cols = order_cols or ["image_name", "category"]
-    img_ids = F.broadcast(coco_images(images).select("image_name", "image_id"))
+    img = coco_images(images, distributed=not broadcast_images).select(
+        "image_name", "image_id"
+    )
+    img_ids = F.broadcast(img) if broadcast_images else img
     cats = F.broadcast(coco_categories(anno))
     joined = (
         anno.join(img_ids, "image_name", "inner")
         .join(cats, anno["category"] == cats["name"], "inner")
         .drop("name")
     )
-    out = dense_ids(joined, order_cols, id_col="anno_id").withColumn(
-        "iscrowd", F.lit(0)
-    )
+    # The inner joins only drop annotations whose image/category is
+    # missing (none, by construction in well-formed exports), so the
+    # pre-join anno side has the final key distribution — sample cut
+    # points there and skip re-executing the join subtree (including the
+    # image-id assignment) for the sample job.
+    sample_src = anno if all(c in anno.columns for c in order_cols) else None
+    out = dense_ids(
+        joined, order_cols, id_col="anno_id", sample_from=sample_src
+    ).withColumn("iscrowd", F.lit(0))
     area = (F.element_at("rcoco", 3) * F.element_at("rcoco", 4)).alias("area")
     if odtk:
         out = out.select(
