@@ -47,6 +47,7 @@ HEADLINE = [
     "track_interpolation",
     "hash_split_materialize",
     "asof_join_events",
+    "range_join_events",
     "rollup_pricing",
 ]
 

@@ -1,7 +1,12 @@
-"""As-of join query — each event picks up the user's latest order at or
-before the event timestamp. The oracle is DuckDB's *native* ASOF JOIN,
-so the window-union construction in operators.asof is checked against an
-independent first-class implementation of the semantics.
+"""Time-series join queries — as-of and point-in-interval range joins
+over the events table.
+
+The as-of oracle is DuckDB's *native* ASOF JOIN, so the window-union
+construction in operators.asof is checked against an independent
+first-class implementation of the semantics. The range-join oracle is a
+plain inequality join — DuckDB plans it as its own (IE-join) range
+join — checking the bin-bucketed equi-join rewrite against an
+independent execution strategy.
 """
 
 from __future__ import annotations
@@ -10,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join
 from .registry import query
 from .relational import t
 
@@ -44,3 +50,48 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["last_orderkey"],
     )
     return out.select("event_id", "user_id", "last_orderkey")
+
+
+@query(
+    "range_join_events",
+    """
+    WITH iv AS (
+        SELECT event_id AS interval_id, user_id,
+               ts AS start_ts, ts + INTERVAL 1 DAY AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT iv.interval_id,
+           COUNT(*) AS n_points,
+           ROUND(SUM(p.value), 4) AS sum_value
+    FROM iv JOIN events p
+      ON p.user_id = iv.user_id
+     AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+     AND p.event_type = 'click'
+    GROUP BY iv.interval_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks inside the 24 h window after each purchase by the same
+    user — bin-bucketed point-in-interval join (operators.rangejoin),
+    aggregated per interval. Bin width = the interval length, so each
+    interval fans out to at most 2 bin rows."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        pts, iv,
+        key_cols=["user_id"], point_col="ts",
+        start_col="start_ts", end_col="end_ts",
+        bin_width=86400, closed="left",
+    )
+    return pairs.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
