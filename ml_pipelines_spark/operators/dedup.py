@@ -188,6 +188,8 @@ def minhash_lsh_pairs(
        ids, so the (id, shingle) shuffle only carries docs that actually
        collided.
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
     rows_per_band = num_perm // bands
     sh = shingle_sets(df, id_col, text_col, shingle_k)
     # sizes + signature in one shuffle: min() over md5 per permutation is
@@ -201,8 +203,12 @@ def minhash_lsh_pairs(
     sig = stats.select(
         "id", "set_size", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
     )
+    # Set sizes ride along through the band explode and the self-join —
+    # two extra longs per banded row buys dropping the two sizes joins
+    # (and their re-executions of the signature aggregation) at the end.
     banded = sig.select(
         "id",
+        "set_size",
         F.posexplode(band_keys(F.col("sig"), bands, rows_per_band)).alias(
             "band_idx", "band_key"
         ),
@@ -212,15 +218,30 @@ def minhash_lsh_pairs(
     candidates = (
         a.join(b, on=["band_idx", "band_key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
         .distinct()
+        # Candidates are the tiny survivors of the band collision (the
+        # whole point of LSH); both verification branches need them, so
+        # persist the survivors instead of re-running the shingle →
+        # signature → self-join pipeline per branch.
+        .persist()
     )
-    # Exact verify on candidates only: prune the shingle table to
-    # colliding ids first (left_semi), then count shared shingles.
+    # Exact verify on candidates only: semi-join the *documents* down to
+    # colliding ids, then re-shingle just those — shingling runs over the
+    # collided fraction, not the corpus, and the big (id, shingle)
+    # explode is never shuffled whole.
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
-    sh_c = sh.join(cand_ids, "id", "left_semi")
+    docs_c = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).join(cand_ids, "id", "left_semi")
+    sh_c = shingle_sets(docs_c, "id", "__text", shingle_k)
     inter = (
         sh_c.alias("sa")
         .join(candidates, F.col("sa.id") == F.col("id_a"))
@@ -229,16 +250,13 @@ def minhash_lsh_pairs(
             (F.col("sb.id") == F.col("id_b"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sig.select("id", "set_size")
+    # threshold > 0, so zero-intersection candidates can never qualify —
+    # the inner intersection join IS the final pair set.
     return (
-        candidates.join(inter, ["id_a", "id_b"], "left")
-        .fillna(0, subset=["inter"])
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
         )
