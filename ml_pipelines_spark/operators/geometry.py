@@ -272,9 +272,18 @@ def with_rotated_bbox(
     min_area: float = DEFAULT_MIN_AREA,
     min_hw: float = DEFAULT_MIN_HW,
     filter_small: bool = False,
+    repartition: int | None = None,
 ):
     """Attach rcoco/coco columns computed from ``seg_col`` (the E2
-    ingestion step at CvatApi.py:365, distributed)."""
+    ingestion step at CvatApi.py:365, distributed).
+
+    ``repartition``: spread the input over N partitions first. The UDF
+    stage's parallelism is its input partitioning — a single small file
+    (or a driver-side createDataFrame) otherwise runs the whole
+    CPU-bound numpy kernel on one thread.
+    """
+    if repartition is not None:
+        df = df.repartition(repartition)
     res = rbb_coco_udf(min_area, min_hw, filter_small)(F.col(seg_col))
     tmp = "__rbb"
     return (

@@ -220,11 +220,14 @@ def embedding_near_dup_pairs(
 
     Pairs are generated only within buckets (self-join on the bucket
     key — shuffle O(N), pair work O(Σ bucket²) instead of O(N²)), then
-    verified with the exact cosine.
+    verified with the exact cosine. Norms are computed once per ROW
+    before the join — per-pair work is one dot-product fold, not three
+    (the naive cosine re-folds both norms for every candidate pair).
     """
     bucketed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
     a = bucketed.alias("a")
@@ -235,7 +238,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            (
+                dot_expr(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -167,7 +167,10 @@ def yolo_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("rbb_from_seg")
 def rbb_from_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_rotated_bbox(_seg_df(spark, sf_dir), seg_col="s")
+    # embeddings is one small file = one scan partition; spread the
+    # CPU-bound numpy kernel across the cores.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    df = with_rotated_bbox(_seg_df(spark, sf_dir), seg_col="s", repartition=n)
     return df.select(
         "vec_id",
         F.round(F.element_at("rcoco", 1), 4).alias("rx"),
