@@ -37,6 +37,7 @@ HEADLINE = [
     "embedding_near_dup",
     "knn_bruteforce",
     "text_quality",
+    "curate_corpus",
     "tumbling_window",
     "session_window",
     "seg_bbox",

@@ -76,6 +76,45 @@ def hash_split(
     return df.withColumn("split", hash_split_expr(F.col(key_col), fractions, salt))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling — ``sampleBy`` without RNG
+    state: keep a row iff its key's hash falls under its stratum's
+    threshold. Strata absent from ``fractions`` are dropped.
+
+    Same-key rows are kept or dropped together (entity-safe, like the
+    split operators), and the predicate is a pure function of the data:
+    results are identical across engines, partitionings, and task
+    retries — unlike ``DataFrame.sampleBy``, whose output depends on
+    partition layout. The filter evaluates in the scan stage (no
+    shuffle); at 100 TB this is the way to downsample dominant sources
+    or languages to a target mix.
+    """
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} not in [0,1]: {frac}")
+    bucket = hash_bucket_expr(F.col(key_col), salt)
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        if frac <= 0.0:
+            continue
+        in_stratum = F.col(stratum_col) == stratum
+        # frac == 1.0 must skip the hash test: _hex_threshold(1.0) is
+        # '10000', one digit wider than the 4-char bucket, and the
+        # lexicographic compare would keep only buckets starting '0'.
+        cond = cond | (
+            in_stratum
+            if frac >= 1.0
+            else in_stratum & (bucket < F.lit(_hex_threshold(frac)))
+        )
+    return df.filter(cond)
+
+
 def sample_keys(keys: DataFrame, fraction: float, seed: int) -> DataFrame:
     """R1 (TrainDatasets.py:258,262): seeded fraction-sample of a key set."""
     return keys.sample(fraction=fraction, seed=seed)

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.splits import hash_split_expr, nested_entity_split
+from ..operators.splits import (
+    hash_split_expr,
+    nested_entity_split,
+    stratified_hash_sample,
+)
 from .registry import query
 from .relational import t
 
@@ -123,3 +127,35 @@ def seeded_nested_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stratified downsampling to a target mix (deterministic sampleBy):
+# per-language fractions rebalance the documents corpus; unlisted
+# strata drop. 0.5 -> '8000', 0.25 -> '4000' (4 hex digits of
+# round(f * 65536)).
+# ---------------------------------------------------------------------------
+_STRATA = {"en": 0.5, "de": 0.5, "fr": 0.25}
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    WHERE (lang = 'en' AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (lang = 'de' AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (lang = 'fr' AND substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+    GROUP BY lang
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        fractions=_STRATA, salt="mix",
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -105,6 +105,72 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation — the canonical LLM training-data pass,
+# composed entirely from the oracle-checked building blocks: language
+# gate (lang_id), quality gate (quality_score >= 0.8), normalized-
+# fingerprint dedup keeping the lowest doc_id, deterministic 90/5/5
+# split assignment. One declarative plan: the gates evaluate in the
+# scan stage, dedup is the only shuffle, the split adds none.
+# Thresholds: 0.9 -> 'e666', 0.95 -> 'f333'.
+# ---------------------------------------------------------------------------
+_QUALITY_SQL = """
+    ROUND(least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
+        + (1.0 - least(4.0 * (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+                       / greatest(len(text), 1), 1.0)) * 0.3
+        + (CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), x -> len(x)), 'sum')
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0
+                THEN 1.0 ELSE 0.3 END) * 0.3, 5)
+"""
+
+
+@query(
+    "curate_corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+               {_QUALITY_SQL} AS quality,
+               {_CASE} AS pred_lang
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, fp, quality FROM scored
+        WHERE pred_lang = 'en' AND quality >= 0.8
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, quality,
+           CASE WHEN substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                WHEN substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.splits import hash_split_expr
+
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        T.fingerprint(txt).alias("fp"),
+        F.round(T.quality_score(txt), 5).alias("quality"),
+        T.lang_id(txt).alias("pred_lang"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= 0.8)
+    )
+    deduped = exact_dedup(kept, ["fp"], order_col="doc_id")
+    return deduped.select(
+        "doc_id",
+        "quality",
+        hash_split_expr(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur"
+        ),
+    )
+
+
 @query(
     "word_shingles",
     """

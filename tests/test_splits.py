@@ -74,3 +74,36 @@ def test_shuffle_split_disjoint_and_complete(spark, sf_dir):
     # Seeded: same seed, same result.
     rest2, sampled2 = shuffle_split(cust, "c_custkey", p=0.3, seed=11)
     assert sampled.exceptAll(sampled2).count() == 0
+
+
+def test_stratified_hash_sample(spark):
+    from ml_pipelines_spark.operators.splits import stratified_hash_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "zh"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = stratified_hash_sample(
+        df, "k", "lang", {"en": 1.0, "de": 0.5}, salt="t"
+    ).collect()
+    langs = {r["lang"] for r in out}
+    # unlisted stratum dropped entirely; fraction-1.0 stratum kept whole
+    assert "zh" not in langs
+    n_en = sum(1 for r in out if r["lang"] == "en")
+    assert n_en == 200
+    n_de = sum(1 for r in out if r["lang"] == "de")
+    assert 60 <= n_de <= 140  # ~100 expected at p=0.5
+    # deterministic: identical on rerun
+    again = stratified_hash_sample(
+        df, "k", "lang", {"en": 1.0, "de": 0.5}, salt="t"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_stratified_hash_sample_rejects_bad_fraction(spark):
+    import pytest as _pytest
+
+    from ml_pipelines_spark.operators.splits import stratified_hash_sample
+
+    df = spark.createDataFrame([(1, "en")], "k long, lang string")
+    with _pytest.raises(ValueError, match="not in"):
+        stratified_hash_sample(df, "k", "lang", {"en": 1.5})
