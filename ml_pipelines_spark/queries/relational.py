@@ -691,3 +691,19 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HyperLogLog++): the scale substitute for exact
+# COUNT(DISTINCT) — mergeable sketch, no distinct-shuffle of the key
+# space. Sketch values are hash-implementation-specific, so there is no
+# cross-engine oracle (rows-only driver check); tests/test_splits.py
+# asserts <= 5% relative error against the exact count per group.
+# ---------------------------------------------------------------------------
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -161,3 +161,47 @@ _PAIR_COS = (
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=NEAR_DUP_T, planes=PLANES)
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (class prototypes): element-wise mean
+# over array<float> vectors. posexplode + (label, pos) groupBy is the
+# scale shape — the shuffle key is (label × dim), so parallelism is
+# label-count × dimension rather than label-count, and no executor ever
+# holds more than one running sum per (label, pos). Reassembly sorts by
+# position inside an array_agg of (pos, avg) structs.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_centroids",
+    """
+    WITH flat AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, pos, AVG(v) AS m FROM flat GROUP BY label, pos
+    )
+    SELECT label,
+           COUNT(*) AS dim,
+           ROUND(SUM(m * m), 6) AS norm_sq,
+           ROUND(SUM(CASE WHEN pos <= 4 THEN m ELSE 0 END), 6) AS head_sum
+    FROM means
+    GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "v"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v"))
+    means = flat.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return means.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(F.sum(F.col("m") * F.col("m")), 6).alias("norm_sq"),
+        F.round(
+            F.sum(F.when(F.col("pos") <= 4, F.col("m")).otherwise(0.0)), 6
+        ).alias("head_sum"),
+    )

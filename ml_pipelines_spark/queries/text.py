@@ -198,3 +198,56 @@ def word_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(sh, 1).alias("first_shingle"),
         F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building — top-50 tokens by document frequency (the
+# tokenizer-training / corpus-stats pass). Distinct-per-doc tokens
+# explode once; the groupBy is the only data shuffle; the top-k runs
+# two-phase (per-partition prune, then a k·P-row global sort), never a
+# full global sort. Ties break lexicographically for cross-engine
+# stability.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))) AS token
+        FROM documents
+    ),
+    df_counts AS (
+        SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY token
+    )
+    SELECT token, doc_freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token) AS INT) AS rank
+    FROM df_counts
+    QUALIFY rank <= 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.tokens(F.trim(F.lower(F.col("text")))))
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # two-phase top-k: per-partition prune to <= 50 rows, then rank the
+    # k·P survivors globally (bytes, not data)
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("doc_freq").desc(), F.col("token")
+    )
+    pruned = (
+        counts.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= 50)
+        .drop("__lr")
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+    )

@@ -107,3 +107,22 @@ def test_stratified_hash_sample_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "en")], "k long, lang string")
     with _pytest.raises(ValueError, match="not in"):
         stratified_hash_sample(df, "k", "lang", {"en": 1.5})
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    ev = t(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
