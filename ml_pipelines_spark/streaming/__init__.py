@@ -3,6 +3,7 @@ stateful operators (applyInPandasWithState)."""
 
 from .stateful import running_totals, stream_dedup  # noqa: F401
 from .windows import (  # noqa: F401
+    enrich_stream,
     read_stream,
     session_agg,
     sliding_agg,

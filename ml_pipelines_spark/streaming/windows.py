@@ -77,3 +77,25 @@ def read_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension (re-read per batch if the dim is backed by a table,
+    so slowly-changing dims pick up updates between batches).
+
+    State-free — unlike a stream-stream join there is no watermark
+    bookkeeping and no join state store; the only cost is the per-batch
+    dim broadcast, which is the right trade whenever the dimension is
+    orders of magnitude smaller than the stream (the usual enrichment
+    shape at any scale). Set ``broadcast_dim=False`` for a dimension too
+    big to broadcast — Spark then shuffles each micro-batch instead.
+    """
+    dim = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(dim, on, how)

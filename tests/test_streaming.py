@@ -121,3 +121,44 @@ def test_tumbling_stream_matches_batch(spark, event_stream_dir):
         q.stop()
     assert got == expected
     assert len(got) > 0
+
+
+def test_enrich_stream_matches_batch_join(spark, event_stream_dir):
+    """Stream-static join: draining the file stream through the
+    enrichment join must equal the batch join, including dim misses
+    (left join keeps unmatched stream rows with nulls)."""
+    import tempfile
+
+    from ml_pipelines_spark.streaming.windows import enrich_stream
+
+    d, schema = event_stream_dir
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    # dimension covering only half the users -> exercises left-join misses
+    dim = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", F.concat(F.lit("seg_"), F.col("user_id") % 3))
+    )
+    expected = sorted(
+        (r["event_id"], r["segment"])
+        for r in ev.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "segment")
+        .collect()
+    )
+
+    stream = read_stream(spark, d, schema)
+    enriched = enrich_stream(stream, dim, on="user_id", how="left")
+    out_rows = []
+
+    def sink(batch_df, _bid):
+        out_rows.extend(batch_df.select("event_id", "segment").collect())
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mlps_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["event_id"], r["segment"]) for r in out_rows)
+    assert got == expected
