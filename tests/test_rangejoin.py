@@ -101,3 +101,22 @@ def test_invalid_closed_raises(spark):
     iv = spark.createDataFrame([(1, 0.0, 5.0)], "k long, lo double, hi double")
     with pytest.raises(ValueError, match="closed"):
         range_join(df, iv, ["k"], "x", "lo", "hi", bin_width=1.0, closed="right")
+
+
+def test_plans_as_equi_join_not_nested_loop(spark):
+    """The bin rewrite must plan as a hash/sort-merge equi-join on
+    (keys, bin) — never a nested-loop/cartesian over candidate pairs."""
+    points = spark.range(1000).selectExpr(
+        "id % 7 as k", "CAST(id AS DOUBLE) as x", "id as pid"
+    )
+    intervals = spark.range(100).selectExpr(
+        "id as interval_id", "id % 7 as k",
+        "CAST(id * 10 AS DOUBLE) as lo", "CAST(id * 10 + 25 AS DOUBLE) as hi",
+    )
+    out = range_join(
+        points, intervals, key_cols=["k"], point_col="x",
+        start_col="lo", end_col="hi", bin_width=10.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan
