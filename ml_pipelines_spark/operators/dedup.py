@@ -302,3 +302,56 @@ def simhash_expr_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 16)
         term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         value = term if value is None else value + term
     return sums.select("id", value.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: banded collision, then exact
+    Hamming verification (xor bit-count) on candidates only.
+
+    Each signature splits into ``bands`` contiguous bit-bands; two docs
+    are candidates iff some band matches exactly. By pigeonhole, recall
+    is total for pairs with hamming < bands and probabilistic above —
+    the same knob as MinHash banding (more/narrower bands = higher
+    recall, more candidates). Shuffle volume is O(docs × bands); the
+    Hamming check is two longs per pair, so verification is free
+    compared to the MinHash path's shingle intersection.
+    """
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    band_bits = bits // bands
+    width = 2**band_bits
+    sig = simhash_expr_bits(df, id_col, text_col, bits)
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.floor(F.col("simhash") / (width**i)) % width).cast("int")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -17,6 +17,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_signature,
     simhash_expr_bits,
+    simhash_near_dup_pairs,
 )
 from .registry import query
 from .relational import t
@@ -218,4 +219,45 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return simhash_expr_bits(docs, "doc_id", "text", bits=_BITS).select(
         F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: banded collision on the 16-bit signature (two
+# 8-bit bands — total recall for hamming < 2 by pigeonhole, probabilistic
+# above, the same knob as MinHash banding), exact Hamming verify via
+# xor bit-count. Verification is two longs per pair — no shingle
+# intersection — making this the cheap first-pass near-dup filter.
+# ---------------------------------------------------------------------------
+@query(
+    "simhash_near_dup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sums AS (SELECT doc_id, {_SUMS} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_VALUE} AS BIGINT) AS simhash FROM sums),
+    banded AS (
+        SELECT doc_id, simhash, 0 AS band_idx, simhash % 256 AS band_val FROM sig
+        UNION ALL
+        SELECT doc_id, simhash, 1 AS band_idx, simhash // 256 % 256 AS band_val FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=_BITS, bands=2, max_hamming=2
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long"),
     )
