@@ -29,3 +29,4 @@ from . import udaf  # noqa: E402,F401
 from . import asof  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import audio  # noqa: E402,F401
