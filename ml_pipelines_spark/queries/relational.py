@@ -707,3 +707,94 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide): per-user event-type counts as columns. Spark's
+# groupBy().pivot() with an EXPLICIT value list — never the
+# values-discovery pre-query, which is an extra full scan at scale.
+# Oracle uses portable conditional aggregation (identical semantics).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT as first-class queries (SURVEY §2.9
+# notes the reference only has membership filters). Customers that
+# ordered in both halves of the date range vs only the first half.
+# ---------------------------------------------------------------------------
+@query(
+    "intersect_except_custkeys",
+    """
+    WITH early AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '2021-01-01'
+    ),
+    late AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2021-01-01'
+    )
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+    UNION ALL
+    SELECT 'early_only' AS cohort, o_custkey FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+    """,
+)
+def intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit("2021-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    late = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    both = early.intersect(late).select(F.lit("both").alias("cohort"), "o_custkey")
+    only = early.exceptAll(late).select(
+        F.lit("early_only").alias("cohort"), "o_custkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (built-in percentile/median, Spark 3.4+): the exact
+# twin of the UDAF quantile query — linear-interpolated like DuckDB's
+# quantile_cont, so values hash-match exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
