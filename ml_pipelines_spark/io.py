@@ -52,6 +52,31 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Idempotent partition replacement (dynamic partition overwrite):
+    only the partitions present in ``df`` are rewritten; sibling
+    partitions are untouched.
+
+    This is the backfill/reprocess primitive of an incremental datalake
+    pipeline — re-running a day's ingestion replaces that day exactly,
+    so the job is safe to retry end-to-end. Static overwrite mode (the
+    Spark default) would instead delete EVERY partition under ``path``;
+    the conf is scoped to this write and restored after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

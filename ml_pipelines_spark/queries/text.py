@@ -251,3 +251,65 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the canonical text-feature op. Term
+# frequencies and document frequencies come from two groupBys over ONE
+# token explode (the df side aggregates the same exploded table);
+# idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style). Top-3 terms per
+# doc via a per-doc window — partitioned by doc_id, so the "sort" is
+# thousands of tiny per-doc heaps, not a global order. Ties break
+# lexicographically for cross-engine stability.
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df_t AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * (ln((n.n_docs + 1.0) / (df_t.df + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN df_t USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, ROUND(tfidf, 5) AS tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one tiny driver scalar; embeds as a literal
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(F.trim(F.lower(F.col("text"))))).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_t, "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf")
+            * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", F.round("tfidf", 5).alias("tfidf"), "rank")
+    )

@@ -101,3 +101,28 @@ def test_partition_values_from_paths(spark, lake):
     want = {r["o_orderstatus"] for r in
             orders.select("o_orderstatus").distinct().collect()}
     assert got == want
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    from ml_pipelines_spark.io import overwrite_partitions, write_partitioned
+
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "a", 20), (2, "b", 21)],
+        "pid long, name string, v long",
+    )
+    write_partitioned(base, path, ["pid"])
+    # replace ONLY pid=1 with a single new row
+    fix = spark.createDataFrame([(1, "c", 99)], "pid long, name string, v long")
+    overwrite_partitions(fix, path, ["pid"])
+    got = sorted(
+        (r["pid"], r["name"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    )
+    # pid=1 fully replaced; pid=2 untouched
+    assert got == [(1, "c", 99), (2, "a", 20), (2, "b", 21)]
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
