@@ -239,3 +239,28 @@ class TestInterpolationKernel:
         t8 = pdf[pdf["track_id"] == 8].sort_values("frame")
         assert list(t8["frame"]) == [0, 1, 2, 3, 4]
         assert set(pdf["job_id"]) == {50}
+
+
+class TestDataSourceApi:
+    def test_format_read_matches_driver_side(self, spark):
+        """spark.read.format('cvat_shapes') through the Spark 4 Python
+        DataSource API must produce exactly the driver-side adapter's
+        rows, reading its job slices on executors."""
+        from ml_pipelines_spark.sources.cvat_datasource import (
+            CvatShapesDataSource,
+            pickled_transport_option,
+        )
+
+        spark.dataSource.register(CvatShapesDataSource)
+        got = (
+            spark.read.format("cvat_shapes")
+            .option("project_id", 1)
+            .option("transport_pickle", pickled_transport_option(fake_transport))
+            .option("n_partitions", 2)
+            .load()
+        )
+        expected = shapes_df(spark, CvatSource(fake_transport), 1)
+        key = lambda r: repr(tuple(r))  # noqa: E731 — None-safe ordering
+        assert sorted(map(tuple, got.collect()), key=key) == sorted(
+            map(tuple, expected.collect()), key=key
+        )
