@@ -162,3 +162,59 @@ def test_enrich_stream_matches_batch_join(spark, event_stream_dir):
     q.awaitTermination(120)
     got = sorted((r["event_id"], r["segment"]) for r in out_rows)
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
+    """Both sides streaming: clicks joined to purchase windows must
+    equal the batch bin-bucketed range join over the same data."""
+    import tempfile
+
+    from ml_pipelines_spark.operators.rangejoin import range_join
+    from ml_pipelines_spark.streaming.joins import interval_join_streams
+
+    d, schema = event_stream_dir
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    iv_batch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    pt_batch = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("point_id"), "ts"
+    )
+    expected = sorted(
+        (r["point_id"], r["interval_id"])
+        for r in range_join(
+            pt_batch, iv_batch, ["user_id"], "ts", "start_ts", "end_ts",
+            bin_width=86400,
+        ).collect()
+    )
+
+    stream = read_stream(spark, d, schema)
+    iv_s = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    pt_s = read_stream(spark, d, schema).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", F.col("event_id").alias("point_id"), "ts")
+    joined = interval_join_streams(
+        pt_s, iv_s, ["user_id"], "ts", "start_ts", "end_ts",
+        point_watermark="365 days", interval_watermark="365 days",
+    )
+    out = []
+
+    def sink(batch_df, _bid):
+        out.extend(batch_df.select("point_id", "interval_id").collect())
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mlps_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted((r["point_id"], r["interval_id"]) for r in out) == expected
