@@ -246,3 +246,48 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: the table written hive-partitioned by
+    coarse cell, so probes become PARTITION PRUNING — a probe of
+    n_probe/k cells reads n_probe/k of the files, enforced by the scan,
+    not by a filter over everything. This is the read-side half of IVF
+    at datalake scale (the in-memory ann_ivf_topk recomputes cells per
+    query; the stored layout pays assignment once at write time)."""
+    assigned = emb.withColumn(
+        "cell", assign_centroid_udf(centroids)(F.col(vec_col))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ann_ivf_probe_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a stored IVF index: pick the query's n_probe nearest
+    cells driver-side (k × d flops), scan ONLY those partitions, score
+    the survivors. The cell filter is a partition-key predicate, so
+    Catalyst prunes directories before any file is opened."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = (C * C).sum(axis=1) - 2.0 * (C @ q)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    candidates = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    scored = candidates.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), lit_vector(query_vec)).alias("cosine"),
+    )
+    return ranked_topk(scored, k, id_col)

@@ -48,3 +48,44 @@ def test_centroid_assignment_partitions_everything(emb):
     counts = assigned.groupBy("cell").count().toPandas()
     assert counts["count"].sum() == emb.count()
     assert (counts["cell"] >= 0).all() and (counts["cell"] < 8).all()
+
+
+def test_stored_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The written IVF layout must (a) return the same top-k as the
+    in-memory IVF path and (b) physically read ONLY the probed cell
+    partitions — partition pruning, not a post-scan filter."""
+    from ml_pipelines_spark.operators.similarity import (
+        ann_ivf_probe_stored,
+        ann_ivf_topk,
+        kmeans_centroids,
+        query_vector,
+        write_ivf_index,
+    )
+    from ml_pipelines_spark.queries.relational import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, seed=17)
+    qv = query_vector(64, seed=7)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+
+    stored = ann_ivf_probe_stored(spark, path, qv, k=5, centroids=cents, n_probe=2)
+    mem = ann_ivf_topk(emb, qv, k=5, centroids=cents, n_probe=2)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, mem.collect()))
+
+    # physical check: the probed scan only touches n_probe cell dirs
+    import numpy as np
+
+    C = np.asarray(cents); q = np.asarray(qv)
+    d = (C * C).sum(axis=1) - 2.0 * (C @ q)
+    probes = {int(i) for i in np.argsort(d)[:2]}
+    from pyspark.sql import functions as _F
+
+    probe_df = spark.read.parquet(path).filter(_F.col("cell").isin(list(probes)))
+    # input_file_name() at execution time reflects post-pruning reads
+    # (DataFrame.inputFiles() lists the whole relation, pre-pruning)
+    files_read = {
+        r[0] for r in probe_df.select(_F.input_file_name()).distinct().collect()
+    }
+    cells_read = {int(f.split("cell=")[1].split("/")[0]) for f in files_read}
+    assert cells_read <= probes and cells_read
