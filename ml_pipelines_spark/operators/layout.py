@@ -1,0 +1,82 @@
+"""Z-order data layout for multi-column scan locality.
+
+A table sorted linearly on column A prunes row groups only for filters
+on A: every row group spans the full domain of B. Interleaving the bits
+of (bucketed) A and B into one Morton key and sorting by THAT clusters
+the file on both dimensions at once — each row group covers a small
+rectangle of (A, B) space, so parquet min/max statistics prune reads
+for filters on either column (or both). This is the standard layout
+trick for datalake tables queried along two axes (user × time,
+project × date).
+
+Construction is scale-clean: per-column min/max come from ONE tiny
+aggregate (driver scalars, embedded as literals), bucketing is
+``width_bucket`` (no windows, no global sort of ranks), the interleave
+is pure bit arithmetic in codegen, and the write is
+``repartitionByRange`` on the key + in-partition sort — the same
+machinery as any sorted write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(a: Column, b: Column, bits: int = 8) -> Column:
+    """Morton interleave of two non-negative ints of ``bits`` bits each:
+    result bit 2i+1 = bit i of a, bit 2i = bit i of b."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i)
+        )
+    return z
+
+
+def zorder_key(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 8
+) -> Column:
+    """Z-value expression over equal-width buckets of two numeric
+    columns. Min/max are computed once (a driver-scalar aggregate) and
+    embedded as literals; ``width_bucket`` then buckets without any
+    shuffle or window."""
+    row = df.select(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    amin, amax, bmin, bmax = (float(v) for v in row)
+    n = 2**bits
+
+    def bucket(c: str, lo: float, hi: float) -> Column:
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        # width_bucket yields 1..n+1; clamp into 0..n-1
+        wb = F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n))
+        return F.least(F.greatest(wb - 1, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    return interleave_bits(bucket(col_a, amin, amax), bucket(col_b, bmin, bmax), bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Write parquet clustered by the Z-order of (col_a, col_b):
+    range-partition on the z-value (balanced output files), sort within
+    partitions, drop the key. Row-group min/max stats then prune scans
+    filtered on either column."""
+    z = df.withColumn("__z", zorder_key(df, col_a, col_b, bits))
+    parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        z.repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
