@@ -37,6 +37,7 @@ HEADLINE = [
     "embedding_near_dup",
     "knn_bruteforce",
     "text_quality",
+    "tfidf_top_terms",
     "curate_corpus",
     "tumbling_window",
     "session_window",
@@ -47,6 +48,7 @@ HEADLINE = [
     "image_meta_decode",
     "track_interpolation",
     "hash_split_materialize",
+    "pivot_event_counts",
     "asof_join_events",
     "range_join_events",
     "rollup_pricing",
