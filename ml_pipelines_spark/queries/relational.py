@@ -798,3 +798,48 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join (scale extension of J2/P5): restrict the fact
+# table to keys of a selective dimension predicate, with the big side
+# filtered by a Bloom filter of the keys BEFORE the shuffle
+# (operators.bloom). Result is exactly the plain semi-join — the oracle
+# is the plain semi-join — only the exchange volume differs.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_semi_join_revenue",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    keys = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        bloom_semi_join(li, keys, ["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
