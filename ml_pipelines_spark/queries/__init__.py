@@ -30,3 +30,4 @@ from . import asof  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import audio  # noqa: E402,F401
+from . import packing  # noqa: E402,F401

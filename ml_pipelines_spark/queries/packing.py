@@ -1,0 +1,87 @@
+"""Sequence-packing queries — fixed token-budget training bins over the
+documents table (north-star training-pipeline op; operators.packing).
+
+``sequence_pack_docs`` uses the engine-portable md5 group bucket so the
+whole assignment — group, order, cumulative token count, bin — is
+value-checked against DuckDB. ``pack_bins_ffd`` is the exact first-fit
+variant (Python kernel, capacity-guaranteed) with a rows-only driver
+check; its hard properties are pytest-asserted in tests/test_packing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.packing import pack_first_fit, segment_pack
+from .registry import query
+from .relational import t
+
+_BUDGET = 2048
+_GROUPS = 8
+
+# Engine-portable group bucket: int of the first 4 md5 hex chars, mod G.
+_GRP_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) "
+    f"% {_GROUPS}"
+)
+
+
+def _grp_col() -> F.Column:
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"),
+        F.lit(_GROUPS),
+    )
+
+
+@query(
+    "sequence_pack_docs",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               {_GRP_SQL} AS grp
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens, grp,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           grp * {1 << 40} + CAST(FLOOR(cum / {_BUDGET}) AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return segment_pack(
+        docs,
+        "n_tokens",
+        ["doc_id"],
+        budget=_BUDGET,
+        num_groups=_GROUPS,
+        group_expr=_grp_col(),
+    ).select("doc_id", "n_tokens", "bin_id")
+
+
+@query("pack_bins_ffd")
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit-decreasing bins: per-bin document count and token
+    fill (every fill <= budget by construction — pytest-asserted)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_first_fit(
+        docs, "n_tokens", "doc_id", budget=_BUDGET, num_groups=_GROUPS
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("fill")
+    )
