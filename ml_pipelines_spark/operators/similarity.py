@@ -291,3 +291,63 @@ def ann_ivf_probe_stored(
         cosine_expr(F.col(vec_col), lit_vector(query_vec)).alias("cosine"),
     )
     return ranked_topk(scored, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization — the memory/bandwidth lever for vector search
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` stored as ``array<tinyint>``.
+
+    4× smaller than float32 — at 100 TB of embeddings that is the
+    difference between a scan that fits the cluster's aggregate I/O
+    budget and one that doesn't. Expression-only (codegen); the scale
+    binds once per row via a lambda variable, not once per element.
+    ``floor(x + 0.5)`` is the rounding on BOTH engines (oracle SQL uses
+    the identical float64 ops), sidestepping HALF_UP-vs-banker's
+    divergence between Spark and other engines.
+
+    Cosine ranking against a quantized table needs no dequantization:
+    the per-vector scale cancels in cos = (s·Σq_iu_i)/(s·‖q‖·‖u‖), so
+    ``quantized_topk`` scores the int arrays directly.
+    """
+    from ..functions.text import let
+
+    vec = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / 127.0,
+        F.lit(1e-30),
+    )
+    return emb.withColumn(
+        qvec_col,
+        let(
+            scale,
+            lambda s: F.transform(
+                vec, lambda x: F.floor(x.cast("double") / s + 0.5).cast("tinyint")
+            ),
+        ),
+    ).withColumn(scale_col, scale)
+
+
+def quantized_topk(
+    qemb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate cosine top-k over a quantized table (asymmetric:
+    int8 data vector × float64 query). Same two-phase top-k as the
+    exact path; only the scan is 4× lighter."""
+    q = lit_vector(query_vec)
+    scored = qemb.select(
+        F.col(id_col), cosine_expr(F.col(qvec_col), q).alias("cosine")
+    )
+    return ranked_topk(scored, k, id_col)

@@ -205,3 +205,46 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("pos") <= 4, F.col("m")).otherwise(0.0)), 6
         ).alias("head_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized ANN: per-vector symmetric quantization (floor(x/s + .5),
+# identical float64 ops in both engines) then cosine top-k over the int
+# arrays. The scale cancels out of cosine, so the oracle reproduces the
+# ranking exactly — quantization error itself is value-checked, not
+# tolerance-waved.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_quantized_topk",
+    f"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-30) AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+        FROM s
+    ),
+    scored AS (
+        SELECT vec_id,
+               {_sql_dot('qv', _QLIT)}
+                   / (sqrt({_sql_self_dot('qv')}) * {_QNORM}) AS cosine
+        FROM q
+    ),
+    ranked AS (
+        SELECT vec_id, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT vec_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= {K}
+    """,
+)
+def ann_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings, quantized_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return quantized_topk(quantize_embeddings(emb), QUERY_VEC, k=K)

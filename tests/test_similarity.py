@@ -89,3 +89,53 @@ def test_stored_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     }
     cells_read = {int(f.split("cell=")[1].split("/")[0]) for f in files_read}
     assert cells_read <= probes and cells_read
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantized_vectors_in_range(spark, sf_dir):
+    from ml_pipelines_spark.operators.similarity import quantize_embeddings
+    from ml_pipelines_spark.queries.relational import t
+
+    q = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    bad = q.filter(
+        F.exists("qvec", lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad == 0
+    # max-magnitude element hits exactly ±127 for non-zero vectors
+    hit = q.filter(F.array_max(F.transform("qvec", F.abs)) == 127).count()
+    assert hit == q.count()
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    from ml_pipelines_spark.operators.similarity import (
+        knn_bruteforce,
+        quantize_embeddings,
+        quantized_topk,
+        query_vector,
+    )
+    from ml_pipelines_spark.queries.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = query_vector(64, seed=7)
+    exact = {r["vec_id"] for r in knn_bruteforce(emb, qv, 10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in quantized_topk(quantize_embeddings(emb), qv, 10).collect()
+    }
+    assert len(exact & approx) >= 8
+
+
+def test_quantized_zero_vector_safe(spark):
+    from ml_pipelines_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df).collect()}
+    assert rows[1] == [0, 0, 0, 0]
+    assert rows[2] == [64, -127, 32, 127]
