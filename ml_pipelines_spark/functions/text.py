@@ -156,3 +156,53 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         )
 
     return let(tokens(F.trim(F.lower(text))), shingle)
+
+
+def distinct_word_ratio(text: Column) -> Column:
+    """Distinct whitespace tokens / total tokens — the inverse repetition
+    signal (Gopher-style repetition filters; low ratio = boilerplate or
+    keyword-stuffed text)."""
+    toks = tokens(F.trim(F.lower(text)))
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def word_bigrams(text: Column) -> Column:
+    """Adjacent whitespace-token pairs as 'a b' strings (order
+    preserved); empty array below 2 tokens."""
+    toks = tokens(F.trim(F.lower(text)))
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+
+
+# PII scrub patterns — RE2-compatible (no lookaround), so the SAME
+# pattern strings run in Spark (Java regex) and any RE2-based oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}\b"
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, then phone-shaped numbers with
+    typed placeholders. Order matters: IPs are redacted before the
+    phone pass so dotted quads can't half-match the phone pattern."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts on the ORIGINAL text (audit trail for
+    the scrub — what a privacy review samples against)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)),
+        "n_phones": F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(text, PII_IPV4_RE, "[IP]"), F.lit(PII_PHONE_RE), 0
+            )
+        ),
+    }

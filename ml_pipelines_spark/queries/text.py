@@ -313,3 +313,183 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", F.round("tfidf", 5).alias("tfidf"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document filters (Rae et al. 2021, "Scaling Language
+# Models" §A1.1 — public rule set): bounds on word count / mean word
+# length, punctuation share, and a repetition gate via the distinct-word
+# ratio. All built-in expressions; the composite pass flag is the corpus
+# gate a curation pipeline applies before training. (The corpus has no
+# newlines, so the line-based Gopher rules are vacuous here; the
+# word-level rules are the meaningful subset.)
+# ---------------------------------------------------------------------------
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MAX_PUNCT = 0.2
+_G_MIN_DISTINCT = 0.2
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS ws_toks,
+               string_split_regex(trim(lower(text)), '\\s+') AS lo_toks,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(ws_toks) AS n_words,
+           ROUND(list_aggregate(list_transform(ws_toks, x -> len(x)), 'sum')
+                 / greatest(len(ws_toks), 1), 5) AS mean_word_len,
+           ROUND(len(list_distinct(lo_toks)) / greatest(len(lo_toks), 1), 5)
+               AS distinct_ratio,
+           ROUND((len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                 / greatest(len(text), 1), 5) AS punct_ratio,
+           (len(ws_toks) BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+           AND (list_aggregate(list_transform(ws_toks, x -> len(x)), 'sum')
+                / greatest(len(ws_toks), 1) BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL})
+           AND ((len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                / greatest(len(text), 1) <= {_G_MAX_PUNCT})
+           AND (len(list_distinct(lo_toks)) / greatest(len(lo_toks), 1)
+                >= {_G_MIN_DISTINCT})
+               AS passes
+    FROM s
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n = T.token_count(txt)
+    mwl = T.mean_token_length(txt)
+    punct = T.punct_ratio(txt)
+    distinct = T.distinct_word_ratio(txt)
+    passes = (
+        n.between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & mwl.between(_G_MIN_MWL, _G_MAX_MWL)
+        & (punct <= _G_MAX_PUNCT)
+        & (distinct >= _G_MIN_DISTINCT)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mwl, 5).alias("mean_word_len"),
+        F.round(distinct, 5).alias("distinct_ratio"),
+        F.round(punct, 5).alias("punct_ratio"),
+        passes.alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-bigram share (the other Gopher repetition axis): the share of a
+# document's adjacent word pairs taken by its most common pair. Explode →
+# per-(doc, bigram) count → per-doc argmax — one shuffle keyed on the
+# doc, no per-row quadratic HOF work; ties break lexicographically.
+# ---------------------------------------------------------------------------
+@query(
+    "top_bigram_share",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i + 1])) AS bigram,
+               len(w) - 1 AS n_bigrams
+        FROM toks
+        WHERE len(w) >= 2
+    ),
+    counted AS (
+        SELECT doc_id, bigram, n_bigrams, COUNT(*) AS cnt
+        FROM bg GROUP BY doc_id, bigram, n_bigrams
+    ),
+    ranked AS (
+        SELECT doc_id, bigram, cnt, n_bigrams,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bigram) AS rn
+        FROM counted
+    )
+    SELECT doc_id, bigram AS top_bigram,
+           ROUND(cnt / n_bigrams, 5) AS top_share
+    FROM ranked WHERE rn = 1
+    """,
+)
+def top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.explode(T.word_bigrams(F.col("text"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .count()
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("count"), F.asc("bigram"))
+    return (
+        bg.withColumn("n_bigrams", F.sum("count").over(w_doc))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.round(F.col("count") / F.col("n_bigrams"), 5).alias("top_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-corpus scrub). The driver corpus carries no
+# PII, so the query plants deterministic synthetic PII derived from
+# doc_id — identically in both engines — and the redaction regexes
+# (shared RE2-compatible pattern strings) run against real matches.
+# ---------------------------------------------------------------------------
+@query(
+    "pii_redact_docs",
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or +1 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{T.PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{T.PII_IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(regexp_replace(text, '{T.PII_IPV4_RE}', '[IP]', 'g'),
+                                  '{T.PII_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{T.PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{T.PII_IPV4_RE}', '[IP]', 'g'),
+               '{T.PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM planted
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ).alias("text"),
+    )
+    counts = T.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        T.pii_redact(F.col("text")).alias("redacted"),
+    )
