@@ -16,14 +16,19 @@ row-for-row; the bloom stage only shrinks the shuffle (by 1 - fpp of the
 non-matching fraction). Spark's own runtime bloom filter
 (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this
 opportunistically inside one query; this operator makes it an explicit,
-reusable artifact — the same filter words can prune many queries against
-the same key set (the 100 TB pattern: build once per dimension snapshot,
+reusable artifact — the same filter can prune many queries against the
+same key set (the 100 TB pattern: build once per dimension snapshot,
 prune every fact scan of the day).
 
 Everything is built-in expressions — ``xxhash64`` double hashing on the
-build AND probe side, ``bit_or`` aggregation into 64-bit words, a single
-array<long> literal probed with ``element_at`` — JVM-side, codegen'd,
-no Python in either path.
+build AND probe side, ``bit_or`` aggregation into 64-bit words, and a
+probe against a single BINARY literal — JVM-side, no Python in either
+path. The bitset is BinaryType on purpose: an array<long> literal of W
+words costs W py4j round-trips to construct and W-node expression
+subtrees per probe reference (measured: ~4 s of pure client/driver
+overhead at 4096 words), while one ``bytes`` literal is a single object
+end-to-end; the probe extracts its byte with
+``conv(hex(substring(bin, idx, 1)), 16, 10)`` — three cheap builtins.
 """
 
 from __future__ import annotations
@@ -31,11 +36,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# ~10 bits/key with 7 hashes gives fpp ≈ 0.8%; callers size via
-# bits_per_key, auto-rounded to a power of two so pmod is cheap.
+# ~10 bits/key with 7 hashes gives fpp ≈ 0.8%.
 _BITS_PER_KEY = 10
 _MIN_BITS = 1 << 10
-_MAX_BITS = 1 << 24  # 2 MiB of words — still a trivial task broadcast
+_MAX_BITS = 1 << 27  # 16 MiB bitset — still a trivial task broadcast
+# With no size hint the filter defaults to 2^20 bits (128 KiB): fpp <1%
+# up to ~100k keys with NO extra count job over the key side. Callers
+# with bigger key sets pass expected_keys (or num_bits) explicitly.
+_DEFAULT_BITS = 1 << 20
 
 
 def _positions(cols: list[Column], i: Column, num_bits: int) -> Column:
@@ -50,30 +58,36 @@ def _positions(cols: list[Column], i: Column, num_bits: int) -> Column:
     return F.pmod(h1 + i * h2, m)
 
 
+def _resolve_bits(num_bits: int | None, expected_keys: int | None) -> int:
+    if num_bits is None:
+        if expected_keys is None:
+            return _DEFAULT_BITS
+        bits = _MIN_BITS
+        while bits < expected_keys * _BITS_PER_KEY and bits < _MAX_BITS:
+            bits <<= 1
+        return bits
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    return num_bits
+
+
 def build_bloom(
     keys: DataFrame,
     on: list[str],
     num_bits: int | None = None,
     num_hashes: int = 7,
     expected_keys: int | None = None,
-) -> list[int]:
-    """Build the filter: a dense ``list[int64]`` of ``num_bits/64`` words.
+) -> bytes:
+    """Build the filter: a ``num_bits/8``-byte bitset.
 
     One distributed aggregation over the key side (explode k positions →
-    ``bit_or`` per word), one driver collect of at most ``num_bits/64``
-    rows (bytes, not data). The returned words are engine-portable state:
-    embed them in any number of subsequent ``bloom_prune`` calls, or
-    persist them next to a dimension snapshot.
+    ``bit_or`` per 64-bit word), one driver collect of at most
+    ``num_bits/64`` rows (bytes, not data). The returned bitset is
+    engine-portable state: embed it in any number of subsequent
+    ``bloom_prune`` calls, or persist it next to a dimension snapshot.
     """
     cols = [F.col(c) for c in on]
-    if num_bits is None:
-        n = expected_keys if expected_keys is not None else keys.count()
-        bits = _MIN_BITS
-        while bits < n * _BITS_PER_KEY and bits < _MAX_BITS:
-            bits <<= 1
-        num_bits = bits
-    if num_bits & (num_bits - 1):
-        raise ValueError("num_bits must be a power of two")
+    num_bits = _resolve_bits(num_bits, expected_keys)
 
     pos = _positions(cols, F.col("__i"), num_bits)
     rows = (
@@ -93,27 +107,35 @@ def build_bloom(
     )
     words = [0] * (num_bits // 64)
     for r in rows:
-        words[r["__w"]] = r["__bits"]
-    return words
+        words[r["__w"]] = r["__bits"] & 0xFFFFFFFFFFFFFFFF
+    # little-endian within each word: bit p lives in byte p//8 at p%8
+    out = bytearray(num_bits // 8)
+    for w, v in enumerate(words):
+        out[w * 8 : w * 8 + 8] = v.to_bytes(8, "little")
+    return bytes(out)
 
 
 def bloom_might_contain(
-    words: list[int], on: list[str], num_hashes: int = 7
+    filter_bits: bytes, on: list[str], num_hashes: int = 7
 ) -> Column:
     """Membership-test predicate over the key columns — pure expression,
     pushable anywhere (including before a shuffle or into a scan filter
-    stage)."""
-    num_bits = len(words) * 64
-    lit_words = F.lit(words)
+    stage). ``filter_bits`` rides along as ONE binary literal."""
+    num_bits = len(filter_bits) * 8
+    lit_bin = F.lit(bytearray(filter_bits))
     cols = [F.col(c) for c in on]
     cond = F.lit(True)
     for i in range(num_hashes):
         pos = _positions(cols, F.lit(i), num_bits)
-        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+        byte = F.conv(
+            F.hex(F.call_function("substring", lit_bin, (pos / 8).cast("int") + 1, F.lit(1))),
+            16,
+            10,
+        ).cast("int")
         mask = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+            "shiftleft", F.lit(1), F.pmod(pos, F.lit(8)).cast("int")
         )
-        cond = cond & (word.bitwiseAND(mask) != 0)
+        cond = cond & (byte.bitwiseAND(mask) != 0)
     return cond
 
 
@@ -123,11 +145,12 @@ def bloom_prune(
     on: list[str],
     num_bits: int | None = None,
     num_hashes: int = 7,
+    expected_keys: int | None = None,
 ) -> DataFrame:
     """Filter ``big`` down to rows that MIGHT match ``keys`` on the
     ``on`` columns (superset of the true matches; fpp-bounded extras)."""
-    words = build_bloom(keys, on, num_bits, num_hashes)
-    return big.filter(bloom_might_contain(words, on, num_hashes))
+    bits = build_bloom(keys, on, num_bits, num_hashes, expected_keys)
+    return big.filter(bloom_might_contain(bits, on, num_hashes))
 
 
 def bloom_semi_join(
@@ -136,6 +159,7 @@ def bloom_semi_join(
     on: list[str],
     num_bits: int | None = None,
     num_hashes: int = 7,
+    expected_keys: int | None = None,
 ) -> DataFrame:
     """``big ⋉ keys`` with the shuffle fed only by bloom survivors.
 
@@ -143,5 +167,5 @@ def bloom_semi_join(
     result is exactly the plain semi-join; the exchange upstream of it
     carries ~match-fraction + fpp of the big side instead of all of it.
     """
-    pruned = bloom_prune(big, keys, on, num_bits, num_hashes)
+    pruned = bloom_prune(big, keys, on, num_bits, num_hashes, expected_keys)
     return pruned.join(keys.select(on).dropDuplicates(on), on, "left_semi")
