@@ -52,6 +52,10 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "rollup_pricing",
+    "bloom_semi_join_revenue",
+    "sequence_pack_docs",
+    "ann_quantized_topk",
+    "gopher_quality_flags",
 ]
 
 RUNS = 3

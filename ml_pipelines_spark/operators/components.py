@@ -1,0 +1,99 @@
+"""Connected components over a pair/edge DataFrame — turning near-dup
+PAIRS into dedup CLUSTERS.
+
+Pairwise near-dup detection (MinHash, SimHash, n-gram Jaccard —
+operators.dedup) emits edges; corpus curation needs the transitive
+closure: if A~B and B~C, one representative survives out of {A,B,C},
+even though A and C never collided directly. That closure is connected
+components.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round, a node's label becomes the min of its own and
+all neighbors' labels; stop when a round changes nothing. Each round is
+one shuffle (edge join + grouped min) and the round count is bounded by
+the component DIAMETER — for near-dup clusters that is small (dup
+clusters are dense), so typically 2-4 rounds. This is the standard
+map-reduce CC construction (Kiveris et al., "Connected Components in
+MapReduce and Beyond" — the large-star/small-star family); the
+simple propagation variant is chosen because dup-cluster diameters make
+the sophisticated variants' extra passes a net loss. Lineage is
+truncated every round (localCheckpoint) so iteration N doesn't re-run
+rounds 1..N-1.
+
+Determinism: labels are min node ids — no RNG, no partition
+sensitivity; retries converge to the same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id of the node's component.
+
+    Raises if the fixpoint isn't reached in ``max_iter`` rounds (at the
+    default 25 that would mean a component with diameter > 25 — for
+    near-dup clustering, a sign the threshold is far too loose).
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup component plus every
+    row that appears in no pair. The end-to-end near-dup dedup: pairs →
+    closure → survivors."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

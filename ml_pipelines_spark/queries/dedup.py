@@ -261,3 +261,51 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long"),
         F.col("hamming").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the Jaccard pair graph
+# (operators.components, iterative min-label propagation). The oracle
+# computes the same closure by a completely different construction — a
+# recursive-CTE transitive closure — so the component assignment itself
+# is value-checked, not just row counts.
+# ---------------------------------------------------------------------------
+COMPONENTS_T = 0.5
+
+
+@query(
+    "near_dup_components",
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.format(table="documents")
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {COMPONENTS_T}
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+    )
+    SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", threshold=COMPONENTS_T, shingle_k=3
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")

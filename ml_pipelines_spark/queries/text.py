@@ -493,3 +493,61 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_phones"].alias("n_phones"),
         T.pii_redact(F.col("text")).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / context-window preprocessing):
+# every document becomes ceil-spaced windows of _CHUNK_W tokens with
+# stride _CHUNK_S. Chunk count and boundaries are pure integer math —
+# identical in both engines — and the fan-out is posexplode of a
+# computed sequence (no Python, no per-row loops).
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    spec AS (
+        SELECT doc_id, w,
+               greatest(1, ((len(w) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}) + 1)
+                   AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           array_to_string(list_slice(w, i * {_CHUNK_S} + 1,
+                                      i * {_CHUNK_S} + {_CHUNK_W}), ' ') AS chunk,
+           len(list_slice(w, i * {_CHUNK_S} + 1, i * {_CHUNK_S} + {_CHUNK_W}))
+               AS chunk_tokens
+    FROM spec, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S).cast("int") + 1,
+    )
+    spec = docs.select(
+        "doc_id",
+        toks.alias("w"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("idxs"),
+    )
+    piece = F.slice(
+        F.col("w"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W
+    )
+    return spec.select(
+        "doc_id", F.explode("idxs").alias("chunk_idx"), "w"
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).alias("chunk_tokens"),
+    )

@@ -218,3 +218,40 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
     )
     q.awaitTermination(180)
     assert sorted((r["point_id"], r["interval_id"]) for r in out) == expected
+
+
+def test_rollup_stream_sink_matches_batch(spark, event_stream_dir):
+    """foreachBatch + incremental_rollup over a 3-file stream must leave
+    the stored rollup equal to the single-shot batch rollup."""
+    import tempfile
+
+    from ml_pipelines_spark.operators.incremental import _rollup, read_rollup
+    from ml_pipelines_spark.streaming.sinks import rollup_stream_sink
+
+    d, schema = event_stream_dir
+    rollup_dir = tempfile.mkdtemp(prefix="mlps_rollup_")
+    ckpt = tempfile.mkdtemp(prefix="mlps_ckpt_")
+    stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+    q = rollup_stream_sink(stream, rollup_dir, ckpt)
+    q.awaitTermination(120)
+
+    events = t(spark, "/root/testdata/sf0.001", "events")
+    cols = ["event_date", "event_type", "n_events", "sum_value"]
+    got = sorted(
+        tuple(r)
+        for r in read_rollup(spark, rollup_dir)
+        .withColumn("sum_value", F.round("sum_value", 6))
+        .select(*cols)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _rollup(events)
+        .withColumn("sum_value", F.round("sum_value", 6))
+        .select(*cols)
+        .collect()
+    )
+    assert got == want
+
+    shutil.rmtree(rollup_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
