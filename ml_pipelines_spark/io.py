@@ -216,3 +216,46 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register the testdata tables as temp views for spark.sql use."""
     for name, df in load_testdata(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def evolve_read(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType,
+    renames: dict[str, str] | None = None,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Read a table whose files span SCHEMA GENERATIONS and present them
+    uniformly as ``target_schema``.
+
+    A 100 TB table is never rewritten for a schema change; old files
+    stay as written. This reader reconciles them declaratively:
+    ``mergeSchema`` unions all observed columns (per-file footers),
+    ``renames`` maps retired column names onto their successors (the
+    coalesce prefers the new name where both exist), missing columns
+    fill from ``defaults`` (else null), and every column casts to the
+    target type. The result is stable against any mix of file
+    generations in the directory.
+    """
+    renames = renames or {}
+    defaults = defaults or {}
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for old, new in renames.items():
+        if old in df.columns and new in df.columns:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+        elif old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    out = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            col = F.col(field.name)
+            # a file generation without this column surfaces it as null
+            # under mergeSchema — the default fills those too
+            if field.name in defaults:
+                col = F.coalesce(col, F.lit(defaults[field.name]))
+            out.append(col.cast(field.dataType).alias(field.name))
+        else:
+            out.append(
+                F.lit(defaults.get(field.name)).cast(field.dataType).alias(field.name)
+            )
+    return df.select(*out)

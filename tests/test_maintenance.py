@@ -87,3 +87,47 @@ def test_merge_upsert_idempotent(spark, tmp_path):
         (1, "a", 7),
         (2, "b", 2),
     ]
+
+
+def test_evolve_read_across_schema_generations(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ml_pipelines_spark.io import evolve_read
+
+    path = str(tmp_path / "evolve")
+    # generation 1: (id, name) — 'name' later renamed to 'label'
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).write.parquet(path)
+    # generation 2: (id, label, score) — renamed column + new column
+    spark.createDataFrame(
+        [(3, "c", 0.5)], ["id", "label", "score"]
+    ).write.mode("append").parquet(path)
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("label", StringType()),
+            StructField("score", DoubleType()),
+            StructField("source", StringType()),
+        ]
+    )
+    got = sorted(
+        tuple(r)
+        for r in evolve_read(
+            spark,
+            path,
+            target,
+            renames={"name": "label"},
+            defaults={"score": 0.0, "source": "legacy"},
+        ).collect()
+    )
+    assert got == [
+        (1, "a", 0.0, "legacy"),
+        (2, "b", 0.0, "legacy"),
+        (3, "c", 0.5, "legacy"),
+    ]
