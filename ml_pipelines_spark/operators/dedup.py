@@ -355,3 +355,62 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the standard n-gram collision rule, as
+    in the GPT-3/PaLM data cards): flag every training document that (a)
+    normalizes to the same fingerprint as an eval document, or (b)
+    shares ANY k-word shingle with the eval set.
+
+    Both probes are semi-joins against DISTINCT eval-side sets — the
+    eval set is benchmark-sized (thousands of docs), so both build sides
+    broadcast and the train side streams through without a shuffle of
+    its own rows. Returns ``train`` plus two boolean columns; filter on
+    them to drop, or keep the flags for an audit trail.
+    """
+    fp = fingerprint(F.col(text_col))
+    ev_fp = eval_df.select(fp.alias("fp")).distinct()
+    ev_sh = (
+        shingle_sets(eval_df, id_col, text_col, shingle_k)
+        .select("shingle")
+        .distinct()
+    )
+    exact_ids = (
+        train.select(F.col(id_col), fp.alias("fp"))
+        .join(F.broadcast(ev_fp), "fp", "left_semi")
+        .select(id_col)
+        .withColumn("contaminated_exact", F.lit(True))
+    )
+    ngram_ids = (
+        shingle_sets(train, id_col, text_col, shingle_k)
+        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+        .withColumn("contaminated_ngram", F.lit(True))
+    )
+    return (
+        train.join(exact_ids, id_col, "left")
+        .join(ngram_ids, id_col, "left")
+        .fillna(False, ["contaminated_exact", "contaminated_ngram"])
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Drop flagged training documents (either rule)."""
+    flagged = contamination_flags(train, eval_df, id_col, text_col, shingle_k)
+    return flagged.filter(
+        ~F.col("contaminated_exact") & ~F.col("contaminated_ngram")
+    ).drop("contaminated_exact", "contaminated_ngram")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    contamination_flags,
     fingerprint_dedup_stats,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -260,6 +261,49 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
         F.col("hamming").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: documents split 6:1 into train/eval by
+# doc_id % 7; train docs are flagged when they share a normalized
+# fingerprint or any k-word shingle with the eval side (the GPT-3/PaLM
+# n-gram collision rule). Both probe sets broadcast — the train side
+# never shuffles its own rows.
+# ---------------------------------------------------------------------------
+DECON_K = 5
+_DECON_SHINGLE = " || ' ' || ".join(["w[i]"] + [f"w[i+{j}]" for j in range(1, DECON_K)])
+_DECON_SH_LIST = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - "
+    f"{DECON_K - 1}, 0)), i -> {_DECON_SHINGLE}))"
+)
+_NORM_FP = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@query(
+    "decontaminate_train",
+    f"""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    efp AS (SELECT DISTINCT {_NORM_FP} AS fp FROM ev),
+    ew AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM ev),
+    esh AS (SELECT DISTINCT unnest({_DECON_SH_LIST}) AS shingle FROM ew),
+    tw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM train),
+    tsh AS (SELECT doc_id, unnest({_DECON_SH_LIST}) AS shingle FROM tw),
+    ex AS (SELECT DISTINCT doc_id FROM train WHERE {_NORM_FP} IN (SELECT fp FROM efp)),
+    ng AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (shingle))
+    SELECT tr.doc_id,
+           tr.doc_id IN (SELECT doc_id FROM ex) AS contaminated_exact,
+           tr.doc_id IN (SELECT doc_id FROM ng) AS contaminated_ngram
+    FROM train tr
+    """,
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    return contamination_flags(train, ev, "doc_id", "text", shingle_k=DECON_K).select(
+        "doc_id", "contaminated_exact", "contaminated_ngram"
     )
 
 
