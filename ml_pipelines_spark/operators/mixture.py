@@ -1,0 +1,183 @@
+"""Data-mixture operators: domain weighting, epoch repeats, token
+budgets, and deterministic training order.
+
+The last mile of a training-data pipeline: after cleaning and dedup, the
+corpus is re-weighted across domains (sources) and serialized in a
+reproducible order. None of this exists in the reference (its only
+sampling surface is the entity split, TrainDatasets.py:235-287); these
+are north-star LLM-pipeline components built Spark-first.
+
+Determinism contract: every sampling decision is a pure function of
+(salt, entity key) via the md5 hex-bucket idiom shared with
+operators.splits — reproducible across engines, runs, cluster sizes,
+and data layout, and expressible in plain SQL for oracle checking.
+Growing the corpus never flips the decision for an existing row.
+
+Scale notes:
+- Per-domain rates/epochs ride in a ``map`` literal (domains are a
+  dimension, thousands at most) — no join, the filter is a row-local
+  expression evaluated inside the scan.
+- ``token_budget_select`` shuffles once on the domain key; the
+  cumulative window is per-domain, so parallelism = number of domains.
+  For a corpus with few giant domains, pre-aggregate per (domain,
+  bucket) if the window partition outgrows an executor.
+- ``training_order`` delegates to operators.ids.dense_ids — no
+  single-task global window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ids import dense_ids
+from .splits import _BUCKETS, _HEX_DIGITS, hash_bucket_expr
+
+# Sentinel above every hex digit: bucket < ALWAYS is true for all rows.
+_ALWAYS = "z" * _HEX_DIGITS
+
+
+def _rate_threshold(rate: float) -> str:
+    """Sampling rate → hex boundary; rates >= 1 keep everything."""
+    if rate >= 1.0:
+        return _ALWAYS
+    return format(max(0, round(rate * _BUCKETS)), f"0{_HEX_DIGITS}x")
+
+
+def temperature_weights(counts: dict[str, int], tau: float) -> dict[str, float]:
+    """Per-domain sampling rates for temperature-``tau`` mixture
+    rebalancing (the multilingual-pretraining scheme: sample domain d
+    with probability ∝ share_d^(1/tau)).
+
+    Returns keep-rates normalized so the most-upweighted domain keeps
+    100% of its rows: rate_d ∝ share_d^(1/tau) / share_d, scaled to
+    max 1. tau=1 is proportional (all rates 1, no-op); tau→∞ approaches
+    uniform over domains (small domains keep all, large domains heavily
+    downsampled). Driver-side helper over a domain-count dict (a tiny
+    metadata aggregate even at 100 TB).
+    """
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    total = sum(counts.values())
+    if total == 0:
+        return {d: 1.0 for d in counts}
+    raw = {
+        d: (n / total) ** (1.0 / tau) / (n / total) if n else 1.0
+        for d, n in counts.items()
+    }
+    m = max(raw.values())
+    return {d: r / m for d, r in raw.items()}
+
+
+def _domain_map(mapping: dict[str, str]) -> Column:
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row iff its hashed key falls under its domain's rate.
+
+    Domains absent from ``rates`` are dropped (rate 0). The decision is
+    a map-lookup + string compare per row — no shuffle, no join; the
+    filter sits directly on the scan.
+    """
+    thresholds = _domain_map({d: _rate_threshold(r) for d, r in rates.items()})
+    bucket = hash_bucket_expr(F.col(key_col), salt=f"{salt}:")
+    return df.filter(bucket < thresholds[F.col(domain_col)])
+
+
+def epoch_repeat(
+    df: DataFrame,
+    domain_col: str,
+    epochs: dict[str, float],
+    key_col: str,
+    salt: str = "epoch",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Replicate rows by fractional per-domain epoch counts.
+
+    A domain with epochs=2.5 emits every row twice and a deterministic
+    half of its rows a third time (hash-selected, so the same half every
+    run). Output gains ``epoch_col`` (1-based copy index). Domains not
+    in ``epochs`` default to 1. The fan-out is a row-local
+    explode — no shuffle; downstream writers see epochs as ordinary
+    rows.
+    """
+    full = _domain_map(
+        {d: str(int(math.floor(e))) for d, e in epochs.items()}
+    )
+    frac_thr = _domain_map(
+        {d: _rate_threshold(e - math.floor(e)) for d, e in epochs.items()}
+    )
+    bucket = hash_bucket_expr(F.col(key_col), salt=f"{salt}:")
+    dom = F.col(domain_col)
+    n_full = F.coalesce(full[dom].cast("int"), F.lit(1))
+    extra = F.when(
+        bucket < F.coalesce(frac_thr[dom], F.lit("0000")), F.lit(1)
+    ).otherwise(F.lit(0))
+    copies = n_full + extra
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(seq))
+
+
+def token_budget_select(
+    df: DataFrame,
+    domain_col: str,
+    cost_col: str,
+    budget: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Best-first fill of a per-domain budget: order each domain by
+    ``order_by`` (default: cheapest first, then deterministic), keep
+    rows while the running ``cost_col`` total stays within ``budget``.
+
+    One hash shuffle on the domain; the running sum is a single window
+    pass. The greedy prefix rule (cumulative sum INCLUDING the current
+    row must fit) is the same rule the SQL twin states, so selection is
+    oracle-checkable row for row.
+    """
+    order = order_by or [F.col(cost_col).asc(), F.col(domain_col)]
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(cost_col).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "order",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-example serialization:
+    dense position 0..N-1 in md5(salt:key) order.
+
+    The order is a pure function of (salt, key) — re-running on any
+    cluster reproduces the exact curriculum. Positions come from
+    operators.ids.dense_ids (sampled cut points + per-bucket windows),
+    so there is no single-task global sort.
+    """
+    keyed = df.withColumn(
+        "__ord", F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    )
+    return dense_ids(keyed, ["__ord"], id_col=pos_col).drop("__ord")

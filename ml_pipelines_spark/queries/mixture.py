@@ -1,0 +1,149 @@
+"""Data-mixture queries — temperature re-weighting, epoch repeats,
+token budgets, training order.
+
+Every sampling decision is the md5 hex-bucket construction shared with
+queries.splits, so DuckDB recomputes the identical decision per row —
+the oracle checks WHICH rows were kept/replicated, not just how many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mixture import (
+    _rate_threshold,
+    domain_mixture_sample,
+    epoch_repeat,
+    temperature_weights,
+    token_budget_select,
+    training_order,
+)
+from .registry import query
+from .relational import t
+
+# ---------------------------------------------------------------------------
+# Temperature-tau mixture sampling. The oracle recomputes the rates from
+# counts entirely in SQL (same pow/normalize/threshold arithmetic), so
+# the Python helper's math is itself under test.
+# ---------------------------------------------------------------------------
+TAU = 2.0
+
+
+@query(
+    "mixture_temperature_sample",
+    f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    raw AS (SELECT source, pow(n / t, {1.0 / TAU}) / (n / t) AS r FROM counts, tot),
+    mx AS (SELECT MAX(r) AS m FROM raw),
+    th AS (SELECT source,
+                  CASE WHEN r / m >= 1.0 THEN 'zzzz'
+                       ELSE printf('%04x', CAST(round(r / m * 65536) AS INT))
+                  END AS thr
+           FROM raw, mx)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th USING (source)
+    WHERE substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thr
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_weights(counts, tau=TAU)
+    return domain_mixture_sample(docs, "source", rates, "doc_id", salt="mix").select(
+        "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fractional per-domain epoch repeats: src1 ×2.5, src3 ×1.25, src7 ×0.5,
+# everything else ×1. The oracle rebuilds copy counts (floor + hash-
+# selected fractional extra) and fans out with generate_series.
+# ---------------------------------------------------------------------------
+EPOCHS = {"src1": 2.5, "src3": 1.25, "src7": 0.5}
+
+_FULL_CASE = " ".join(
+    f"WHEN '{d}' THEN {int(e // 1)}" for d, e in EPOCHS.items()
+)
+_THR_CASE = " ".join(
+    f"WHEN '{d}' THEN '{_rate_threshold(e - int(e // 1))}'" for d, e in EPOCHS.items()
+)
+
+
+@query(
+    "epoch_repeat_docs",
+    f"""
+    WITH e AS (
+        SELECT doc_id, source,
+               CASE source {_FULL_CASE} ELSE 1 END AS n_full,
+               CASE source {_THR_CASE} ELSE '0000' END AS thr
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               n_full + CASE WHEN substring(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 4) < thr
+                             THEN 1 ELSE 0 END AS n
+        FROM e
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+    FROM c WHERE n >= 1
+    """,
+)
+def epoch_repeat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return epoch_repeat(docs, "source", EPOCHS, "doc_id").select(
+        "doc_id", "source", F.col("epoch").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain token budget, cheapest-first greedy prefix: one window pass,
+# shuffle keyed on the domain.
+# ---------------------------------------------------------------------------
+CHAR_BUDGET = 20000
+
+
+@query(
+    "token_budget_per_source",
+    f"""
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+    ) WHERE cum <= {CHAR_BUDGET}
+    """,
+)
+def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return token_budget_select(
+        docs,
+        "source",
+        "n_chars",
+        CHAR_BUDGET,
+        order_by=[F.col("n_chars").asc(), F.col("doc_id").asc()],
+    ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training order: dense position in md5(salt:doc_id) order.
+# Spark side uses distributed dense ids (no single-task sort); the oracle
+# states the contract directly as a global row_number.
+# ---------------------------------------------------------------------------
+@query(
+    "training_order_docs",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('curr:' || CAST(doc_id AS VARCHAR))) - 1 AS pos
+    FROM documents
+    """,
+)
+def training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs, "doc_id", salt="curr").select(
+        "doc_id", F.col("pos").cast("long")
+    )
