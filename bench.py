@@ -56,6 +56,11 @@ HEADLINE = [
     "sequence_pack_docs",
     "ann_quantized_topk",
     "gopher_quality_flags",
+    "decontaminate_train",
+    "mixture_temperature_sample",
+    "epoch_repeat_docs",
+    "token_budget_per_source",
+    "training_order_docs",
 ]
 
 RUNS = 3
