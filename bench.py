@@ -61,6 +61,8 @@ HEADLINE = [
     "epoch_repeat_docs",
     "token_budget_per_source",
     "training_order_docs",
+    "validate_lineitem",
+    "snapshot_diff_orders",
 ]
 
 RUNS = 3

@@ -32,3 +32,4 @@ from . import multimodal  # noqa: E402,F401
 from . import audio  # noqa: E402,F401
 from . import packing  # noqa: E402,F401
 from . import mixture  # noqa: E402,F401
+from . import validation  # noqa: E402,F401

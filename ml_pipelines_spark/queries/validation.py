@@ -1,0 +1,143 @@
+"""Data-quality validation + snapshot-diff queries.
+
+The validation report is one aggregation pass (conditional aggregates)
+plus one groupBy per uniqueness key and one anti-join per foreign key;
+the oracle states each constraint as an independent SQL aggregate and
+unions them. The snapshot diff is one full-outer join; the oracle
+rebuilds the same status/changed-column logic with IS DISTINCT FROM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.diff import snapshot_diff
+from ..operators.validate import (
+    Suite,
+    accepted_values,
+    in_range,
+    not_null,
+    satisfies,
+    validate,
+)
+from .registry import query
+from .relational import t
+
+
+@query(
+    "validate_lineitem",
+    """
+    WITH tot AS (SELECT COUNT(*) AS total FROM lineitem),
+    r AS (
+        SELECT 'not_null(l_orderkey)' AS "constraint",
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS violations,
+               total FROM tot
+        UNION ALL
+        SELECT 'in_range(l_quantity,1,50)',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50),
+               total FROM tot
+        UNION ALL
+        SELECT 'in_range(l_discount,0.0,0.1)',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1),
+               total FROM tot
+        UNION ALL
+        SELECT 'accepted_values(l_returnflag)',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N', 'R')),
+               total FROM tot
+        UNION ALL
+        SELECT 'positive_net_price',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE NOT (l_extendedprice * (1 - l_discount) > 0)),
+               total FROM tot
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)',
+               (SELECT coalesce(SUM(n - 1), 0) FROM (
+                    SELECT COUNT(*) AS n FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber) WHERE n > 1),
+               total FROM tot
+        UNION ALL
+        SELECT 'references(l_orderkey)',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               total FROM tot
+    )
+    SELECT "constraint", CAST(violations AS BIGINT) AS violations, total, violations = 0 AS passed FROM r
+    """,
+)
+def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    suite = (
+        Suite()
+        .add(not_null("l_orderkey"))
+        .add(in_range("l_quantity", 1, 50))
+        .add(in_range("l_discount", 0.0, 0.1))
+        .add(accepted_values("l_returnflag", ["A", "N", "R"]))
+        .add(
+            satisfies(
+                "positive_net_price",
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) > 0,
+            )
+        )
+        .unique("l_orderkey", "l_linenumber")
+        .references(["l_orderkey"], orders, ["o_orderkey"])
+    )
+    return validate(li, suite)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: two deterministic snapshots of orders (old = keys not
+# divisible by 5; new = keys not divisible by 7, with totalprice bumped
+# on keys divisible by 3) diffed by key.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new,
+               list_sort(list_filter([
+                   CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+                   CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END
+               ], x -> x IS NOT NULL)) AS diffs
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ),
+    s AS (
+        SELECT o_orderkey,
+               CASE WHEN NOT in_old THEN 'added'
+                    WHEN NOT in_new THEN 'removed'
+                    WHEN len(diffs) > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN in_old AND in_new AND len(diffs) > 0 THEN diffs
+                    ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+        FROM j
+    )
+    SELECT * FROM s WHERE status <> 'unchanged'
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

@@ -1,0 +1,90 @@
+"""Validation-suite and snapshot-diff operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.diff import snapshot_diff
+from ml_pipelines_spark.operators.validate import (
+    Suite,
+    accepted_values,
+    in_range,
+    matches,
+    not_null,
+    satisfies,
+    validate,
+)
+
+
+def test_validate_row_checks(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "A"), (2, 60, "N"), (3, None, "X"), (None, 10, "R")],
+        "id int, qty int, flag string",
+    )
+    rep = {
+        r["constraint"]: (r["violations"], r["total"], r["passed"])
+        for r in validate(
+            df,
+            Suite()
+            .add(not_null("id"))
+            .add(in_range("qty", 1, 50))
+            .add(accepted_values("flag", ["A", "N", "R"]))
+            .add(matches("flag", "^[A-Z]$"))
+            .add(satisfies("id_lt_qty", F.col("id") < F.col("qty"))),
+        ).collect()
+    }
+    assert rep["not_null(id)"] == (1, 4, False)
+    assert rep["in_range(qty,1,50)"] == (2, 4, False)  # 60 and NULL
+    assert rep["accepted_values(flag)"] == (1, 4, False)  # X
+    assert rep["matches(flag)"] == (0, 4, True)
+    # id<qty: rows (1,5) ok, (2,60) ok, (3,None) null→not counted,
+    # (None,10) null→not counted... violated = NOT(pred); null pred is
+    # not counted as a violation by design
+    assert rep["id_lt_qty"] == (0, 4, True)
+
+
+def test_validate_unique_and_fk(spark):
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    rep = {
+        r["constraint"]: (r["violations"], r["passed"])
+        for r in validate(
+            child,
+            Suite().unique("k", "v").references(["k"], parent, ["pk"]),
+        ).collect()
+    }
+    assert rep["unique(k,v)"] == (1, False)  # one excess copy of (1,a)
+    assert rep["references(k)"] == (1, False)  # k=3 orphaned
+
+
+def test_validate_empty_suite(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    assert validate(df, Suite()).count() == 0
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (4, None, 40.0)],
+        "k int, s string, p double",
+    )
+    new = spark.createDataFrame(
+        [(2, "y", 20.0), (3, "z", 31.0), (4, "w", 40.0), (5, "n", 50.0)],
+        "k int, s string, p double",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1]["status"] == "removed"
+    assert rows[5]["status"] == "added"
+    assert rows[3]["status"] == "changed" and rows[3]["changed_cols"] == ["p"]
+    # NULL -> 'w' is a change (null-safe compare)
+    assert rows[4]["status"] == "changed" and rows[4]["changed_cols"] == ["s"]
+    assert 2 not in rows  # unchanged filtered by default
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, "a")], "k int, v string")
+    new = spark.createDataFrame([(1, "a")], "k int, v string")
+    out = snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    assert len(out) == 1 and out[0]["status"] == "unchanged"
+    assert out[0]["changed_cols"] == []
