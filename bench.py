@@ -63,6 +63,7 @@ HEADLINE = [
     "training_order_docs",
     "validate_lineitem",
     "snapshot_diff_orders",
+    "profile_orders",
 ]
 
 RUNS = 3

@@ -33,3 +33,4 @@ from . import audio  # noqa: E402,F401
 from . import packing  # noqa: E402,F401
 from . import mixture  # noqa: E402,F401
 from . import validation  # noqa: E402,F401
+from . import profiling  # noqa: E402,F401
