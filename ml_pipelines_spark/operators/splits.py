@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Width of the hex prefix used for hash bucketing: 4 hex digits = 65536
 # buckets → fraction granularity 1/65536, plenty for split ratios.
@@ -118,6 +119,32 @@ def stratified_hash_sample(
 def sample_keys(keys: DataFrame, fraction: float, seed: int) -> DataFrame:
     """R1 (TrainDatasets.py:258,262): seeded fraction-sample of a key set."""
     return keys.sample(fraction=fraction, seed=seed)
+
+
+def hash_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "kpg",
+) -> DataFrame:
+    """Deterministic fixed-size sample: at most ``k`` rows per group,
+    chosen by md5(salt:key) order — a reproducible reservoir.
+
+    Unlike a fraction sample, group output size is bounded regardless of
+    group skew, which is what a per-domain preview/eval carve-out needs.
+    One shuffle on the group key; the rank is a window ``row_number``
+    so ties cannot duplicate. Deterministic across engines and runs.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def nested_entity_split(

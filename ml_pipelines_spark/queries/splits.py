@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.splits import (
+    hash_k_per_group,
     hash_split_expr,
     nested_entity_split,
     stratified_hash_sample,
@@ -158,4 +159,26 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "sample_k_per_source",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('kpg:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: at most 3 docs per source, chosen by
+    hashed-key order — bounded output per group regardless of skew."""
+    docs = t(spark, sf_dir, "documents")
+    return hash_k_per_group(docs, ["source"], "doc_id", k=3).select(
+        "doc_id", "source"
     )

@@ -1,0 +1,53 @@
+"""JSONL reader: valid/quarantine split, round-trip, schema guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ml_pipelines_spark.sources.jsonl import read_jsonl, write_jsonl
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def test_read_jsonl_splits_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        "this is not json\n"
+        '{"doc_id": "three", "text": "bad type"}\n'
+        '{"doc_id": 4, "text": "fine"}\n'
+    )
+    valid, quarantine = read_jsonl(spark, str(p), SCHEMA)
+    ids = sorted(r["doc_id"] for r in valid.collect())
+    assert ids == [1, 2, 4]
+    assert valid.columns == ["doc_id", "text"]
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("three" in b for b in bad)
+
+
+def test_read_jsonl_rejects_corrupt_col_in_schema(spark):
+    s = StructType([StructField("_corrupt_record", StringType())])
+    with pytest.raises(ValueError):
+        read_jsonl(spark, "/nonexistent", s)
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    valid, quarantine = read_jsonl(spark, out, SCHEMA)
+    assert quarantine.count() == 0
+    got = {r["doc_id"]: r["text"] for r in valid.collect()}
+    assert got == {1: "a", 2: "b", 3: None}
