@@ -64,6 +64,7 @@ HEADLINE = [
     "validate_lineitem",
     "snapshot_diff_orders",
     "profile_orders",
+    "lm_perplexity_docs",
 ]
 
 RUNS = 3

@@ -1,0 +1,115 @@
+"""N-gram language-model scoring — the CCNet-style quality filter.
+
+Production corpus curation scores every document against a reference
+language model and drops the high-perplexity tail (CCNet / RedPajama
+use a KenLM 5-gram; the construction is identical at any order). This
+module implements the distributed version with a bigram model trained
+on a reference corpus held in a DataFrame:
+
+1. ``ngram_counts`` — unigram + bigram counts: one token explode, two
+   map-side-combined groupBys.
+2. ``perplexity`` — per-document mean negative log-likelihood under
+   add-alpha smoothing, and its exp (the perplexity):
+   P(w2 | w1) = (c(w1,w2) + a) / (c(w1) + a·V).
+
+Scale shape: scoring is one explode of document bigrams plus two left
+joins (bigram table on (w1, w2), unigram table on w1), then a
+groupBy(doc). Vocabulary pruning (``min_count``) bounds the model
+tables so they broadcast and the scored corpus never shuffles its own
+rows; with an unpruned web-scale model both joins shuffle on their key
+— one exchange each. Everything is expression-level (no UDFs), and the
+whole construction has an exact SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair, lowercased."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.trim(F.lower(F.col(text_col)))).alias("t"),
+    )
+    return toks.select(
+        "id",
+        F.posexplode(F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0)))).alias(
+            "i", "w1"
+        ),
+        F.col("t"),
+    ).select("id", "w1", F.element_at("t", F.col("i") + 2).alias("w2"))
+
+
+def ngram_counts(
+    corpus: DataFrame, id_col: str, text_col: str, min_count: int = 1
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the model: (unigram_counts, bigram_counts, vocab_size).
+
+    ``min_count`` prunes rare bigrams from the model (they fall back to
+    the smoothing mass) — the knob that keeps the model table small
+    enough to broadcast. Vocabulary size counts distinct tokens BEFORE
+    pruning, as smoothing semantics require.
+    """
+    bg = _doc_bigrams(corpus, id_col, text_col)
+    uni = (
+        bg.groupBy(F.col("w1").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    if min_count > 1:
+        bi = bi.filter(F.col("c_bi") >= min_count)
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    return uni, bi, vocab
+
+
+def perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score documents: (id, n_bigrams, avg_nll, ppl).
+
+    avg_nll is the mean of -ln P(w2|w1) over the document's bigrams;
+    ppl = exp(avg_nll). Documents with fewer than 2 tokens produce no
+    bigrams and are absent from the output (nothing to score).
+
+    Two left joins — document bigrams against the bigram table on
+    (w1, w2) and the unigram table on w1; unseen counts coalesce to 0,
+    so unseen bigrams and unseen contexts degrade smoothly to the
+    smoothing mass.
+    """
+    dbg = _doc_bigrams(docs, id_col, text_col)
+    scored = (
+        dbg.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams.withColumnRenamed("w", "w1"), "w1", "left")
+        .select(
+            "id",
+            (
+                -F.log(
+                    (F.coalesce("c_bi", F.lit(0)) + alpha)
+                    / (F.coalesce("c_uni", F.lit(0)) + alpha * vocab_size)
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("nll").alias("avg_nll"),
+        )
+        .withColumn("ppl", F.exp("avg_nll"))
+    )

@@ -34,3 +34,4 @@ from . import packing  # noqa: E402,F401
 from . import mixture  # noqa: E402,F401
 from . import validation  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
+from . import lm  # noqa: E402,F401
