@@ -192,3 +192,54 @@ def forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic agg over a sliding frame (ROWS BETWEEN): 7-row centered-less
+# trailing moving average per user — the frame-spec surface SURVEY §2.5
+# notes as absent from the reference; one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_avg_value",
+    """
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7
+    FROM events
+    """,
+)
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg_7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile binning: quartile assignment by document length per language —
+# curriculum/difficulty bucketing. ntile semantics (larger buckets
+# first) are identical in Spark and DuckDB; ties broken by doc_id so
+# the assignment is total-order deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_length_quartiles",
+    """
+    SELECT doc_id, lang,
+           ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+    FROM documents
+    """,
+)
+def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", F.ntile(4).over(w).alias("quartile")
+    )
