@@ -708,12 +708,33 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine oracle (rows-only driver check); tests/test_splits.py
 # asserts <= 5% relative error against the exact count per group.
 # ---------------------------------------------------------------------------
-@query("approx_distinct_users")
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE    AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct with a SQL-encodable tolerance oracle.
+
+    Engine HLL sketches never hash-match across engines, so the oracle
+    contract is the TOLERANCE, not the estimate: the Spark side computes
+    both the HLL estimate (rsd=0.02) and the exact distinct and emits
+    ``approx_within_5pct``; the oracle emits literal TRUE. A sketch
+    drifting past ±5% flips the boolean and fails the hash compare.
+    The exact countDistinct exists only to power this self-check — a
+    production rollup keeps just the O(1)-memory sketch.
+    """
     ev = t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx - exact) <= exact * F.lit(0.05)).alias("approx_within_5pct"),
     )
 
 
