@@ -20,6 +20,19 @@ reusable artifact — the same filter can prune many queries against the
 same key set (the 100 TB pattern: build once per dimension snapshot,
 prune every fact scan of the day).
 
+WHEN IT PAYS — the crossover, measured. The build costs one aggregation
+over the key side plus a fixed-size bitset collect; that overhead is paid
+whether or not it saves anything. At sf0.1 on local[32] the bloom variant
+of the revenue semi-join runs ~9× the plain semi-join (2.4 s vs 0.27 s):
+the big side's shuffle is far too small for the build to amortize. The
+filter wins when (a) the big side's shuffled bytes dominate the job —
+rule of thumb: big-side shuffle ≥ 50-100× the key-side aggregation cost,
+i.e. fact/dim row ratio in the thousands with a small match fraction —
+or (b) the bitset is built ONCE and reused across many probe queries
+(then the build amortizes to ~zero and any nonzero pruning is free win).
+Do not reach for this at dimension-join scale; Spark's broadcast
+semi-join is already optimal there.
+
 Everything is built-in expressions — ``xxhash64`` double hashing on the
 build AND probe side, ``bit_or`` aggregation into 64-bit words, and a
 probe against a single BINARY literal — JVM-side, no Python in either

@@ -403,6 +403,9 @@ def flatten_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unpartitioned window is safe here: input is DISTINCT p_brand — a
+    # dictionary-sized dimension (25 values at any SF), not fact data.
+    # Fact-sized dense ids go through operators.ids.dense_ids instead.
     w = Window.orderBy("p_brand")
     return (
         t(spark, sf_dir, "part")
