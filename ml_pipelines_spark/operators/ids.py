@@ -122,15 +122,17 @@ def dense_ids(
         bucket = bucket + F.when(key >= bound_lit, 1).otherwise(0)
     keyed = df.withColumn("__bkt", bucket)
 
-    local = Window.partitionBy("__bkt").orderBy(*order_cols)
-    whole = Window.partitionBy("__bkt")
-    ranked = keyed.withColumn("__rn", F.row_number().over(local)).withColumn(
-        "__cnt", F.max("__rn").over(whole)
-    )
-
+    # Bucket offsets come from a COUNT aggregation over the bucketed
+    # input, not from the ranked output: counting is a map-side partial
+    # agg that shuffles <= num-buckets rows, while deriving counts from
+    # the window (the previous shape) re-executed the entire scan + sort
+    # + window subtree a second time (no ReusedExchange — the filter
+    # made the subtrees differ). One full window pass instead of two.
+    # The cumulative-sum window below runs over <= `parts` rows — a
+    # bounded dictionary, never data.
     offsets = (
-        ranked.filter(F.col("__rn") == F.col("__cnt"))
-        .select("__bkt", "__cnt")
+        keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
         .select(
             "__bkt",
             (
@@ -140,8 +142,11 @@ def dense_ids(
             ).alias("__off"),
         )
     )
+
+    local = Window.partitionBy("__bkt").orderBy(*order_cols)
+    ranked = keyed.withColumn("__rn", F.row_number().over(local))
     return (
         ranked.join(F.broadcast(offsets), "__bkt")
         .withColumn(id_col, (F.col("__off") + F.col("__rn")).cast("int"))
-        .drop("__bkt", "__rn", "__cnt", "__off")
+        .drop("__bkt", "__rn", "__off")
     )
