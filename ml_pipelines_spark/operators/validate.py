@@ -9,9 +9,12 @@ the systematic replacement, built as ONE aggregation pass per table.
 Scale design: every row-level constraint compiles to a conditional
 aggregate (``sum(case when violated)``) in a single ``agg()`` — one scan,
 map-side partial aggregation, a few bytes per constraint to the driver.
-Uniqueness adds one groupBy on the key; referential integrity adds one
-anti-join per foreign key. Nothing collects row data; reports are
-constraint-per-row DataFrames with violation counts.
+Referential integrity rides the SAME scan: each foreign key is a
+broadcast left join against the distinct parent key with a presence
+flag, and the orphan count is one more conditional aggregate (fallback
+to a per-key anti-join for non-broadcastable parents). Uniqueness adds
+one groupBy on the key — that shuffle is inherent. Nothing collects row
+data; reports are constraint-per-row DataFrames with violation counts.
 """
 
 from __future__ import annotations
@@ -87,30 +90,68 @@ class Suite:
 _REPORT_COLS = ["constraint", "violations", "total", "passed"]
 
 
-def validate(df: DataFrame, suite: Suite) -> DataFrame:
+def validate(
+    df: DataFrame, suite: Suite, broadcast_parents: bool = True
+) -> DataFrame:
     """Run the suite; returns (constraint, violations, total, passed).
 
-    Row-level checks share one aggregation pass over ``df``. Each
-    uniqueness key costs one groupBy (duplicate groups counted by their
-    excess rows); each foreign key costs one left-anti join against the
-    distinct parent key (broadcast when the parent is dimension-sized).
+    Row-level checks AND foreign-key checks share ONE aggregation pass
+    over ``df``: each foreign key becomes a broadcast left join against
+    the distinct parent key with a presence flag, and the orphan count is
+    just another conditional aggregate — so N row checks + M foreign keys
+    cost a single scan. Each uniqueness key still costs one groupBy
+    (duplicate groups counted by their excess rows) — that shuffle is
+    inherent to uniqueness.
+
+    ``broadcast_parents=False`` falls back to one left-anti join per
+    foreign key, for parents too large to broadcast (a fact-to-fact FK);
+    the default suits the normal case of dimension-sized parents.
     """
     spark = df.sparkSession
     reports: list[DataFrame] = []
 
-    if suite.checks:
+    fused_fks: list[tuple[int, list[str]]] = []
+    probe = df
+    if broadcast_parents:
+        for i, (cols, parent, parent_cols) in enumerate(suite.foreign_keys):
+            keys = parent.select(
+                *[
+                    F.col(p).alias(f"__fk{i}_{j}")
+                    for j, p in enumerate(parent_cols)
+                ]
+            ).distinct().withColumn(f"__fk{i}", F.lit(1))
+            cond = F.lit(True)
+            for j, c in enumerate(cols):
+                cond = cond & (F.col(c) == F.col(f"__fk{i}_{j}"))
+            probe = probe.join(F.broadcast(keys), cond, "left").drop(
+                *[f"__fk{i}_{j}" for j in range(len(parent_cols))]
+            )
+            fused_fks.append((i, cols))
+
+    if suite.checks or fused_fks:
         aggs = [F.count(F.lit(1)).alias("__total")] + [
             F.sum(F.when(c.violated, 1).otherwise(0)).alias(f"__v{i}")
             for i, c in enumerate(suite.checks)
+        ] + [
+            # null flag = no parent match = orphan (same semantics as the
+            # left-anti fallback: a null child key counts as a violation)
+            F.sum(F.when(F.col(f"__fk{i}").isNull(), 1).otherwise(0)).alias(
+                f"__fkv{i}"
+            )
+            for i, _cols in fused_fks
         ]
-        row = df.agg(*aggs)
+        row = probe.agg(*aggs)
         stack_parts = []
         for i, c in enumerate(suite.checks):
             escaped = c.name.replace("'", "''")
             stack_parts.append(f"'{escaped}', bigint(__v{i})")
+        fk_stack_parts = []
+        for i, cols in fused_fks:
+            fk_stack_parts.append(f"'references({','.join(cols)})', bigint(__fkv{i})")
+        all_parts = stack_parts + fk_stack_parts
         stacked = row.select(
             F.expr(
-                f"stack({len(suite.checks)}, {', '.join(stack_parts)}) "
+                f"stack({len(all_parts)}, {', '.join(all_parts)}) "
                 "as (constraint, violations)"
             ),
             F.col("__total").cast("long").alias("total"),
@@ -144,7 +185,9 @@ def validate(df: DataFrame, suite: Suite) -> DataFrame:
             )
         )
 
-    for cols, parent, parent_cols in suite.foreign_keys:
+    for cols, parent, parent_cols in (
+        [] if broadcast_parents else suite.foreign_keys
+    ):
         child = df.select(
             *[F.col(c).alias(p) for c, p in zip(cols, parent_cols)]
         )

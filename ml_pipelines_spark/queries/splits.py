@@ -105,29 +105,58 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # R1+R2 (reference-exact seeded form): nested sample → 80/20 val/test →
-# semi-join materialization. Spark RNG — rows-only driver check; the
-# statistical and leakage properties are pytest-verified.
+# semi-join materialization. Spark's RNG never hash-matches another
+# engine's, so (like approx_distinct_users) the oracle contract is the
+# INVARIANTS, not the sample: per-split row fractions inside generous
+# bounds around the expected 0.80/0.16/0.04, and the three splits
+# together exactly partitioning the joinable orders. The oracle pins
+# both booleans to TRUE; a broken split flips one and fails the hash.
+# Exact leakage/disjointness is additionally pytest-verified.
 # ---------------------------------------------------------------------------
-@query("seeded_nested_split")
+_SPLIT_BOUNDS = {"train": (0.70, 0.90), "val": (0.10, 0.22), "test": (0.01, 0.08)}
+
+
+@query(
+    "seeded_nested_split",
+    """
+    SELECT * FROM (VALUES ('test', TRUE, TRUE), ('train', TRUE, TRUE), ('val', TRUE, TRUE))
+        AS v(split, frac_ok, complete)
+    """,
+)
 def seeded_nested_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
+    rows = orders.withColumnRenamed("o_custkey", "c_custkey")
     splits = nested_entity_split(
-        orders.withColumnRenamed("o_custkey", "c_custkey"),
-        cust,
-        "c_custkey",
-        p=0.2,
-        test_split=True,
-        seed=42,
+        rows, cust, "c_custkey", p=0.2, test_split=True, seed=42
     )
     parts = [
         df.groupBy(F.lit(name).alias("split")).agg(F.count(F.lit(1)).alias("n_rows"))
         for name, df in splits.items()
     ]
-    out = parts[0]
+    counts = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        counts = counts.unionByName(p)
+    eligible = (
+        rows.join(cust.select("c_custkey").distinct(), "c_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__eligible"))
+    )
+    split_sum = counts.agg(F.sum("n_rows").alias("__sum"))
+    frac = F.col("n_rows") / F.col("__eligible")
+    frac_ok = F.lit(False)
+    for name, (lo, hi) in _SPLIT_BOUNDS.items():
+        frac_ok = F.when(
+            F.col("split") == name, (frac >= lo) & (frac <= hi)
+        ).otherwise(frac_ok)
+    return (
+        counts.crossJoin(F.broadcast(eligible))
+        .crossJoin(F.broadcast(split_sum))
+        .select(
+            "split",
+            frac_ok.alias("frac_ok"),
+            (F.col("__sum") == F.col("__eligible")).alias("complete"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

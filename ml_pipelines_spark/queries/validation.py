@@ -1,9 +1,9 @@
 """Data-quality validation + snapshot-diff queries.
 
-The validation report is one aggregation pass (conditional aggregates)
-plus one groupBy per uniqueness key and one anti-join per foreign key;
-the oracle states each constraint as an independent SQL aggregate and
-unions them. The snapshot diff is one full-outer join; the oracle
+The validation report is one aggregation pass (conditional aggregates,
+with foreign-key orphan counts fused in via broadcast presence flags)
+plus one groupBy per uniqueness key; the oracle states each constraint
+as an independent SQL aggregate and unions them. The snapshot diff is one full-outer join; the oracle
 rebuilds the same status/changed-column logic with IS DISTINCT FROM.
 """
 
