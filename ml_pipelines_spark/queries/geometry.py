@@ -161,23 +161,52 @@ def yolo_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# G1-G4: rotated-bbox kernel (numpy pandas UDF — genuinely non-SQL;
-# rows-only driver check, property tests in tests/test_geometry.py).
+# G1-G4: rotated-bbox kernel (numpy pandas UDF — genuinely non-SQL), made
+# driver-checkable via geometric INVARIANTS evaluated with pure JVM
+# expressions over the kernel's output: every input point must lie inside
+# the rotated box (map each point into the box's axis frame — the rcoco
+# (x, y) corner and theta define it, the center is (x+w/2, y+h/2) since
+# the kernel rotates about the corner centroid), and the minimum rotated
+# rect can never exceed the axis-aligned envelope's area. The oracle pins
+# both booleans TRUE per vec_id; a kernel bug (wrong orientation, wrong
+# corner order, lost point, inflated box) flips one and fails the hash.
+# Full numeric outputs remain property-tested in tests/test_geometry.py.
 # Reference: rbb_coco_from_seg COCOUtils.py:8-15 et seq.
 # ---------------------------------------------------------------------------
-@query("rbb_from_seg")
+@query(
+    "rbb_from_seg",
+    """
+    SELECT vec_id, TRUE AS contains_all_points, TRUE AS area_le_aabb
+    FROM embeddings
+    """,
+)
 def rbb_from_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings is one small file = one scan partition; spread the
     # CPU-bound numpy kernel across the cores.
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     df = with_rotated_bbox(_seg_df(spark, sf_dir), seg_col="s", repartition=n)
+    eps = 1e-6
+    x = F.element_at("rcoco", 1)
+    y = F.element_at("rcoco", 2)
+    w = F.element_at("rcoco", 3)
+    h = F.element_at("rcoco", 4)
+    th = F.element_at("rcoco", 5)
+    c, s = F.cos(th), F.sin(th)
+    cx, cy = x + w / 2, y + h / 2
+    contains = F.lit(True)
+    for i in range(4):
+        px = F.element_at("s", 2 * i + 1)
+        py = F.element_at("s", 2 * i + 2)
+        u = (px - cx) * c + (py - cy) * s + cx
+        v = -(px - cx) * s + (py - cy) * c + cy
+        contains = (
+            contains
+            & (u >= x - eps) & (u <= x + w + eps)
+            & (v >= y - eps) & (v <= y + h + eps)
+        )
+    aabb_area = F.element_at("coco", 3) * F.element_at("coco", 4)
     return df.select(
         "vec_id",
-        F.round(F.element_at("rcoco", 1), 4).alias("rx"),
-        F.round(F.element_at("rcoco", 2), 4).alias("ry"),
-        F.round(F.element_at("rcoco", 3), 4).alias("rw"),
-        F.round(F.element_at("rcoco", 4), 4).alias("rh"),
-        F.round(F.element_at("rcoco", 5), 6).alias("rtheta"),
-        F.round(F.element_at("coco", 3), 4).alias("bw"),
-        F.round(F.element_at("coco", 4), 4).alias("bh"),
-    ).filter(F.col("rx").isNotNull())
+        contains.alias("contains_all_points"),
+        (w * h <= aabb_area * (1 + 1e-9) + eps).alias("area_le_aabb"),
+    )

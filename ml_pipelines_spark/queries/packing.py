@@ -72,16 +72,41 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "bin_id")
 
 
-@query("pack_bins_ffd")
+@query(
+    "pack_bins_ffd",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS no_overflow,
+           TRUE AS bins_within_ff_bound
+    FROM documents
+    """,
+)
 def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact first-fit-decreasing bins: per-bin document count and token
-    fill (every fill <= budget by construction — pytest-asserted)."""
+    """Exact first-fit-decreasing bins, with the bin assignment itself a
+    Python kernel (not SQL-reproducible) — so the oracle contract is the
+    INVARIANTS, computed over the kernel's output in the same plan:
+    every document packed exactly once (n_docs matches the table count,
+    which the SQL twin computes exactly), no bin over budget, and the
+    first-fit bound — at most one bin per hash group can be <= half
+    full, hence n_bins <= 2*total_tokens/budget + num_groups. A packing
+    bug (lost doc, overflow, runaway bin count) flips a pinned value
+    and fails the driver's hash compare. Per-bin fills remain available
+    via operators.packing.pack_first_fit directly.
+    """
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
     packed = pack_first_fit(
         docs, "n_tokens", "doc_id", budget=_BUDGET, num_groups=_GROUPS
     )
-    return packed.groupBy("bin_id").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("fill")
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("n_tokens").alias("__fill")
+    )
+    return bins.agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        (F.max("__fill") <= F.lit(_BUDGET)).alias("no_overflow"),
+        (
+            F.count(F.lit(1))
+            <= (F.sum("__fill") * 2.0 / _BUDGET + _GROUPS)
+        ).alias("bins_within_ff_bound"),
     )

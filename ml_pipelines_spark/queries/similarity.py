@@ -126,16 +126,36 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF ANN: MLlib k-means coarse cells + n_probe nearest-cell scan. The
-# quantizer is library-trained (not SQL-reproducible) → rows-only driver
-# check; recall vs knn_bruteforce is asserted in tests/test_similarity.py.
+# quantizer is library-trained (not SQL-reproducible), so — like
+# approx_distinct_users — the oracle contract is the INVARIANT, computed
+# in the same Spark plan: the probe returns exactly k results and its
+# recall against the exact brute-force top-k clears the same >= 0.5 bar
+# the property tests assert (tests/test_similarity.py). A broken
+# quantizer, probe selection, or ranking flips a pinned value and fails
+# the driver's hash compare.
 # ---------------------------------------------------------------------------
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    f"SELECT CAST({K} AS BIGINT) AS n_results, TRUE AS recall_ge_50pct",
+)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_ivf_topk, kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, k=8, seed=17)
-    return ann_ivf_topk(emb, QUERY_VEC, k=K, centroids=cents, n_probe=3)
+    ivf = ann_ivf_topk(emb, QUERY_VEC, k=K, centroids=cents, n_probe=3).select(
+        "vec_id"
+    )
+    exact = knn_bruteforce(emb, QUERY_VEC, k=K).select("vec_id")
+    hits = ivf.join(exact, "vec_id", "left_semi")
+    return (
+        ivf.agg(F.count(F.lit(1)).alias("n_results"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("__hits")))
+        .select(
+            "n_results",
+            (F.col("__hits") >= F.lit(K // 2)).alias("recall_ge_50pct"),
+        )
+    )
 
 
 _PAIR_DOT = (

