@@ -1,6 +1,7 @@
 """Track interpolation query — the W4 applyInPandas kernel over synthetic
-tracks (rows-only driver check; kernel semantics are property-tested in
-tests/test_cvat_tracks.py; reference CvatApi.py:427-731).
+tracks, hash-checked against a closed-form SQL oracle (the synthetic
+keyframes make the kernel's motion exactly linear; general tracks are
+property-tested in tests/test_cvat_tracks.py; reference CvatApi.py:427-731).
 
 Synthetic tracks: every embeddings row becomes a track whose two
 keyframe polygons are derived from the embedding (frames 0 and
@@ -57,7 +58,38 @@ def _keyframes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kf0.unionByName(kf1)
 
 
-@query("track_interpolation")
+# The synthetic tracks make the kernel's output closed-form: both
+# keyframe polygons have identical point structure (a pure +50
+# translation), so CVAT interpolation reduces to per-point linear
+# motion — x(f) = p + 50*min(f, L)/L with L = 4 + vec_id % 4 — and the
+# whole dense grid (12 frames per track, 8 coords per frame, keyframe
+# flags at 0 and L) is exactly SQL-derivable. The oracle recomputes it
+# value-for-value, so the ENTIRE kernel path — grouping, gap-fill,
+# propagation to end_frame, point ordering — is hash-checked, not just
+# row counts. General (shape-changing) tracks stay property-tested in
+# tests/test_cvat_tracks.py.
+@query(
+    "track_interpolation",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) * 300.0 + 400.0 AS p0x,
+               CAST(embedding[2] AS DOUBLE) * 300.0 + 400.0 AS p0y,
+               4 + vec_id % 4 AS L
+        FROM embeddings
+    ),
+    g AS (
+        SELECT vec_id, unnest(generate_series(0, 11)) AS f FROM embeddings
+    )
+    SELECT g.vec_id AS track_id,
+           CAST(g.f AS INT) AS frame,
+           (g.f = 0 OR g.f = e.L) AS keyframe,
+           CAST(8 AS INT) AS n_coords,
+           ROUND(e.p0x + 50.0 * least(g.f, e.L) / e.L, 3) AS x0,
+           ROUND(e.p0y + 50.0 * least(g.f, e.L) / e.L, 3) AS y0
+    FROM g JOIN e ON g.vec_id = e.vec_id
+    """,
+)
 def track_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = interpolate_tracks(_keyframes_df(spark, sf_dir), end_frame=12)
     # No orderBy: the driver's comparison is order-insensitive, and a
