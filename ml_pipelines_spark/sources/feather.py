@@ -103,6 +103,56 @@ def read_feather(
     return paths_df.mapInArrow(read_batches, spark_schema)
 
 
+def write_feather(
+    df: DataFrame,
+    dest_dir: str,
+    compression: str = "zstd",
+) -> int:
+    """Write a DataFrame as feather v2 (Arrow IPC) files, one file per
+    partition, executor-side — the reverse migration path (producing
+    snapshots a pyarrow/pandas consumer like the reference's
+    TrainDatasets.py:195 reads directly).
+
+    Each task converts its Arrow batches straight to one
+    ``part-{NNNNN}.feather`` under ``dest_dir``; no pandas
+    materialization, no driver collect. Returns the number of files
+    written. ``dest_dir`` must be on a filesystem reachable from the
+    executors (shared FS / fuse mount; same contract as any Spark sink).
+    Empty partitions write nothing, so file count <= partition count.
+    """
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    os.makedirs(dest_dir, exist_ok=True)
+    spark_schema = df.schema
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(spark_schema)
+    count_schema = pa.schema([pa.field("files", pa.int64())])
+
+    def write_partition(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        batches = list(it)
+        if batches:
+            table = pa.Table.from_batches(batches, schema=arrow_schema)
+            path = os.path.join(dest_dir, f"part-{pid:05d}.feather")
+            feather.write_feather(table, path, compression=compression)
+            n = 1
+        else:
+            n = 0
+        yield pa.RecordBatch.from_pylist([{"files": n}], schema=count_schema)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts = df.mapInArrow(
+        write_partition, StructType([StructField("files", LongType())])
+    )
+    return sum(r["files"] for r in counts.collect())
+
+
 def feather_to_parquet(
     spark: SparkSession,
     src: str | list[str],

@@ -13,6 +13,7 @@ import pytest
 from ml_pipelines_spark.sources.feather import (
     feather_to_parquet,
     read_feather,
+    write_feather,
 )
 
 
@@ -77,6 +78,21 @@ def test_read_feather_casts_benign_drift(spark, tmp_path):
     df = read_feather(spark, str(tmp_path))
     assert sorted(r["k"] for r in df.collect()) == [1, 2, 3, 4]
     assert dict(df.dtypes)["k"] == "bigint"
+
+
+def test_write_feather_roundtrip(spark, feather_dir, tmp_path):
+    df = read_feather(spark, feather_dir)
+    dest = str(tmp_path / "out")
+    n_files = write_feather(df.repartition(3), dest)
+    assert 1 <= n_files <= 3
+    back = read_feather(spark, dest)
+    assert back.count() == 65
+    a = sorted(r["anno_id"] for r in back.collect())
+    assert a == list(range(65))
+    # files are plain feather: a pyarrow consumer reads them directly
+    one = sorted(os.listdir(dest))[0]
+    t = feather.read_table(os.path.join(dest, one))
+    assert set(t.column_names) == {"anno_id", "image_name", "score", "bbox"}
 
 
 def test_feather_to_parquet_migration(spark, feather_dir, tmp_path):
