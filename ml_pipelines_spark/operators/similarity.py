@@ -144,6 +144,51 @@ def ann_lsh_topk(
     return ranked_topk(scored, k, id_col)
 
 
+def multiprobe_buckets(query_vec: list[float], planes: list[list[float]]) -> list[str]:
+    """The query's bucket plus every flip-1-bit neighbor (Hamming ≤ 1).
+
+    Standard multiprobe LSH: a vector near a hyperplane lands in an
+    adjacent bucket with probability ~proportional to its margin, so
+    probing the b single-bit-flip neighbors recovers most of the recall
+    a single-bucket probe loses — b+1 bucket reads instead of 1, still
+    O((b+1)·N/2^b) of the data rather than O(N). Deterministic: the
+    probe set is computed driver-side from the same seeded planes and
+    embedded as plan literals."""
+    base = "".join(
+        "1" if float(np.dot(np.asarray(query_vec), np.asarray(p))) >= 0 else "0"
+        for p in planes
+    )
+    flips = [
+        base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1:]
+        for i in range(len(base))
+    ]
+    return [base] + flips
+
+
+def ann_multiprobe_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k scoring the query bucket AND its flip-1-bit
+    neighbors — the fallback ``ann_lsh_topk`` lacks when the exact
+    bucket is empty or thin. Same scan shape: one bucket-key filter
+    (an IN over b+1 literals — partition-prunable when the table is
+    stored partitioned by bucket), exact cosine on survivors only,
+    two-phase top-k."""
+    buckets = multiprobe_buckets(query_vec, planes)
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    candidates = bucketed.filter(F.col("bucket").isin(buckets))
+    q = lit_vector(query_vec)
+    scored = candidates.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), q).alias("cosine")
+    )
+    return ranked_topk(scored, k, id_col)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int,

@@ -125,6 +125,49 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multiprobe LSH ANN: the query bucket plus all flip-1-bit neighbors.
+# Unlike the IVF invariant check below, this one is a TRUE cross-engine
+# oracle: the probe set is a deterministic literal list, DuckDB re-derives
+# every vector's bucket from the same hyperplane literals, and the exact
+# cosine ranking over the probed union is value-checked end to end.
+# ---------------------------------------------------------------------------
+from ..operators.similarity import multiprobe_buckets as _mpb
+
+_PROBES = _mpb(QUERY_VEC, PLANES)
+_PROBES_SQL = ", ".join(f"'{b}'" for b in _PROBES)
+
+
+@query(
+    "ann_multiprobe_topk",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT vec_id, embedding FROM bucketed WHERE bucket IN ({_PROBES_SQL})
+    ),
+    scored AS (
+        SELECT vec_id,
+               {_sql_dot('embedding', _QLIT)} / (sqrt({_sql_self_dot('embedding')}) * {_QNORM}) AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT vec_id, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT vec_id, ROUND(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= {K}
+    """,
+)
+def ann_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_multiprobe_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_multiprobe_topk(emb, QUERY_VEC, k=K, planes=PLANES)
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN: MLlib k-means coarse cells + n_probe nearest-cell scan. The
 # quantizer is library-trained (not SQL-reproducible), so — like
 # approx_distinct_users — the oracle contract is the INVARIANT, computed

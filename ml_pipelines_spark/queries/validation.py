@@ -122,8 +122,9 @@ def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN NOT in_new THEN 'removed'
                     WHEN len(diffs) > 0 THEN 'changed'
                     ELSE 'unchanged' END AS status,
-               CASE WHEN in_old AND in_new AND len(diffs) > 0 THEN diffs
-                    ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+               CASE WHEN in_old AND in_new AND len(diffs) > 0
+                    THEN array_to_string(diffs, ',')
+                    ELSE '' END AS changed_cols
         FROM j
     )
     SELECT * FROM s WHERE status <> 'unchanged'
@@ -140,4 +141,10 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1
         ).otherwise(F.col("o_totalprice")),
     )
-    return snapshot_diff(old, new, ["o_orderkey"])
+    # The driver's canonicalizer hashes result cells with pandas factorize,
+    # which cannot hash list cells — so the array<string> changed_cols is
+    # string-encoded here (the snapshot_diff operator itself keeps the
+    # typed array for API consumers).
+    return snapshot_diff(old, new, ["o_orderkey"]).withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
+    )

@@ -15,29 +15,34 @@ def test_check_first_is_the_window():
     assert len(_CHECK_FIRST) == 50
 
 
-def test_window_covers_never_checked_families():
-    # One representative per family that had no driver row in rounds 1-2.
+def test_window_covers_round4_priorities():
+    # Round-4 window contract: the two never-green queries, the new
+    # multiprobe query, the queries whose code changed this round, and a
+    # representative of each r1/r2-evidenced family being re-evidenced.
     must_be_checked = [
-        "window_lag",
-        "last_per_key",
+        # never a green driver row before round 4
+        "seeded_nested_split",
+        "snapshot_diff_orders",
+        # new / changed this round
+        "ann_multiprobe_topk",
         "minhash_near_dup",
-        "simhash_near_dup",
-        "knn_bruteforce",
-        "ann_quantized_topk",
         "coco_records",
         "yolo_export_lines",
-        "tumbling_window",
-        "session_window",
-        "asof_join_events",
-        "range_join_events",
-        "image_meta_decode",
-        "sequence_pack_docs",
-        "mixture_temperature_sample",
-        "validate_lineitem",
-        "profile_orders",
-        "lm_perplexity_docs",
-        "pii_redact_docs",
-        "chunk_documents",
+        "approx_distinct_users",
+        "q1_pricing_summary",
+        # r1/r2 relational family
+        "proj_cast",
+        "star_join_revenue",
+        "group_collect_sorted",
+        "bloom_semi_join_revenue",
+        "topk_per_group",
+        # r1/r2 splits family
+        "hash_split_assign",
+        "hash_sample",
+        # r1/r2 text family
+        "text_quality",
+        "lang_id",
+        "tfidf_top_terms",
     ]
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]

@@ -139,3 +139,61 @@ def test_quantized_zero_vector_safe(spark):
     rows = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(df).collect()}
     assert rows[1] == [0, 0, 0, 0]
     assert rows[2] == [64, -127, 32, 127]
+
+
+def test_multiprobe_buckets_shape():
+    from ml_pipelines_spark.operators.similarity import (
+        hyperplanes,
+        multiprobe_buckets,
+        query_vector,
+    )
+
+    qv = query_vector(64, seed=7)
+    planes = hyperplanes(64, n_planes=4, seed=13)
+    probes = multiprobe_buckets(qv, planes)
+    # base + one flip per bit, all distinct, all Hamming <= 1 from base
+    assert len(probes) == 5 and len(set(probes)) == 5
+    base = probes[0]
+    for p in probes[1:]:
+        assert sum(a != b for a, b in zip(base, p)) == 1
+
+
+def test_multiprobe_supersets_single_probe_and_improves_recall(spark, sf_dir):
+    from ml_pipelines_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_multiprobe_topk,
+        hyperplanes,
+        knn_bruteforce,
+        query_vector,
+    )
+    from ml_pipelines_spark.queries.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = query_vector(64, seed=7)
+    planes = hyperplanes(64, n_planes=4, seed=13)
+    exact = {r["vec_id"] for r in knn_bruteforce(emb, qv, 10).collect()}
+    single = {r["vec_id"] for r in ann_lsh_topk(emb, qv, 10, planes).collect()}
+    multi = {r["vec_id"] for r in ann_multiprobe_topk(emb, qv, 10, planes).collect()}
+    # multiprobe candidates strictly contain the single bucket, so its
+    # top-k recall can only match or beat the single probe's
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 3
+
+
+def test_multiprobe_nonempty_when_base_bucket_empty(spark):
+    from ml_pipelines_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_multiprobe_topk,
+    )
+
+    # One plane: bucket is '1' iff dot >= 0. All data on the negative
+    # side, query on the positive side — the base bucket is empty, the
+    # flip-1 neighbor holds everything.
+    planes = [[1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [-1.0, 0.2]), (2, [-2.0, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [1.0, 0.0]
+    assert ann_lsh_topk(df, qv, 5, planes).count() == 0
+    assert ann_multiprobe_topk(df, qv, 5, planes).count() == 2
