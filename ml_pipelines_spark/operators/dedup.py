@@ -8,12 +8,12 @@ built Spark-first.
 
 Design choices for scale and verifiability:
 
-- All hashing is **md5-based** (lexicographic min over hex strings for
-  MinHash, hex-digit bits for SimHash). md5 is available in every engine,
-  so each construction has an exact SQL twin for oracle checking, and
-  results are independent of cluster size, partitioning, and Spark
-  version — a property MLlib's MinHashLSH (private per-version hash
-  coefficients) cannot give.
+- All hashing is **md5-derived** (a universal-hash permutation family
+  over int(md5[:7], 16) for MinHash, hex-digit bits for SimHash). md5 is
+  available in every engine, so each construction has an exact SQL twin
+  for oracle checking, and results are independent of cluster size,
+  partitioning, and Spark version — a property MLlib's MinHashLSH
+  (private per-version hash coefficients) cannot give.
 - Candidate generation is banded LSH: shuffle volume is
   O(docs × bands), never O(docs²). Exact verification runs only on
   LSH candidates.
@@ -24,6 +24,7 @@ Design choices for scale and verifiability:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -61,28 +62,65 @@ def fingerprint_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFr
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
+# Universal-hash permutation family (the datasketch construction, sized
+# for exact 64-bit arithmetic): each shingle gets ONE 28-bit base hash
+# h = int(md5[:7], 16); permutation i is (a_i·h + b_i) mod p with
+# p = 2^31-1 prime and per-permutation constants from a seeded RNG.
+# a_i < p and h < 2^28 keep a_i·h + b_i < 2^59 — exact in a bigint on
+# any engine. One md5 per shingle instead of one per permutation is the
+# performance point (the signature aggregation is md5-bound at corpus
+# scale); INDEPENDENT per-permutation constants are the correctness
+# point — a shared-hash linear family (h1 + i·h2) makes consecutive
+# permutations correlated, and banded LSH collision rates blow up ~50×.
+MERSENNE_P = (1 << 31) - 1
+
+
+def cw_constants(num_perm: int, seed: int = 99) -> tuple[list[int], list[int]]:
+    """Per-permutation (a_i, b_i) constants, seeded — embedded as plan
+    literals in Spark and as literal arrays in the SQL oracle."""
+    rng = np.random.default_rng(seed)
+    a = [int(x) for x in rng.integers(1, MERSENNE_P, size=num_perm)]
+    b = [int(x) for x in rng.integers(0, MERSENNE_P, size=num_perm)]
+    return a, b
+
+
+def base_hash_expr(shingle: Column) -> Column:
+    """28-bit integer hash of a shingle: first 7 hex chars of md5,
+    parsed base-16. DuckDB twin:
+    ``CAST('0x' || substr(md5(sg), 1, 7) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+
+
+def perm_value_expr(h: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+
 def minhash_signature(text: Column, num_perm: int = 16, shingle_k: int = 3) -> Column:
-    """MinHash signature as array<string>: element i is the lexicographic
-    min of md5(i:shingle) over the document's word shingles.
+    """MinHash signature as array<bigint>: element i is
+    ``min over shingles of (a_i·h(s) + b_i) mod p`` (see module-level
+    family notes). Null for documents with no shingles.
 
-    A uniformly-hashed min over hex strings is a standard MinHash
-    permutation; using the hex string itself keeps it engine-portable.
-    Null for documents with no shingles.
-
-    The shingle array is let-bound so it is computed once per row, not
-    once per permutation (functions.text.let).
-    """
+    The base-hash array is let-bound so md5 runs once per shingle, not
+    once per permutation (functions.text.let)."""
+    a_consts, b_consts = cw_constants(num_perm)
     return let(
         F.array_distinct(word_shingles(text, k=shingle_k)),
         lambda sh: F.when(
             F.size(sh) > 0,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_perm - 1)),
-                lambda i: F.array_min(
-                    F.transform(
-                        sh,
-                        lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-                    )
+            let(
+                F.transform(sh, base_hash_expr),
+                lambda hs: F.array(
+                    *[
+                        F.array_min(
+                            F.transform(
+                                hs,
+                                lambda h: perm_value_expr(
+                                    h, a_consts[i], b_consts[i]
+                                ),
+                            )
+                        )
+                        for i in range(num_perm)
+                    ]
                 ),
             ),
         ),
@@ -90,15 +128,20 @@ def minhash_signature(text: Column, num_perm: int = 16, shingle_k: int = 3) -> C
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH band keys: md5 of each contiguous signature slice. Two docs
-    collide on a band iff that slice matches exactly."""
+    """LSH band keys: md5 of each contiguous signature slice (elements
+    rendered base-10, '|'-joined). Two docs collide on a band iff that
+    slice matches exactly."""
     return let(
         signature,
         lambda sig: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.md5(
                 F.concat_ws(
-                    "|", F.slice(sig, b * rows_per_band + 1, rows_per_band)
+                    "|",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
                 )
             ),
         ),
@@ -192,14 +235,19 @@ def minhash_lsh_pairs(
         raise ValueError("threshold must be > 0")
     rows_per_band = num_perm // bands
     sh = shingle_sets(df, id_col, text_col, shingle_k)
-    # sizes + signature in one shuffle: min() over md5 per permutation is
-    # exactly the expression-level minhash_signature, computed aggregate-
-    # style (partial min on the map side).
+    # sizes + signature in one shuffle: min((a_i·h + b_i) mod p) per
+    # permutation is exactly the expression-level minhash_signature,
+    # computed aggregate-style (partial min on the map side). The base
+    # hash is projected ONCE per shingle row before the aggregation —
+    # one md5 per shingle instead of num_perm, the difference between a
+    # hash-bound and a shuffle-bound signature pass at corpus scale.
+    a_consts, b_consts = cw_constants(num_perm)
+    hashed = sh.select("id", base_hash_expr(F.col("shingle")).alias("h"))
     per_perm = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        F.min(perm_value_expr(F.col("h"), a_consts[i], b_consts[i])).alias(f"m{i}")
         for i in range(num_perm)
     ]
-    stats = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"), *per_perm)
+    stats = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"), *per_perm)
     sig = stats.select(
         "id", "set_size", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
     )

@@ -44,15 +44,33 @@ BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
 JACCARD_T = 0.8
 
+# Universal-hash permutation family (operators.dedup.cw_constants /
+# base_hash_expr): base hash h = int(md5(shingle)[:7], 16), permutation
+# i = (a_i*h + b_i) % (2^31-1) with seeded per-permutation constants —
+# embedded below as literal arrays, identical on both engines.
+from ..operators.dedup import MERSENNE_P as _P
+from ..operators.dedup import cw_constants as _cwc
+
+_A, _B = _cwc(NUM_PERM)
+_A_SQL = "[" + ", ".join(str(x) for x in _A) + "]"
+_B_SQL = "[" + ", ".join(str(x) for x in _B) + "]"
+
 _SIG_CTE = f"""
-    sig AS (
+    hs AS (
         SELECT doc_id,
-               list_transform(generate_series(0, {NUM_PERM - 1}),
-                   i -> list_aggregate(
-                            list_transform(s, sg -> md5(CAST(i AS VARCHAR) || ':' || sg)),
-                            'min')) AS sig,
+               list_transform(s, sg -> CAST(('0x' || substr(md5(sg), 1, 7)) AS BIGINT)) AS h,
                s
         FROM sh WHERE len(s) > 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, {NUM_PERM}),
+                   i -> list_aggregate(
+                            list_transform(h,
+                                hh -> (({_A_SQL})[i] * hh + ({_B_SQL})[i]) % {_P}),
+                            'min')) AS sig,
+               s
+        FROM hs
     )
 """
 
@@ -123,7 +141,9 @@ def minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band slices, same candidate semantics — pair sets must match exactly.
 # ---------------------------------------------------------------------------
 _BAND_KEYS = ", ".join(
-    f"md5(array_to_string(sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], '|')) AS bk{b}"
+    f"md5(array_to_string(list_transform("
+    f"sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], "
+    f"v -> CAST(v AS VARCHAR)), '|')) AS bk{b}"
     for b in range(BANDS)
 )
 _BAND_UNION = " UNION ALL ".join(

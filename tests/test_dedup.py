@@ -49,3 +49,77 @@ def test_decontaminate_drops_flagged(spark):
     kept = decontaminate(train, ev, "doc_id", "text", shingle_k=5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# Skew robustness: the max_doc_freq stop-shingle guard under a
+# pathological corpus where one phrase appears in EVERY document.
+# ---------------------------------------------------------------------------
+def _skewed_corpus(spark, n_docs=200):
+    # Every doc shares the same boilerplate (its shingles hit all 200
+    # docs — the classic web-corpus footer); each doc also has unique
+    # content, except 190/191 which are genuine near-duplicates.
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = []
+    for i in range(n_docs):
+        if i == 191:
+            body = f"unique payload {190} alpha beta gamma delta epsilon zeta eta theta"
+        else:
+            body = f"unique payload {i} alpha beta gamma delta epsilon zeta eta theta"
+        rows.append((i, boiler + " " + body))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_max_doc_freq_bounds_shingle_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.dedup import shingle_sets
+
+    docs = _skewed_corpus(spark)
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # the boilerplate shingles really are pathological: present in all docs
+    assert freq.agg(F.max("df")).collect()[0][0] == 200
+    hot = freq.filter(F.col("df") > 20).select("shingle")
+    kept = sh.join(hot, "shingle", "left_anti")
+    kept_freq = kept.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # post-guard, no shingle joins more than max_doc_freq docs, so the
+    # worst self-join key fans out <= max_doc_freq^2 pairs, not n_docs^2
+    assert kept_freq.agg(F.max("df")).collect()[0][0] <= 20
+
+
+def test_jaccard_pairs_guard_join_volume_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.dedup import jaccard_pairs, shingle_sets
+
+    docs = _skewed_corpus(spark)
+    # Unguarded: the all-docs boilerplate makes every doc pair a
+    # candidate — O(n^2) intersection rows. Guarded: only genuinely
+    # overlapping uniques meet.
+    guarded = jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_k=3, max_doc_freq=20
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    # the planted near-dup pair survives the guard (their shared
+    # payload shingles are rare, so they still intersect)
+    assert (190, 191) in pairs
+    # and the boilerplate-only pairs are gone
+    assert len(pairs) == 1
+
+    # join-volume bound, measured not asserted-by-faith: the intersect
+    # join's left input (post-guard shingles) carries no shingle with
+    # fanout > max_doc_freq, so the worst key produces <= 20*20 rows.
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    hot = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 20).select("shingle")
+    )
+    kept = sh.join(hot, "shingle", "left_anti")
+    joined = (
+        kept.alias("a").join(kept.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    # total pair-rows produced by the guarded join stays linear-ish:
+    # for this corpus every unique shingle appears in <= 2 docs
+    assert joined.count() <= 2000

@@ -54,3 +54,37 @@ def test_coco_records_no_global_data_window(spark, sf_dir):
     plan = _plan(QUERIES["coco_records"](spark, sf_dir))
     windows = len(re.findall(r"\bWindow\b", plan))
     assert windows <= 4, f"expected <=4 Window nodes, got {windows}"
+
+
+def test_minhash_band_join_reuses_one_exchange(spark, sf_dir):
+    """The banded LSH self-join must shuffle the banded rows ONCE and
+    feed both sides from the same exchange (ReusedExchange) — two
+    independent re-derivations of the shingle → signature → band
+    pipeline would double the most expensive pass."""
+    from ml_pipelines_spark.queries import QUERIES
+
+    df = QUERIES["minhash_near_dup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "InMemoryTableScan" in plan
+
+
+def test_minhash_signature_single_md5_per_shingle(spark):
+    """The signature aggregation hashes each shingle ONCE (base hash)
+    and derives all permutations arithmetically — the optimized plan
+    must contain exactly one md5 call, not one per permutation."""
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.dedup import (
+        base_hash_expr,
+        cw_constants,
+        perm_value_expr,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "shingle"])
+    A, B = cw_constants(16)
+    hashed = df.select("id", base_hash_expr(F.col("shingle")).alias("h"))
+    agg = hashed.groupBy("id").agg(
+        *[F.min(perm_value_expr(F.col("h"), A[i], B[i])).alias(f"m{i}") for i in range(16)]
+    )
+    optimized = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 1, optimized
