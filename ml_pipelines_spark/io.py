@@ -253,7 +253,11 @@ def read_ns_timestamp_table(
 
 
 def read_timestamp_table(
-    spark: SparkSession, path: str, schema: StructType, ts_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    ts_cols: list[str],
+    units: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read a parquet table with timestamp columns of UNKNOWN unit.
 
@@ -262,9 +266,25 @@ def read_timestamp_table(
     everything else (s/ms/us, which Spark reads natively) is a plain
     schema-pinned scan. This is the round-3 fix for VERDICT.md §wrong #1 —
     never assume the unit, read it.
+
+    ``units``: explicit per-column unit override ({col: 's'|'ms'|'us'|'ns'})
+    for paths the driver cannot probe (remote filesystems without a local
+    pyarrow binding). When the path is UNPROBEABLE and no override is
+    given, this raises instead of guessing: with nanosAsLong set
+    session-wide, silently falling back to a plain read against a
+    genuinely-ns table would produce a failed or corrupt scan (ADVICE
+    round 3). Probes are memoized per path — call
+    ``parquet_timestamp_units.cache_clear()`` if a file is regenerated
+    in-process.
     """
-    units = parquet_timestamp_units(path)
-    ns_cols = [c for c in ts_cols if units.get(c) == "ns"]
+    probed = units if units is not None else parquet_timestamp_units(path)
+    if not probed and ts_cols and units is None:
+        raise ValueError(
+            f"cannot probe timestamp units of {path!r} (remote or empty "
+            f"path?) and ts_cols={ts_cols} declared — pass units= "
+            "explicitly instead of letting the reader guess"
+        )
+    ns_cols = [c for c in ts_cols if probed.get(c) == "ns"]
     if ns_cols:
         return read_ns_timestamp_table(spark, path, schema, ns_cols)
     return read_table(spark, path, schema)

@@ -35,19 +35,57 @@ from pyspark.sql.types import (
 FAUD_MAGIC = b"FAUD"
 _AHEADER = struct.Struct(">4sII")  # magic, sample_rate, n_samples
 
+# Real-codec seam, mirroring operators.images: soundfile is selected by
+# import-availability. When present, real WAV/FLAC/OGG bytes decode;
+# when absent (this container), they are detected and rejected with the
+# documented NotImplementedError while FAUD keeps the Spark plumbing
+# exercisable. tests/test_audio.py::test_real_codec_seam asserts
+# whichever branch the environment provides.
+try:  # pragma: no cover - environment-dependent branch
+    import soundfile as _soundfile
 
-def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
-    """int16 PCM → FAUD blob."""
+    HAS_SOUNDFILE = True
+except ImportError:  # pragma: no cover
+    _soundfile = None
+    HAS_SOUNDFILE = False
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int, fmt: str = "faud") -> bytes:
+    """int16 PCM → blob. ``fmt='faud'`` is the deterministic stand-in;
+    ``'wav'``/``'flac'`` use soundfile when available."""
     pcm = np.asarray(samples, dtype=">i2")
-    return _AHEADER.pack(FAUD_MAGIC, sample_rate, len(pcm)) + pcm.tobytes()
+    if fmt == "faud":
+        return _AHEADER.pack(FAUD_MAGIC, sample_rate, len(pcm)) + pcm.tobytes()
+    if not HAS_SOUNDFILE:
+        raise NotImplementedError(
+            f"STUB: encoding {fmt!r} requires soundfile, which is not "
+            "installed in this container. FAUD is the available fallback."
+        )
+    import io
+
+    buf = io.BytesIO()
+    _soundfile.write(
+        buf, np.asarray(samples, dtype=np.int16), sample_rate, format=fmt.upper()
+    )
+    return buf.getvalue()
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """FAUD blob → (int16 samples, sample_rate). Rejects real audio
-    containers explicitly (no codec libs in this environment)."""
+    """Audio blob → (int16 samples, sample_rate). FAUD decodes natively;
+    real containers decode via soundfile when available and raise the
+    documented NotImplementedError otherwise."""
     head = bytes(data[: _AHEADER.size])
     if head[:4] != FAUD_MAGIC:
         if head[:4] in (b"RIFF", b"fLaC", b"OggS") or head[:3] == b"ID3":
+            if HAS_SOUNDFILE:
+                import io
+
+                samples, rate = _soundfile.read(
+                    io.BytesIO(bytes(data)), dtype="int16"
+                )
+                if samples.ndim > 1:  # downmix to mono, reference-style
+                    samples = samples.mean(axis=1).astype(np.int16)
+                return samples, int(rate)
             raise NotImplementedError(
                 "real audio codecs unavailable here — swap decode_audio "
                 "for a soundfile-backed implementation in production"

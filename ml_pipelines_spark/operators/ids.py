@@ -89,6 +89,33 @@ def _cut_points(
     return bounds[: parts - 1]
 
 
+def _bucket_expr(order_cols: list[str], bounds: list):
+    """Bucket index = number of cut points <= the row's key, evaluated
+    as a BALANCED ``when`` tree — a per-row binary search over the bound
+    literals. The naive linear fold (sum of P-1 struct comparisons per
+    row) is O(P) per row and was the dominant cost of the whole id
+    assignment at P=32 already; the tree is O(log P) comparisons, so
+    cranking shuffle partitions to cluster scale doesn't move per-row
+    cost. Monotone and a pure function of row data, preserving the
+    branch-agreement property the module docstring relies on."""
+    key = F.struct(*order_cols)
+
+    def lit_bound(b):
+        return F.struct(*[F.lit(v).alias(c) for v, c in zip(b, order_cols)])
+
+    def tree(lo: int, hi: int):
+        # number of bounds[0:] <= key, restricted to slice [lo, hi)
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(key >= lit_bound(bounds[mid]), tree(mid + 1, hi))
+            .otherwise(tree(lo, mid))
+        )
+
+    return tree(0, len(bounds))
+
+
 def dense_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -96,6 +123,7 @@ def dense_ids(
     start: int = 0,
     num_partitions: int | None = None,
     sample_from: DataFrame | None = None,
+    counts_from: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``id_col`` with dense ids ``start, start+1, ...`` in
     ``order_cols`` order, without a single-task pass over the data.
@@ -106,6 +134,14 @@ def dense_ids(
     join subtree). Correctness never depends on where the cut points
     come from, only balance does; any DataFrame containing ``order_cols``
     with roughly the final key distribution works.
+
+    ``counts_from``: optional cheaper source for the bucket-count
+    aggregation. UNLIKE ``sample_from`` this one is load-bearing: it
+    must contain exactly the same multiset of ``order_cols`` tuples as
+    ``df`` (e.g. the pre-join input when the join provably drops no
+    rows), or ids will be wrong. The payoff is that the counts branch
+    scans the narrow source instead of re-executing ``df``'s whole
+    subtree (joins included) a second time.
     """
     spark = df.sparkSession
     parts = num_partitions or int(
@@ -113,13 +149,7 @@ def dense_ids(
     )
     bounds = _cut_points(sample_from if sample_from is not None else df,
                          order_cols, parts)
-    key = F.struct(*order_cols)
-    bucket = F.lit(0)
-    for b in bounds:
-        bound_lit = F.struct(
-            *[F.lit(v).alias(c) for v, c in zip(b, order_cols)]
-        )
-        bucket = bucket + F.when(key >= bound_lit, 1).otherwise(0)
+    bucket = _bucket_expr(order_cols, bounds)
     keyed = df.withColumn("__bkt", bucket)
 
     # Bucket offsets come from a COUNT aggregation over the bucketed
@@ -130,8 +160,13 @@ def dense_ids(
     # made the subtrees differ). One full window pass instead of two.
     # The cumulative-sum window below runs over <= `parts` rows — a
     # bounded dictionary, never data.
+    counts_src = (
+        counts_from.select(*order_cols).withColumn("__bkt", bucket)
+        if counts_from is not None
+        else keyed
+    )
     offsets = (
-        keyed.groupBy("__bkt")
+        counts_src.groupBy("__bkt")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .select(
             "__bkt",

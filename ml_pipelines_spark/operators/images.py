@@ -43,29 +43,72 @@ from pyspark.sql.types import (
 FIMG_MAGIC = b"FIMG"
 _HEADER = struct.Struct(">4sHHBB")  # magic, width, height, channels, orientation
 
+# Real-codec seam: PIL is selected by import-availability. When present,
+# decode_image/encode_image handle actual JPEG/PNG bytes (EXIF
+# orientation included — CvatApi.py:223-239 semantics); when absent (this
+# container), real formats are *detected* and rejected with a
+# clearly-marked NotImplementedError while the deterministic FIMG codec
+# keeps every Spark-side signature, schema, and test exercisable. The
+# swap is proven by tests/test_images.py::test_real_codec_seam, which
+# asserts whichever branch the environment provides.
+try:  # pragma: no cover - which branch runs depends on the environment
+    from PIL import Image as _PILImage
 
-# ---------------------------------------------------------------------------
-# Deterministic fake codec (documented stand-in for PIL/libjpeg)
-# ---------------------------------------------------------------------------
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _PILImage = None
+    HAS_PIL = False
 
-def encode_image(pixels: np.ndarray, orientation: int = 1) -> bytes:
-    """Encode an (h, w) or (h, w, c) uint8 array as FIMG bytes."""
+_EXIF_ORIENTATION_TAG = 274
+
+
+def encode_image(
+    pixels: np.ndarray, orientation: int = 1, fmt: str = "fimg"
+) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 array. ``fmt='fimg'`` is the
+    deterministic stand-in; ``'png'``/``'jpeg'`` use PIL when available
+    (orientation metadata is only representable in the FIMG header and
+    EXIF-capable formats; PNG ignores it)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, c = pixels.shape
-    return _HEADER.pack(FIMG_MAGIC, w, h, c, orientation) + pixels.astype(
-        np.uint8
-    ).tobytes()
+    if fmt == "fimg":
+        return _HEADER.pack(FIMG_MAGIC, w, h, c, orientation) + pixels.astype(
+            np.uint8
+        ).tobytes()
+    if not HAS_PIL:
+        raise NotImplementedError(
+            f"STUB: encoding {fmt!r} requires PIL, which is not installed "
+            "in this container. FIMG is the available fallback."
+        )
+    import io
+
+    arr = pixels.astype(np.uint8)
+    img = _PILImage.fromarray(arr[:, :, 0] if c == 1 else arr)
+    buf = io.BytesIO()
+    img.save(buf, format=fmt.upper())
+    return buf.getvalue()
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode FIMG bytes → ((h, w, c) uint8 array, orientation).
+    """Decode image bytes → ((h, w, c) uint8 array, EXIF orientation).
 
-    Real image formats are *detected* but not decodable in this container:
-    """
+    FIMG decodes natively; JPEG/PNG decode via PIL when available and
+    raise the documented NotImplementedError otherwise."""
     head = bytes(data[:4])
     if head != FIMG_MAGIC:
         if head[:3] == b"\xff\xd8\xff" or head == b"\x89PNG":
+            if HAS_PIL:
+                import io
+
+                img = _PILImage.open(io.BytesIO(bytes(data)))
+                orientation = int(
+                    img.getexif().get(_EXIF_ORIENTATION_TAG, 1)
+                )
+                px = np.asarray(img, dtype=np.uint8)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                return px.copy(), orientation
             raise NotImplementedError(
                 "STUB: real JPEG/PNG decode requires PIL/libjpeg, which is "
                 "not installed in this container. Swap decode_image/"

@@ -91,28 +91,33 @@ _REPORT_COLS = ["constraint", "violations", "total", "passed"]
 
 
 def validate(
-    df: DataFrame, suite: Suite, broadcast_parents: bool = True
+    df: DataFrame, suite: Suite, broadcast_parents: bool | None = None
 ) -> DataFrame:
     """Run the suite; returns (constraint, violations, total, passed).
 
     Row-level checks AND foreign-key checks share ONE aggregation pass
-    over ``df``: each foreign key becomes a broadcast left join against
-    the distinct parent key with a presence flag, and the orphan count is
-    just another conditional aggregate — so N row checks + M foreign keys
+    over ``df``: each foreign key becomes a presence-flag left join
+    against the distinct parent key, and the orphan count is just
+    another conditional aggregate — so N row checks + M foreign keys
     cost a single scan. Each uniqueness key still costs one groupBy
     (duplicate groups counted by their excess rows) — that shuffle is
     inherent to uniqueness.
 
-    ``broadcast_parents=False`` falls back to one left-anti join per
-    foreign key, for parents too large to broadcast (a fact-to-fact FK);
-    the default suits the normal case of dimension-sized parents.
+    ``broadcast_parents``: None (default) keeps the fused single-scan
+    shape but applies NO broadcast hint — Spark/AQE picks the join
+    strategy from the parent's size estimate, so a dimension-sized
+    parent broadcasts and a fact-sized one shuffles instead of OOMing
+    the driver (ADVICE round 3; an unconditional hint overrode that
+    safety). True forces the broadcast hint for parents Spark
+    under-estimates; False falls back to one left-anti join per foreign
+    key (no flag columns ride the scan at all).
     """
     spark = df.sparkSession
     reports: list[DataFrame] = []
 
     fused_fks: list[tuple[int, list[str]]] = []
     probe = df
-    if broadcast_parents:
+    if broadcast_parents is not False:
         for i, (cols, parent, parent_cols) in enumerate(suite.foreign_keys):
             keys = parent.select(
                 *[
@@ -120,10 +125,12 @@ def validate(
                     for j, p in enumerate(parent_cols)
                 ]
             ).distinct().withColumn(f"__fk{i}", F.lit(1))
+            if broadcast_parents:
+                keys = F.broadcast(keys)
             cond = F.lit(True)
             for j, c in enumerate(cols):
                 cond = cond & (F.col(c) == F.col(f"__fk{i}_{j}"))
-            probe = probe.join(F.broadcast(keys), cond, "left").drop(
+            probe = probe.join(keys, cond, "left").drop(
                 *[f"__fk{i}_{j}" for j in range(len(parent_cols))]
             )
             fused_fks.append((i, cols))
@@ -186,7 +193,7 @@ def validate(
         )
 
     for cols, parent, parent_cols in (
-        [] if broadcast_parents else suite.foreign_keys
+        [] if broadcast_parents is not False else suite.foreign_keys
     ):
         child = df.select(
             *[F.col(c).alias(p) for c, p in zip(cols, parent_cols)]

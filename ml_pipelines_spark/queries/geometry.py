@@ -170,14 +170,25 @@ def yolo_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rect can never exceed the axis-aligned envelope's area. The oracle pins
 # both booleans TRUE per vec_id; a kernel bug (wrong orientation, wrong
 # corner order, lost point, inflated box) flips one and fails the hash.
+# The aabb_area column upgrades part of the check to a true cross-engine
+# value oracle: DuckDB recomputes the envelope area from the raw points.
 # Full numeric outputs remain property-tested in tests/test_geometry.py.
 # Reference: rbb_coco_from_seg COCOUtils.py:8-15 et seq.
 # ---------------------------------------------------------------------------
 @query(
     "rbb_from_seg",
-    """
-    SELECT vec_id, TRUE AS contains_all_points, TRUE AS area_le_aabb
-    FROM embeddings
+    "WITH " + _SEG_SQL + """
+    , xs AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i-1]) AS x,
+               list_transform(generate_series(1, len(s) // 2), i -> s[2*i]) AS y
+        FROM seg
+    )
+    SELECT vec_id, TRUE AS contains_all_points, TRUE AS area_le_aabb,
+           ROUND((list_aggregate(x, 'max') - list_aggregate(x, 'min'))
+                 * (list_aggregate(y, 'max') - list_aggregate(y, 'min')), 4)
+               AS aabb_area
+    FROM xs
     """,
 )
 def rbb_from_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,8 +216,14 @@ def rbb_from_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (v >= y - eps) & (v <= y + h + eps)
         )
     aabb_area = F.element_at("coco", 3) * F.element_at("coco", 4)
+    # aabb_area is a genuine CROSS-ENGINE anchor (ADVICE round 3): the
+    # oracle recomputes the envelope area from the raw points in SQL, so
+    # the kernel's point-reading convention and envelope math are
+    # value-checked across engines — only the rotated fit itself remains
+    # a self-check invariant (plus tests/test_geometry.py properties).
     return df.select(
         "vec_id",
         contains.alias("contains_all_points"),
         (w * h <= aabb_area * (1 + 1e-9) + eps).alias("area_le_aabb"),
+        F.round(aabb_area, 4).alias("aabb_area"),
     )

@@ -729,8 +729,13 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the HLL estimate (rsd=0.02) and the exact distinct and emits
     ``approx_within_5pct``; the oracle emits literal TRUE. A sketch
     drifting past ±5% flips the boolean and fails the hash compare.
-    The exact countDistinct exists only to power this self-check — a
-    production rollup keeps just the O(1)-memory sketch.
+    The exact countDistinct exists only to power this self-check — it
+    roughly doubles this verification query's aggregation cost, which is
+    why it is NOT in the bench headline set. A production rollup keeps
+    just the O(1)-memory sketch::
+
+        ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02))
     """
     ev = t(spark, sf_dir, "events")
     exact = F.countDistinct("user_id")

@@ -99,25 +99,77 @@ def coco_annotations(
     ids, for datalake-scale image tables where neither would fit.
     """
     order_cols = order_cols or ["image_name", "category"]
-    img = coco_images(images, distributed=not broadcast_images).select(
-        "image_name", "image_id"
-    )
-    img_ids = F.broadcast(img) if broadcast_images else img
     cats = F.broadcast(coco_categories(anno))
-    joined = (
-        anno.join(img_ids, "image_name", "inner")
-        .join(cats, anno["category"] == cats["name"], "inner")
-        .drop("name")
-    )
-    # The inner joins only drop annotations whose image/category is
-    # missing (none, by construction in well-formed exports), so the
-    # pre-join anno side has the final key distribution — sample cut
-    # points there and skip re-executing the join subtree (including the
-    # image-id assignment) for the sample job.
-    sample_src = anno if all(c in anno.columns for c in order_cols) else None
-    out = dense_ids(
-        joined, order_cols, id_col="anno_id", sample_from=sample_src
-    ).withColumn("iscrowd", F.lit(0))
+    if broadcast_images and order_cols[0] == "image_name":
+        # Fused per-image scheme for the broadcast regime. anno ids are
+        # image-major (order_cols starts with image_name), so the global
+        # dense id decomposes into (per-image offset) + (rank within
+        # image). Everything per-image rides the image DIMENSION, which
+        # is broadcast-sized by assumption:
+        #   1. one narrow 1-column aggregation counts annos per image
+        #      (map-side partial agg; lossless-join contract as below);
+        #   2. ONE single-task window over the dimension assigns
+        #      image_id AND the running anno offset together (same sort,
+        #      one Window operator);
+        #   3. one broadcast join delivers image_id + offset to the fact
+        #      side, and the anno rank is a window PARTITIONED BY
+        #      image_name — max task = max annos per image, so skew is
+        #      bounded by the corpus shape, never by id-range buckets.
+        # vs. the generic dense_ids path this removes the cut-point
+        # sample job, the per-row bucket search, the separate offsets
+        # aggregation, and one broadcast join from every execution.
+        counts = anno.groupBy("image_name").agg(F.count(F.lit(1)).alias("__n"))
+        wdim = Window.orderBy("image_name")
+        dim = (
+            images.select("image_name")
+            .join(counts, "image_name", "left")
+            .fillna(0, subset=["__n"])
+            .select(
+                "image_name",
+                (F.row_number().over(wdim) - 1).cast("int").alias("image_id"),
+                (F.sum("__n").over(wdim) - F.col("__n") - 1).alias("__off"),
+            )
+        )
+        wloc = Window.partitionBy("image_name").orderBy(*order_cols[1:])
+        out = (
+            anno.join(F.broadcast(dim), "image_name", "inner")
+            .join(cats, anno["category"] == cats["name"], "inner")
+            .drop("name")
+            .withColumn(
+                "anno_id",
+                (F.col("__off") + F.row_number().over(wloc)).cast("int"),
+            )
+            .drop("__n", "__off")
+            .withColumn("iscrowd", F.lit(0))
+        )
+    else:
+        img = coco_images(images, distributed=not broadcast_images).select(
+            "image_name", "image_id"
+        )
+        img_ids = F.broadcast(img) if broadcast_images else img
+        joined = (
+            anno.join(img_ids, "image_name", "inner")
+            .join(cats, anno["category"] == cats["name"], "inner")
+            .drop("name")
+        )
+        # The inner joins only drop annotations whose image/category is
+        # missing — none, by construction in well-formed exports (the
+        # category dictionary is derived FROM anno, so that join is
+        # lossless by definition; the image side is the export
+        # contract). The pre-join anno side therefore has the final key
+        # multiset exactly: both the cut-point sample job AND the
+        # bucket-count aggregation run against the narrow order columns
+        # instead of re-executing the join subtree (broadcast builds
+        # included) a second time.
+        pre = (
+            anno.select(*order_cols)
+            if all(c in anno.columns for c in order_cols)
+            else None
+        )
+        out = dense_ids(
+            joined, order_cols, id_col="anno_id",
+            sample_from=pre, counts_from=pre,
+        ).withColumn("iscrowd", F.lit(0))
     area = (F.element_at("rcoco", 3) * F.element_at("rcoco", 4)).alias("area")
     if odtk:
         out = out.select(

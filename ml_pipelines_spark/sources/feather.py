@@ -73,9 +73,25 @@ def read_feather(
     from pyspark.sql.pandas.types import from_arrow_schema
 
     files = _expand_paths(paths)
-    # One driver-side footer probe pins the schema (O(KB) at any scale).
-    probe = feather.read_table(files[0], columns=columns, memory_map=True)
-    arrow_schema = probe.schema
+    # One driver-side FOOTER-ONLY probe pins the schema. pa.ipc.open_file
+    # reads just the footer/metadata of an Arrow-file (feather v2) blob —
+    # a zstd-compressed multi-GB snapshot costs O(KB) here, where
+    # feather.read_table would decompress the whole file into driver
+    # memory (memory_map only helps uncompressed files). Feather v1
+    # (legacy) has no Arrow-file footer; fall back to a full read for
+    # that format only.
+    try:
+        with pa.memory_map(files[0]) as source:
+            arrow_schema = pa.ipc.open_file(source).schema
+    except pa.ArrowInvalid:  # legacy feather v1
+        arrow_schema = feather.read_table(
+            files[0], columns=columns, memory_map=True
+        ).schema
+    else:
+        if columns is not None:
+            arrow_schema = pa.schema(
+                [arrow_schema.field(c) for c in columns]
+            )
     spark_schema = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
 
     parallelism = spark.sparkContext.defaultParallelism

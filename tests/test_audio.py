@@ -69,3 +69,31 @@ def test_silence_and_short_clips(spark):
     # short clip (< frame_len) contributes no frames; silence has rms 0
     assert {r["clip_id"] for r in feats} == {1}
     assert all(r["rms"] == 0.0 and r["zero_crossings"] == 0 for r in feats)
+
+
+def test_real_codec_seam():
+    """soundfile seam — same contract as the image seam: real WAV bytes
+    round-trip when the library exists, documented NotImplementedError
+    otherwise."""
+    import numpy as np
+    import pytest
+
+    from ml_pipelines_spark.operators.audio import (
+        HAS_SOUNDFILE,
+        decode_audio,
+        encode_audio,
+    )
+
+    riff_head = b"RIFF" + b"\x00" * 40
+    if not HAS_SOUNDFILE:
+        with pytest.raises(NotImplementedError):
+            decode_audio(riff_head)
+        with pytest.raises(NotImplementedError):
+            encode_audio(np.zeros(8, dtype=np.int16), 16000, fmt="wav")
+        return
+    samples = (np.sin(np.linspace(0, 20, 800)) * 1000).astype(np.int16)
+    data = encode_audio(samples, 16000, fmt="wav")
+    assert bytes(data[:4]) == b"RIFF"
+    out, rate = decode_audio(data)
+    assert rate == 16000
+    assert np.array_equal(out, samples)

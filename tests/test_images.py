@@ -176,3 +176,34 @@ class TestSparkPlumbing:
 @pytest.mark.parametrize("name", ["image_meta_decode", "image_exif_normalize"])
 def test_oracle_parity(spark, sf_dir, name):
     assert check_query(spark, sf_dir, name) == []
+
+
+def test_real_codec_seam():
+    """The PIL seam is proven in BOTH environments: with PIL installed,
+    real PNG bytes round-trip through decode_image (orientation default
+    1); without it, the documented NotImplementedError fires. Either
+    way the dispatch itself is exercised — the production swap is an
+    environment change, not a code change."""
+    import numpy as np
+    import pytest
+
+    from ml_pipelines_spark.operators.images import (
+        HAS_PIL,
+        decode_image,
+        encode_image,
+        synth_pixels,
+    )
+
+    jpeg_head = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(jpeg_head)
+        with pytest.raises(NotImplementedError):
+            encode_image(synth_pixels(4, 4), fmt="png")
+        return
+    px = synth_pixels(6, 4, channels=3)
+    data = encode_image(px, fmt="png")
+    assert bytes(data[:4]) == b"\x89PNG"
+    out, orientation = decode_image(data)
+    assert orientation == 1
+    assert np.array_equal(out, px)
