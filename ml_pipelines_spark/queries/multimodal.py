@@ -116,3 +116,81 @@ def image_exif_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_meta(with_sum, "image_bytes").select(
         "vec_id", "width", "height", "orientation", "pix_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling: every embeddings row becomes a multi-frame FVID
+# blob (concatenated FIMG frames; frame count and per-frame dims are
+# closed-form functions of vec_id), sample_frames keeps every 2nd frame
+# inside mapInPandas, and each sampled frame is decoded back to typed
+# metadata + a pixel checksum. The oracle enumerates the same sampled
+# (vec_id, frame_idx) grid and recomputes dims and pixel sums from the
+# synth_pixels closed form — a full cross-engine value check of the
+# encode → frame-iterate → sample → decode path.
+# ---------------------------------------------------------------------------
+def synth_videos_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FVID clip per embeddings row: n_frames = 4 + vec_id % 3,
+    frame j is (8 + (vec_id + j) % 5) x (6 + j % 3) with
+    seed = 10 * vec_id + j."""
+    from ..operators.images import encode_video
+
+    base = t(spark, sf_dir, "embeddings").select("vec_id")
+    schema = StructType(
+        [StructField("vec_id", LongType()),
+         StructField("video_bytes", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid in pdf["vec_id"]:
+                v = int(vid)
+                frames = [
+                    synth_pixels(
+                        8 + (v + j) % 5, 6 + j % 3, channels=1,
+                        seed=10 * v + j,
+                    )
+                    for j in range(4 + v % 3)
+                ]
+                out.append((vid, encode_video(frames)))
+            yield pd.DataFrame(out, columns=["vec_id", "video_bytes"])
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+@query(
+    "video_frame_sample",
+    """
+    WITH frames AS (
+        SELECT vec_id, unnest(generate_series(0, 3 + vec_id % 3)) AS j
+        FROM embeddings
+    ),
+    sampled AS (SELECT vec_id, j FROM frames WHERE j % 2 = 0),
+    dims AS (
+        SELECT vec_id, j AS frame_idx,
+               8 + (vec_id + j) % 5 AS w,
+               6 + j % 3 AS h
+        FROM sampled
+    )
+    SELECT vec_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_aggregate(
+                    list_transform(generate_series(0, w * h - 1),
+                                   i -> (31 * i + 7 * (10 * vec_id + frame_idx)) % 251),
+                    'sum') AS BIGINT) AS pix_sum
+    FROM dims
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import image_meta, pixel_checksum, sample_frames
+
+    vids = synth_videos_df(spark, sf_dir)
+    frames = sample_frames(vids, every_k=2, video_col="video_bytes")
+    with_sum = pixel_checksum(frames, "image_bytes")
+    return image_meta(with_sum, "image_bytes").select(
+        "vec_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        "pix_sum",
+    )
