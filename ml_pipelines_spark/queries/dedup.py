@@ -373,3 +373,73 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup vs a STORED fingerprint index — the end-to-end
+# maintenance path (init → admit batch 1 → admit batch 2 against the
+# index batch 1 wrote), value-checked cross-engine: the oracle replays
+# both batches declaratively (keep-first within batch 2, anti-join on
+# batch 1's fingerprint set). Batch 2 deliberately re-submits every
+# doc_id % 10 == 0 text under a new id, so cross-batch rejection is
+# exercised, not vacuous. Writes go to a fresh temp dir per invocation,
+# keeping the query deterministic and the driver's sf_dir untouched.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_dedup_batches",
+    """
+    WITH b1 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ),
+    b2 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp1 AS (
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM b1
+    ),
+    b2fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM b2
+    ),
+    first2 AS (
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM b2fp
+    )
+    SELECT doc_id, fp FROM first2
+    WHERE rn = 1 AND fp NOT IN (SELECT fp FROM fp1)
+    """,
+)
+def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.incremental import (
+        dedup_against_index,
+        init_fingerprint_index,
+    )
+    from ..functions.text import fingerprint as fp_expr
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    index_path = tempfile.mkdtemp(prefix="fp_index_")
+    try:
+        init_fingerprint_index(spark, index_path)
+        dedup_against_index(spark, index_path, b1)
+        admitted = dedup_against_index(spark, index_path, b2)
+        # admitted is eagerly checkpointed inside dedup_against_index, so
+        # the index files are no longer referenced by the returned plan.
+        return admitted.select("doc_id", fp_expr(F.col("text")).alias("fp"))
+    finally:
+        import shutil
+
+        shutil.rmtree(index_path, ignore_errors=True)
