@@ -35,6 +35,7 @@ from . import mixture  # noqa: E402,F401
 from . import validation  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import lm  # noqa: E402,F401
+from . import evolution  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50

@@ -1,0 +1,116 @@
+"""Maintenance-path queries: skew-salted join and schema-evolution read.
+
+Both wrap operators that previously had pytest-only evidence; these
+registry entries give them cross-engine value oracles. The salted join's
+contract IS result-equality with the plain join, so the oracle is simply
+the plain SQL join; the evolution reader writes two real file
+generations (renamed column, added column) to a temp dir and the oracle
+replays the reconciliation declaratively from the registered tables.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import t
+
+
+# ---------------------------------------------------------------------------
+# Salted join: factor-way salt spreading of the big side; result must be
+# row-identical to the unsalted join (the salt only reshapes the
+# physical shuffle). The oracle is the plain join — any salting bug
+# (lost rows, duplicated small side) breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_join_revenue",
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, on=["s_suppkey"], factor=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: generation 1 files carry (o_orderkey, price) — the
+# retired column name, no status; generation 2 carries the current
+# schema. evolve_read must present ONE uniform schema: rename mapped,
+# missing status defaulted. The oracle replays the same reconciliation
+# from the orders table directly.
+# ---------------------------------------------------------------------------
+@query(
+    "schema_evolution_read",
+    """
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN' ELSE o_orderstatus END
+               AS o_orderstatus
+    FROM orders
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..io import evolve_read
+
+    orders = t(spark, sf_dir, "orders")
+    out_dir = tempfile.mkdtemp(prefix="schema_evo_")
+    # The returned plan lazily reads these files, so the dir must outlive
+    # the query (cleaned at interpreter exit, not eagerly).
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    ).write.mode("overwrite").parquet(f"{out_dir}/gen=1")
+    orders.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{out_dir}/gen=2")
+
+    target = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderstatus", StringType()),
+        ]
+    )
+    df = evolve_read(
+        spark,
+        out_dir,
+        target,
+        renames={"price": "o_totalprice"},
+        defaults={"o_orderstatus": "UNKNOWN"},
+    )
+    return df.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
