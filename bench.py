@@ -55,6 +55,8 @@ HEADLINE = [
     "bloom_semi_join_revenue",
     "sequence_pack_docs",
     "ann_quantized_topk",
+    "ann_multiprobe_topk",
+    "video_frame_sample",
     "gopher_quality_flags",
     "decontaminate_train",
     "mixture_temperature_sample",

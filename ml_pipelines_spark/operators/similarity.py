@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 from pyspark.sql.window import Window
 
 
@@ -275,42 +275,106 @@ def _pair_dot_udf():
     return pair_dot
 
 
+def hyperplane_tables(
+    dim: int, n_tables: int, n_planes: int, seed: int = 13
+) -> list[list[list[float]]]:
+    """L independent hyperplane sets (one per hash table), seeded."""
+    return [
+        hyperplanes(dim, n_planes, seed=seed + 101 * t) for t in range(n_tables)
+    ]
+
+
+def _table_keys_udf(tables: list[list[list[float]]]):
+    """Arrow-batched bucket keys for ALL tables at once: one exact-fold
+    projection pass produces the L·b signs, assembled into L bit-string
+    keys per row. Expression-level ``lsh_bucket_expr`` evaluates L·b
+    interpreted dot folds PER ROW (28 at L=4, b=7 — it tripled the
+    query); here the fold is serial over dimensions but vectorized over
+    rows AND planes, preserving dot_expr's index-order float64
+    summation so sign decisions match the SQL oracle bit-for-bit."""
+    P = np.asarray(
+        [p for planes in tables for p in planes], dtype=np.float64
+    ).T  # (dim, L*b)
+    n_planes = len(tables[0])
+    n_tables = len(tables)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        acc = np.zeros((len(X), P.shape[1]))
+        for k in range(P.shape[0]):  # serial over dims = exact left fold
+            acc += X[:, k, None] * P[None, k, :]
+        bits = np.where(acc >= 0, "1", "0")
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    "".join(row[t * n_planes : (t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return keys
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
-    planes: list[list[float]],
+    tables: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE LSH
+    (OR-amplification): a pair is a candidate iff it collides in ANY of
+    the L independent b-bit tables; candidates dedup before ONE exact
+    cosine verification per pair.
 
-    Pairs are generated only within buckets (self-join on the bucket
-    key — shuffle O(N), pair work O(Σ bucket²) instead of O(N²)), then
-    verified with the exact cosine. Norms are computed once per ROW
-    before the join — per-pair work is one dot product, not three.
-    The per-pair dot runs in an Arrow-batched numpy UDF rather than the
-    expression-level ``aggregate``/``zip_with`` fold: higher-order
-    lambdas evaluate interpreted (outside whole-stage codegen), and the
-    pair phase is where volume explodes at scale — measured ~25% faster
-    at 127k pairs, identical values (the UDF preserves fold order).
+    Why L tables instead of one wide/narrow table: recall for a pair
+    with angle θ is 1-(1-p^b)^L with p = 1-θ/π. A single b=4 table (the
+    previous shape) verifies only p^4 — 54% even at cosine 0.9. L=4
+    tables of b=7 keep the SAME expected pair volume (L·N²/2^b vs
+    N²/2^4) while finding cosine-0.95 pairs with ~93% probability.
+    Both knobs are caller-visible, and at datalake scale each table's
+    bucket key is a partition/cluster key candidate.
+
+    Scale shape: bucket keys are computed once per row (one narrow
+    projection, L·b dot products in codegen), candidates come from L
+    per-table self-joins on (table, bucket) driven by ONE posexplode —
+    a single shuffle of L rows per vector — and the exact cosine runs
+    once per DISTINCT pair after semi-joining vectors back (the
+    Arrow-batched exact-fold dot of ``_pair_dot_udf``, see there).
     """
-    bucketed = emb.select(
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_table_keys_udf(tables)(F.col(vec_col))).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm_expr(F.col(vec_col)).alias("nrm"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    va = vecs.alias("va")
+    vb = vecs.alias("vb")
     return (
-        a.join(b, on="bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
+        cand.join(va, F.col("id_a") == F.col("va.id"))
+        .join(vb, F.col("id_b") == F.col("vb.id"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
-                _pair_dot_udf()(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
+                _pair_dot_udf()(F.col("va.vec"), F.col("vb.vec"))
+                / (F.col("va.nrm") * F.col("vb.nrm"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

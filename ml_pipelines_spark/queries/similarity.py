@@ -209,21 +209,52 @@ _PAIR_COS = (
     f"{_PAIR_DOT} / (sqrt({_sql_self_dot('a.vec')}) * sqrt({_sql_self_dot('b.vec')}))"
 )
 
+# Multi-table LSH (OR-amplification): L=4 independent 7-plane tables —
+# same expected pair volume as the old single 4-plane table, far better
+# recall (see operators.similarity.embedding_near_dup_pairs). The oracle
+# rebuilds the same L bucket keys from the same seeded plane literals,
+# unions the per-table collisions, and verifies distinct pairs exactly.
+from ..operators.similarity import hyperplane_tables as _hpt
+
+N_TABLES, N_PLANES = 4, 7
+TABLES = _hpt(DIM, N_TABLES, N_PLANES, seed=13)
+
+
+def _table_bucket_sql(vec_expr: str, planes) -> str:
+    bits = [
+        f"CASE WHEN {_sql_dot(vec_expr, _sql_vec(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return " || ".join(bits)
+
+
+_TABLE_UNION = " UNION ALL ".join(
+    f"SELECT {ti} AS table_idx, vec_id AS id, "
+    f"{_table_bucket_sql('embedding', planes)} AS bucket FROM embeddings"
+    for ti, planes in enumerate(TABLES)
+)
+
 @query(
     "embedding_near_dup",
     f"""
-    WITH bucketed AS (
-        SELECT vec_id AS id, embedding AS vec, {_bucket_sql('embedding')} AS bucket
-        FROM embeddings
-    )
-    SELECT a.id AS id_a, b.id AS id_b, ROUND({_PAIR_COS}, 6) AS cosine
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
+    WITH banded AS ({_TABLE_UNION}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+        WHERE a.id < b.id
+    ),
+    vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)
+    SELECT id_a, id_b, ROUND({_PAIR_COS}, 6) AS cosine
+    FROM cand
+    JOIN vecs a ON a.id = id_a
+    JOIN vecs b ON b.id = id_b
     WHERE {_PAIR_COS} >= {NEAR_DUP_T}
     """,
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=NEAR_DUP_T, planes=PLANES)
+    return embedding_near_dup_pairs(emb, threshold=NEAR_DUP_T, tables=TABLES)
 
 
 # ---------------------------------------------------------------------------

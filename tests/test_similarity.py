@@ -197,3 +197,35 @@ def test_multiprobe_nonempty_when_base_bucket_empty(spark):
     qv = [1.0, 0.0]
     assert ann_lsh_topk(df, qv, 5, planes).count() == 0
     assert ann_multiprobe_topk(df, qv, 5, planes).count() == 2
+
+
+def test_multitable_near_dup_recall_on_planted_pairs(spark):
+    """OR-amplification contract: with L=4 tables of 7 planes, planted
+    high-cosine pairs (~0.99) must be recovered with high recall — the
+    single-table b=4 shape this replaced verified only p^4 ≈ 54% of
+    cosine-0.9 pairs."""
+    import numpy as np
+
+    from ml_pipelines_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        hyperplane_tables,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 64))
+    rows = []
+    planted = set()
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 20:  # plant a near-duplicate of the first 20
+            dup = v + 0.05 * rng.standard_normal(64)
+            rows.append((1000 + i, [float(x) for x in dup]))
+            planted.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tables = hyperplane_tables(64, n_tables=4, n_planes=7, seed=13)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, 0.9, tables).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.85, f"planted-pair recall {recall}"
