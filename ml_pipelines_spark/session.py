@@ -46,6 +46,12 @@ _DEFAULT_CONF = {
     # at 100 TB bytesPerCore >> openCost, so the setting is inert there.
     "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # The generated-class cache defaults to 100 entries; a 40+-query
+    # suite evicts earlier queries' classes and forces multi-second
+    # recompiles on re-execution (observed: a 0.8s query spiking to
+    # ~7s late in the bench). 1000 entries holds the whole suite; the
+    # cache is weak-referenced bytecode, so the memory cost is small.
+    "spark.sql.codegen.cache.maxEntries": "1000",
     "spark.ui.enabled": "false",
 }
 
