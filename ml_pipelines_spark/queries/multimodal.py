@@ -194,3 +194,85 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "pix_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor resize: out pixel (y, x) samples in pixel
+# (y*h // out_h, x*w // out_w), so the resized checksum of a synth image
+# has a closed form the oracle evaluates directly — the resize kernel's
+# index math is value-checked cross-engine, per image.
+# ---------------------------------------------------------------------------
+_RESIZE_W, _RESIZE_H = 16, 12
+
+
+@query(
+    "image_resize_checksum",
+    "WITH " + _META_CLOSED_FORM + f"""
+    SELECT vec_id,
+           {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+           CAST(list_aggregate(
+                    list_transform(generate_series(0, {_RESIZE_H * _RESIZE_W} - 1),
+                        i -> (31 * (((i // {_RESIZE_W}) * height // {_RESIZE_H}) * width
+                                    + ((i % {_RESIZE_W}) * width // {_RESIZE_W}))
+                              + 7 * vec_id) % 251),
+                    'sum') AS BIGINT) AS pix_sum
+    FROM meta
+    """,
+)
+def image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import image_meta, pixel_checksum, resize_images
+
+    imgs = resize_images(
+        synth_images_df(spark, sf_dir), _RESIZE_W, _RESIZE_H
+    )
+    with_sum = pixel_checksum(imgs, "image_bytes")
+    return image_meta(with_sum, "image_bytes").select(
+        "vec_id", "width", "height", "pix_sum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segmentation redaction (G6) on RECTANGLE regions: the scanline fill of
+# an integer-cornered rectangle zeroes exactly the half-open pixel block
+# [y0, y1) x [x0, x1), so the redacted checksum has a closed form —
+# total minus the block sum — and the polygon-fill + re-encode + binary
+# plumbing is value-checked cross-engine. (General polygons keep their
+# numpy golden tests; this pins the Spark-side path.)
+# ---------------------------------------------------------------------------
+@query(
+    "image_redact_checksum",
+    "WITH " + _META_CLOSED_FORM + """
+    , r AS (
+        SELECT vec_id, width, height,
+               1 + vec_id % 3 AS x0, 4 + vec_id % 3 AS x1,
+               2 AS y0, 3 + vec_id % 4 AS y1
+        FROM meta
+    )
+    SELECT vec_id,
+           CAST(
+             list_aggregate(
+                 list_transform(generate_series(0, width * height - 1),
+                     i -> (31 * i + 7 * vec_id) % 251), 'sum')
+             - list_aggregate(
+                 list_transform(generate_series(0, (y1 - y0) * (x1 - x0) - 1),
+                     i -> (31 * ((y0 + i // (x1 - x0)) * width
+                                 + x0 + i % (x1 - x0)) + 7 * vec_id) % 251),
+                 'sum')
+           AS BIGINT) AS pix_sum
+    FROM r
+    """,
+)
+def image_redact_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import image_meta, pixel_checksum, redact_regions
+
+    imgs = synth_images_df(spark, sf_dir)
+    x0 = (1 + F.col("vec_id") % 3).cast("double")
+    x1 = (4 + F.col("vec_id") % 3).cast("double")
+    y0 = F.lit(2.0)
+    y1 = (3 + F.col("vec_id") % 4).cast("double")
+    with_regions = imgs.withColumn(
+        "regions", F.array(F.array(x0, y0, x1, y0, x1, y1, x0, y1))
+    )
+    redacted = redact_regions(with_regions, "image_bytes", "regions")
+    with_sum = pixel_checksum(redacted, "image_bytes")
+    return image_meta(with_sum, "image_bytes").select("vec_id", "pix_sum")
