@@ -126,3 +126,29 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_read_timestamp_table_raises_on_unprobeable(spark):
+    import pytest
+
+    from ml_pipelines_spark.io import read_timestamp_table
+    from ml_pipelines_spark.schemas import TESTDATA_SCHEMAS
+
+    schema = TESTDATA_SCHEMAS["events"]
+    # a remote-scheme path local pyarrow cannot probe
+    with pytest.raises(ValueError, match="units"):
+        read_timestamp_table(
+            spark, "gs://bucket/events.parquet", schema, ["ts"]
+        )
+    # explicit override takes the guess out: no probe is attempted (the
+    # local events table is 'us', and the override says so -> plain
+    # pinned read with the declared timestamp type)
+    df = read_timestamp_table(
+        spark,
+        "/root/testdata/sf0.001/events.parquet",
+        schema,
+        ["ts"],
+        units={"ts": "us"},
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0

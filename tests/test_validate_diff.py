@@ -88,3 +88,23 @@ def test_snapshot_diff_include_unchanged(spark):
     out = snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
     assert len(out) == 1 and out[0]["status"] == "unchanged"
     assert out[0]["changed_cols"] == []
+
+
+def test_validate_fk_strategies_agree(spark, sf_dir):
+    """auto (None), forced-broadcast, and left-anti fallback must produce
+    the identical report for the same suite."""
+    from ml_pipelines_spark.operators.validate import Suite, validate
+    from ml_pipelines_spark.queries.relational import t
+
+    li = t(spark, sf_dir, "lineitem").limit(2000)
+    orders = t(spark, sf_dir, "orders")
+    suite = Suite().references(["l_orderkey"], orders, ["o_orderkey"])
+
+    def rows(bp):
+        return sorted(
+            map(tuple, validate(li, suite, broadcast_parents=bp).collect())
+        )
+
+    auto, forced, anti = rows(None), rows(True), rows(False)
+    assert auto == forced == anti
+    assert any("references" in r[0] for r in auto)
