@@ -1,0 +1,136 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The iterative-algorithm showcase of the similarity family: each Lloyd
+iteration is ONE scan of the vectors — the current centers ride into the
+plan as literals (the broadcast-model pattern; k x dim doubles is a few
+KB at any corpus scale), assignment is an expression-level argmin (no
+cross join, no UDF), and the center update is a posexplode +
+groupBy(cluster, pos) whose map-side partial aggregation collapses every
+partition to at most k*dim rows before the shuffle. At 100 TB the
+per-iteration cost is a scan plus a k*dim-row shuffle — the same shape
+MLlib's KMeans uses, expressed in plain DataFrame ops so the arithmetic
+is engine-portable and oracle-checkable (unlike MLlib's RNG-seeded
+kmeans||, whose init cannot be reproduced in SQL).
+
+Determinism contract (what makes a cross-engine value oracle possible):
+
+- init: the k vectors with the smallest ids, in id order (cid 0..k-1);
+- distances: float64 squared-L2 folded LEFT-TO-RIGHT in index order
+  (``F.aggregate`` over ``zip_with``) — bit-identical to a serial
+  engine's in-order sum;
+- ties: argmin breaks toward the smaller cid (struct min over
+  (dist, cid)), identical to ``ORDER BY d, cid LIMIT 1``;
+- empty clusters keep no center (they drop out, as in the SQL
+  re-derivation; surviving cids keep their original numbering).
+
+Mean centers are the one place the engines may differ in the last float
+bit (grouped AVG accumulates in partition order); outputs are rounded
+and the argmin gap of real clustered data is many orders above 1e-15,
+so assignments are stable. Reference parity: the reference has no
+clustering — this extends SURVEY §2.8 (embedding ops) the way a
+training-data pipeline needs (corpus bucketing / diversity sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec: Column, center: list[float]) -> Column:
+    """Squared L2 distance to a literal center, left-fold in index order."""
+    lit = F.array(*[F.lit(float(c)) for c in center])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centers: dict[int, list[float]]
+) -> DataFrame:
+    """Add a ``cluster`` column: argmin over literal centers, ties to the
+    smallest cid. Pure expression — one narrow pass, no shuffle."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col(vec_col), c).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, c in sorted(centers.items())
+            ]
+        )
+    )
+    return df.withColumn("cluster", best["cid"])
+
+
+def _mean_centers(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cluster mean vector as (cluster, pos, m) rows, pos 1-based.
+
+    posexplode then groupBy(cluster, pos): the map-side combine bounds
+    the shuffle at k*dim rows per input partition regardless of N.
+    """
+    flat = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("pos0", "v")
+    ).select(
+        "cluster",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return flat.groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    center_updates: int = 1,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run Lloyd's with deterministic smallest-id init.
+
+    Returns (assigned, centers): ``assigned`` carries the final
+    ``cluster`` column (computed against the last updated centers) and
+    ``centers`` is the center dict used for that final assignment. Each
+    center update collects exactly k*dim doubles to the driver.
+    """
+    init_rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centers = {i: list(r["v"]) for i, r in enumerate(init_rows)}
+    for _ in range(center_updates):
+        assigned = assign_clusters(df, vec_col, centers)
+        mean_rows = _mean_centers(assigned, vec_col).collect()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centers = {
+            cid: [pos_m[p] for p in sorted(pos_m)]
+            for cid, pos_m in sorted(by_cluster.items())
+        }
+    return assign_clusters(df, vec_col, centers), centers
+
+
+def cluster_profile(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Final per-cluster summary, value-checkable after rounding:
+    member count, squared norm of the member-mean center, and the sum of
+    the center's first 4 coordinates."""
+    means = _mean_centers(assigned, vec_col)
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    prof = means.groupBy("cluster").agg(
+        F.round(F.sum(F.col("m") * F.col("m")), 6).alias("norm_sq"),
+        F.round(
+            F.sum(F.when(F.col("pos") <= 4, F.col("m")).otherwise(0.0)), 6
+        ).alias("head_sum"),
+    )
+    return counts.join(prof, "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n",
+        "norm_sq",
+        "head_sum",
+    )

@@ -342,3 +342,80 @@ def ann_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return quantized_topk(quantize_embeddings(emb), QUERY_VEC, k=K)
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd) with a FULL cross-engine value oracle: the
+# deterministic smallest-id init + in-order float64 distance folds +
+# (dist, cid) tie-break make both engines walk the same trajectory —
+# init assign -> mean update -> final assign — so per-cluster counts and
+# rounded center stats value-match. The SQL re-derives both iterations
+# with CTEs (cross join vs k centers; Spark instead unrolls the centers
+# as plan literals — no join at all). operators/clustering.py documents
+# the 100 TB shape (scan + k*dim-row shuffle per iteration).
+# ---------------------------------------------------------------------------
+_KM_DIST = (
+    "list_sum(list_transform(generate_series(1, len(emb.e)), "
+    "i -> (emb.e[i] - {c}.c[i]) * (emb.e[i] - {c}.c[i])))"
+)
+
+@query(
+    "kmeans_embeddings",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               e AS c
+        FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT emb.vec_id, emb.e, c0.cid, {_KM_DIST.format(c='c0')} AS d
+        FROM emb CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, e, cid AS cluster FROM d1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    m1 AS (
+        SELECT cluster, pos, AVG(v) AS m FROM (
+            SELECT cluster, unnest(generate_series(1, len(e))) AS pos,
+                   unnest(e) AS v
+            FROM a1
+        ) GROUP BY cluster, pos
+    ),
+    c1 AS (
+        SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM m1
+        GROUP BY cluster
+    ),
+    d2 AS (
+        SELECT emb.vec_id, emb.e, c1.cid, {_KM_DIST.format(c='c1')} AS d
+        FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, e, cid AS cluster FROM d2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    m2 AS (
+        SELECT cluster, pos, AVG(v) AS m FROM (
+            SELECT cluster, unnest(generate_series(1, len(e))) AS pos,
+                   unnest(e) AS v
+            FROM a2
+        ) GROUP BY cluster, pos
+    ),
+    cnt AS (SELECT cluster, COUNT(*) AS n FROM a2 GROUP BY cluster)
+    SELECT CAST(m2.cluster AS INT) AS cluster, ANY_VALUE(cnt.n) AS n,
+           ROUND(SUM(m * m), 6) AS norm_sq,
+           ROUND(SUM(CASE WHEN pos <= 4 THEN m ELSE 0 END), 6) AS head_sum
+    FROM m2 JOIN cnt ON m2.cluster = cnt.cluster
+    GROUP BY m2.cluster
+    """,
+)
+def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import cluster_profile, kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, "embedding", "vec_id", k=8, center_updates=1)
+    return cluster_profile(assigned, "embedding")

@@ -1,0 +1,64 @@
+"""k-means operator invariants (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.clustering import (
+    assign_clusters,
+    cluster_profile,
+    kmeans_fit,
+)
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+
+
+def test_separated_clusters_recovered(spark):
+    # Two tight blobs; init takes the two smallest ids (one per blob).
+    blob_a = [[0.0 + i * 0.01, 0.0] for i in range(5)]
+    blob_b = [[10.0 + i * 0.01, 10.0] for i in range(5)]
+    df = _vec_df(spark, [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:])
+    assigned, centers = kmeans_fit(df, "embedding", "id", k=2, center_updates=1)
+    rows = assigned.select("id", "cluster").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"])
+    assert by_cluster[0] == {0, 2, 3, 4, 5}
+    assert by_cluster[1] == {1, 6, 7, 8, 9}
+    assert centers[0][0] == pytest.approx(0.02)
+    assert centers[1][1] == pytest.approx(10.0)
+
+
+def test_tie_breaks_to_smaller_cid_and_empty_cluster_drops(spark):
+    # Duplicate init vectors: every point is equidistant to c0 and c1, so
+    # the (dist, cid) argmin sends everything to c0; c1 empties out and
+    # drops from the updated center set.
+    df = _vec_df(spark, [[0.0], [0.0], [5.0]])
+    assigned, centers = kmeans_fit(df, "embedding", "id", k=2, center_updates=1)
+    assert set(centers) == {0}
+    assert centers[0][0] == pytest.approx(5.0 / 3.0)
+    prof = cluster_profile(assigned, "embedding").collect()
+    assert len(prof) == 1 and prof[0]["cluster"] == 0 and prof[0]["n"] == 3
+
+
+def test_assign_is_expression_only(spark):
+    # No shuffle in the assignment pass: the plan has no Exchange.
+    df = _vec_df(spark, [[0.0], [4.0]])
+    plan = assign_clusters(
+        df, "embedding", {0: [0.0], 1: [3.0]}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_profile_norms(spark):
+    df = _vec_df(spark, [[3.0, 4.0], [3.0, 4.0]])
+    assigned = assign_clusters(df, "embedding", {0: [0.0, 0.0]})
+    row = cluster_profile(assigned, "embedding").collect()[0]
+    assert row["norm_sq"] == pytest.approx(25.0)
+    assert row["head_sum"] == pytest.approx(7.0)
