@@ -551,3 +551,69 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", piece).alias("chunk"),
         F.size(piece).alias("chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicated-shingle fraction — the cross-document companion
+# of the within-doc Gopher repetition flags: for every document, the
+# share of its distinct 3-word shingles that occur in >= 2 documents
+# (RefinedWeb/CCNet-style contamination-by-boilerplate signal; docs with
+# a high ratio are near-copies of corpus boilerplate even when no single
+# pair-level dedup fires). Shape at 100 TB: distinct-per-doc shingles
+# explode once; ONE groupBy(shingle) builds the doc-frequency table
+# (map-side combine collapses repeats), ONE join back on shingle tags
+# each doc's shingles, ONE groupBy(doc_id) folds the ratio. No pair
+# join, no window — the same aggregate-only skeleton as vocab_topk, so
+# hot shingles cost a counter, not a fan-out.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_ngram_fraction",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM toks
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    per AS (
+        SELECT sh.doc_id,
+               COUNT(*) AS n_distinct,
+               COUNT(*) FILTER (WHERE freq.df >= 2) AS n_dup
+        FROM sh JOIN freq USING (shingle)
+        GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_distinct, n_dup,
+           ROUND(CAST(n_dup AS DOUBLE) / n_distinct, 6) AS dup_ratio
+    FROM per
+    """,
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_shingles(F.col("text"), k=3))).alias(
+            "shingle"
+        ),
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_dup"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_distinct",
+        "n_dup",
+        F.round(F.col("n_dup").cast("double") / F.col("n_distinct"), 6).alias(
+            "dup_ratio"
+        ),
+    )
