@@ -111,10 +111,16 @@ def coco_annotations(
         #   2. ONE single-task window over the dimension assigns
         #      image_id AND the running anno offset together (same sort,
         #      one Window operator);
-        #   3. one broadcast join delivers image_id + offset to the fact
-        #      side, and the anno rank is a window PARTITIONED BY
-        #      image_name — max task = max annos per image, so skew is
-        #      bounded by the corpus shape, never by id-range buckets.
+        #   3. a sort-merge join delivers image_id + offset to the fact
+        #      side — FORCED over broadcast, deliberately: the per-image
+        #      rank window needs hash(image_name) partitioning anyway,
+        #      so the SMJ exchange does double duty and the window adds
+        #      only a local sort (a broadcast join here would keep the
+        #      scan partitioning and force a second, wider shuffle for
+        #      the window, plus the dimension broadcast build — measured
+        #      ~2x slower end-to-end at sf0.1). Max task = max annos per
+        #      image, so skew is bounded by the corpus shape, never by
+        #      id-range buckets.
         # vs. the generic dense_ids path this removes the cut-point
         # sample job, the per-row bucket search, the separate offsets
         # aggregation, and one broadcast join from every execution.
@@ -122,7 +128,7 @@ def coco_annotations(
         wdim = Window.orderBy("image_name")
         dim = (
             images.select("image_name")
-            .join(counts, "image_name", "left")
+            .join(F.broadcast(counts), "image_name", "left")
             .fillna(0, subset=["__n"])
             .select(
                 "image_name",
@@ -132,7 +138,7 @@ def coco_annotations(
         )
         wloc = Window.partitionBy("image_name").orderBy(*order_cols[1:])
         out = (
-            anno.join(F.broadcast(dim), "image_name", "inner")
+            anno.hint("merge").join(dim, "image_name", "inner")
             .join(cats, anno["category"] == cats["name"], "inner")
             .drop("name")
             .withColumn(
