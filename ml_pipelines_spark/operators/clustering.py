@@ -134,3 +134,57 @@ def cluster_profile(assigned: DataFrame, vec_col: str) -> DataFrame:
         "norm_sq",
         "head_sum",
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    center_updates: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters are
+    the candidate buckets, exact cosine runs only within a cluster.
+
+    This is the third candidate-generation strategy of the near-dup
+    family (exact fingerprints, hyperplane LSH, and now learned
+    clusters), and the one SemDeDup (Abbas et al., 2023) showed scales
+    to web corpora: the pair join is keyed on ``cluster``, so the
+    quadratic term is bounded by the largest cluster, not the corpus.
+    At scale, ``k`` grows with N to hold the expected cluster size
+    constant (SemDeDup uses ~50k clusters for LAION-scale); cluster ids
+    then make a fine shuffle key. With demo-scale k the cluster key is
+    coarse — callers at scale should also write the assigned table
+    partitioned by cluster so re-dedup prunes on disk.
+
+    Exact verification reuses the Arrow-batched exact-fold pair dot
+    (operators.similarity) so the cosine is bit-identical to a serial
+    SQL engine and the threshold is oracle-checkable.
+    """
+    from .similarity import _pair_dot_udf, norm_expr
+
+    assigned, _ = kmeans_fit(
+        df, vec_col, id_col, k=k, center_updates=center_updates
+    )
+    side = assigned.select(
+        "cluster",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _pair_dot_udf()(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

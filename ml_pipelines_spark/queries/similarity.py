@@ -359,10 +359,10 @@ _KM_DIST = (
     "i -> (emb.e[i] - {c}.c[i]) * (emb.e[i] - {c}.c[i])))"
 )
 
-@query(
-    "kmeans_embeddings",
-    f"""
-    WITH emb AS (
+# Shared Lloyd-trajectory CTEs (init c0 -> assign a1 -> means c1 ->
+# final assign a2) — reused by the k-means profile AND the SemDeDup
+# pair query so both oracles walk the identical trajectory.
+_KM_CTES = f"""emb AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
@@ -397,7 +397,13 @@ _KM_DIST = (
     a2 AS (
         SELECT vec_id, e, cid AS cluster FROM d2
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
-    ),
+    )"""
+
+
+@query(
+    "kmeans_embeddings",
+    f"""
+    WITH {_KM_CTES},
     m2 AS (
         SELECT cluster, pos, AVG(v) AS m FROM (
             SELECT cluster, unnest(generate_series(1, len(e))) AS pos,
@@ -419,3 +425,38 @@ def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(emb, "embedding", "vec_id", k=8, center_updates=1)
     return cluster_profile(assigned, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-dup pairs inside k-means clusters. Same Lloyd
+# trajectory as kmeans_embeddings (shared CTEs), then an exact in-order
+# cosine over within-cluster pairs only — the oracle value-checks BOTH
+# the clustering and the pair threshold in one query.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_T = 0.40
+
+@query(
+    "semantic_dedup_pairs",
+    f"""
+    WITH {_KM_CTES},
+    side AS (
+        SELECT cluster, vec_id AS id, e,
+               sqrt({_sql_self_dot('e')}) AS nrm
+        FROM a2
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               list_aggregate(list_transform(generate_series(1, len(a.e)),
+                   i -> a.e[i] * b.e[i]), 'sum') / (a.nrm * b.nrm) AS cosine
+        FROM side a JOIN side b
+          ON a.cluster = b.cluster AND a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= {_SEMDEDUP_T}
+    """,
+)
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semantic_dedup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, _SEMDEDUP_T, k=8, center_updates=1)

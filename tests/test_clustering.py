@@ -62,3 +62,22 @@ def test_profile_norms(spark):
     row = cluster_profile(assigned, "embedding").collect()[0]
     assert row["norm_sq"] == pytest.approx(25.0)
     assert row["head_sum"] == pytest.approx(7.0)
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from ml_pipelines_spark.operators.clustering import semantic_dedup_pairs
+
+    # Two far-apart blobs with one duplicated vector per blob: only the
+    # within-blob duplicate pairs survive, never a cross-blob pair.
+    vecs = [[0.0, 1.0], [10.0, 0.0], [0.0, 1.0], [10.0, 0.0], [0.0, 0.9]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_dedup_pairs(
+        df, 0.99, id_col="vec_id", k=2, center_updates=1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 2), (0, 4), (2, 4), (1, 3)}
+    for r in pairs:
+        assert r["cosine"] >= 0.99
