@@ -132,3 +132,74 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL stateful stream in the correctness gate: unlike the batch-twin
+# window queries above, this one actually starts a Structured Streaming
+# job — events replayed as a 2-file stream, one micro-batch per file,
+# through the applyInPandasWithState running-totals operator — and
+# returns the final per-key state. The oracle is the plain batch
+# aggregate: if state were dropped, double-counted, or keys mixed across
+# batches, lifetime totals would diverge from it. (Temp stream dir +
+# memory sink are per-invocation and cleaned up; totals are
+# batch-split-invariant, so the result is deterministic.)
+# ---------------------------------------------------------------------------
+@query(
+    "stream_running_totals",
+    """
+    SELECT event_type,
+           COUNT(*) AS total_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import read_stream, running_totals
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    d = tempfile.mkdtemp(prefix="mlps_srt_")
+    name = f"srt_{uuid.uuid4().hex}"
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+        out = running_totals(stream, "event_type", "value")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # Last emission per key (total_events is strictly increasing
+        # across a key's emissions) holds the lifetime totals.
+        final = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.max("total_events").alias("total_events"),
+                F.max_by("total_value", "total_events").alias("__tv"),
+            )
+            .select(
+                "event_type",
+                "total_events",
+                F.round("__tv", 2).alias("total_value"),
+            )
+        )
+        # Materialize before the temp dir and memory table go away.
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.catalog.dropTempView(name) if name in [
+            t_.name for t_ in spark.catalog.listTables()
+        ] else None
