@@ -77,3 +77,69 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def scd2_build(
+    snapshots: list[tuple[int, DataFrame]],
+    keys: list[str],
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Build an SCD-Type-2 history table from a sequence of snapshots.
+
+    ``snapshots`` is [(version, df), ...] with strictly increasing
+    integer versions. Output: one row per (key, contiguous run of equal
+    tracked values) with ``valid_from`` (first version of the run),
+    ``valid_to`` (exclusive — the version at which the run stopped
+    being valid: a value change, or the key's disappearance; NULL while
+    current) and ``is_current`` (run extends through the latest
+    version). A key that disappears and later reappears opens a new run
+    (the version gap closes the old one), the standard warehouse SCD2
+    reading of "deleted then re-inserted".
+
+    Shape: union of the snapshots (scan-only, no join), ONE shuffle on
+    the key for the lag/segment window, one groupBy per (key, run) —
+    segment detection and the final fold reuse the same hash
+    partitioning, so Catalyst plans a single Exchange. At datalake
+    scale the union is V scans of partition-pruned snapshot tables; no
+    pairwise diff joins (the V-1 full-outer-join chain the naive
+    approach needs).
+    """
+    from pyspark.sql.window import Window
+
+    latest = max(v for v, _ in snapshots)
+    tagged = None
+    for version, df in snapshots:
+        part = df.select(
+            F.lit(int(version)).alias("__version"),
+            *[F.col(k) for k in keys],
+            *[F.col(c) for c in tracked_cols],
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    w = Window.partitionBy(*keys).orderBy("__version")
+    vals = F.struct(*[F.col(c) for c in tracked_cols])
+    new_run = (
+        F.lag("__version").over(w).isNull()
+        | (F.lag("__version").over(w) != F.col("__version") - 1)
+        | ~F.lag(vals).over(w).eqNullSafe(vals)
+    ).cast("int")
+    runs = tagged.withColumn(
+        "__run", F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy(*keys, "__run")
+        .agg(
+            *[F.min(c).alias(c) for c in tracked_cols],
+            F.min("__version").alias("valid_from"),
+            F.max("__version").alias("__last"),
+        )
+        .select(
+            *keys,
+            *tracked_cols,
+            "valid_from",
+            F.when(F.col("__last") < latest, F.col("__last") + 1).alias(
+                "valid_to"
+            ),
+            (F.col("__last") == latest).alias("is_current"),
+        )
+    )

@@ -148,3 +148,94 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"]).withColumn(
         "changed_cols", F.array_join("changed_cols", ",")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build from three deterministic snapshot generations of
+# orders (v1: keys %5<>0; v2: %7<>0 with price+1 on %3; v3: %11<>0 with
+# status->'X' on %2). Value-checks run segmentation, gap-closure
+# (delete/reappear), valid_from/valid_to chaining, and is_current.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_orders_history",
+    """
+    WITH s1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    s2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    s3 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    tagged AS (
+        SELECT 1 AS version, * FROM s1
+        UNION ALL SELECT 2, * FROM s2
+        UNION ALL SELECT 3, * FROM s3
+    ),
+    seq AS (
+        SELECT *,
+               CASE WHEN LAG(version) OVER w IS NULL
+                      OR LAG(version) OVER w <> version - 1
+                      OR LAG(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                      OR LAG(o_totalprice) OVER w IS DISTINCT FROM o_totalprice
+                    THEN 1 ELSE 0 END AS new_run
+        FROM tagged WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    ),
+    runs AS (
+        SELECT *, SUM(new_run) OVER (PARTITION BY o_orderkey ORDER BY version
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM seq
+    )
+    SELECT o_orderkey,
+           MIN(o_orderstatus) AS o_orderstatus,
+           ROUND(MIN(o_totalprice), 2) AS o_totalprice,
+           CAST(MIN(version) AS INT) AS valid_from,
+           CAST(CASE WHEN MAX(version) < 3 THEN MAX(version) + 1 END AS INT)
+               AS valid_to,
+           MAX(version) = 3 AS is_current
+    FROM runs GROUP BY o_orderkey, run
+    """,
+)
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import scd2_build
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    bump = F.when(k % 3 == 0, F.col("o_totalprice") + 1).otherwise(
+        F.col("o_totalprice")
+    )
+    s1 = orders.filter(k % 5 != 0)
+    s2 = orders.filter(k % 7 != 0).withColumn("o_totalprice", bump)
+    s3 = (
+        orders.filter(k % 11 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 2 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn("o_totalprice", bump)
+    )
+    hist = scd2_build(
+        [(1, s1), (2, s2), (3, s3)],
+        keys=["o_orderkey"],
+        tracked_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return hist.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("int").alias("valid_to"),
+        "is_current",
+    )

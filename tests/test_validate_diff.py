@@ -108,3 +108,29 @@ def test_validate_fk_strategies_agree(spark, sf_dir):
     auto, forced, anti = rows(None), rows(True), rows(False)
     assert auto == forced == anti
     assert any("references" in r[0] for r in auto)
+
+
+def test_scd2_build_runs_gaps_and_currency(spark):
+    from ml_pipelines_spark.operators.diff import scd2_build
+
+    def snap(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    # k=1: value change at v2 (two chained runs, first closed at 2)
+    # k=2: present v1, deleted v2, reappears v3 (gap closes run at 2)
+    # k=3: unchanged throughout (single current run)
+    s1 = snap([(1, "a"), (2, "x"), (3, "c")])
+    s2 = snap([(1, "b"), (3, "c")])
+    s3 = snap([(1, "b"), (2, "x"), (3, "c")])
+    hist = scd2_build([(1, s1), (2, s2), (3, s3)], ["k"], ["v"])
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, "a", 1, 2, False),
+        (1, "b", 2, None, True),
+        (2, "x", 1, 2, False),
+        (2, "x", 3, None, True),
+        (3, "c", 1, None, True),
+    }
