@@ -460,3 +460,73 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, _SEMDEDUP_T, k=8, center_updates=1)
+
+
+# ---------------------------------------------------------------------------
+# Diversity-aware curation: top-2 documents per SEMANTIC cluster by text
+# quality — the SemDeDup-era counterpart of curate_corpus (which gates
+# on per-doc signals only). Composes the k-means clusters (shared Lloyd
+# CTEs) with the quality formula (shared with text_quality) and a
+# per-cluster top-k window; ordering is on the 5dp-ROUNDED score (the
+# same discretization the value check uses) with doc_id ties, so the
+# rank is engine-stable. Per-cluster window partitions by cluster id —
+# task size is bounded by cluster population, the knob SemDeDup-scale k
+# controls.
+# ---------------------------------------------------------------------------
+@query(
+    "diverse_curation",
+    None,  # assembled below — needs the quality twin from queries.text
+)
+def diverse_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+    from ..operators.clustering import kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, "embedding", "vec_id", k=8, center_updates=1)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 5).alias("quality")
+    )
+    joined = assigned.select("cluster", "vec_id").join(
+        docs, assigned["vec_id"] == docs["doc_id"], "inner"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "rank",
+            "doc_id",
+            "quality",
+        )
+    )
+
+
+def _register_diverse_curation_oracle() -> None:
+    from .registry import ORACLES
+    from .text import quality_sql
+
+    ORACLES["diverse_curation"] = f"""
+    WITH {_KM_CTES},
+    q AS (
+        SELECT doc_id, ROUND({quality_sql('text')}, 5) AS quality
+        FROM documents
+    ),
+    joined AS (
+        SELECT a2.cluster, q.doc_id, q.quality
+        FROM a2 JOIN q ON a2.vec_id = q.doc_id
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY quality DESC, doc_id) AS INT) AS rank,
+           doc_id, quality
+    FROM joined
+    QUALIFY rank <= 2
+    """
+
+
+_register_diverse_curation_oracle()

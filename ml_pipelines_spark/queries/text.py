@@ -18,6 +18,28 @@ from .relational import t
 _SW = "', '".join(T.ENGLISH_STOPWORDS)
 
 
+def quality_sql(txt: str) -> str:
+    """DuckDB twin of functions.text.quality_score for expression ``txt``
+    — same terms in the same order, so the float64 result matches the
+    Spark expression bit-for-bit on identical inputs (the arithmetic is
+    a few ops over small integer counts)."""
+    punct = (
+        f"(len({txt}) - len(regexp_replace({txt}, "
+        "'[!-/:-@\\[-`{-~]', '', 'g')))"
+    )
+    wt = f"string_split_regex(trim({txt}), '\\s+')"
+    mwl = (
+        f"list_aggregate(list_transform({wt}, x -> len(x)), 'sum')"
+        f" / greatest(len({wt}), 1)"
+    )
+    return (
+        f"least(len({wt}) / 64.0, 1.0) * 0.4"
+        f" + (1.0 - least(4.0 * {punct} / greatest(len({txt}), 1), 1.0)) * 0.3"
+        f" + (CASE WHEN {mwl} BETWEEN 2.0 AND 12.0"
+        " THEN 1.0 ELSE 0.3 END) * 0.3"
+    )
+
+
 @query(
     "text_quality",
     f"""
