@@ -3,8 +3,8 @@
 The iterative-algorithm showcase of the similarity family: each Lloyd
 iteration is ONE scan of the vectors — the current centers ride into the
 plan as literals (the broadcast-model pattern; k x dim doubles is a few
-KB at any corpus scale), assignment is an expression-level argmin (no
-cross join, no UDF), and the center update is a posexplode +
+KB at any corpus scale), assignment is an Arrow-batched argmin (no
+cross join, no shuffle), and the center update is a posexplode +
 groupBy(cluster, pos) whose map-side partial aggregation collapses every
 partition to at most k*dim rows before the shuffle. At 100 TB the
 per-iteration cost is a scan plus a k*dim-row shuffle — the same shape
@@ -16,8 +16,8 @@ Determinism contract (what makes a cross-engine value oracle possible):
 
 - init: the k vectors with the smallest ids, in id order (cid 0..k-1);
 - distances: float64 squared-L2 folded LEFT-TO-RIGHT in index order
-  (``F.aggregate`` over ``zip_with``) — bit-identical to a serial
-  engine's in-order sum;
+  (serial-over-dims numpy accumulation, see ``_assign_udf``) —
+  bit-identical to a serial engine's in-order sum;
 - ties: argmin breaks toward the smaller cid (struct min over
   (dist, cid)), identical to ``ORDER BY d, cid LIMIT 1``;
 - empty clusters keep no center (they drop out, as in the SQL
@@ -33,37 +33,47 @@ training-data pipeline needs (corpus bucketing / diversity sampling).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sqdist(vec: Column, center: list[float]) -> Column:
-    """Squared L2 distance to a literal center, left-fold in index order."""
-    lit = F.array(*[F.lit(float(c)) for c in center])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _assign_udf(centers: dict[int, list[float]]):
+    """Arrow-batched argmin assignment with EXACT left-fold distance
+    semantics: the accumulation loop is serial over dimensions
+    (vectorized over rows), so each squared-L2 sum is bit-identical to a
+    serial engine's in-order fold — numpy's pairwise matmul summation
+    would not be. Ties go to the smaller cid (``argmin`` returns the
+    first minimum; candidate columns are in cid order)."""
+    from pyspark.sql.types import IntegerType
+
+    cids = sorted(centers)
+    C = [np.asarray(centers[cid], dtype=np.float64) for cid in cids]
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        D = np.empty((X.shape[0], len(C)))
+        for j, c in enumerate(C):
+            acc = np.zeros(X.shape[0])
+            for k in range(X.shape[1]):
+                d = X[:, k] - c[k]
+                acc += d * d
+            D[:, j] = acc
+        return pd.Series(cid_arr[np.argmin(D, axis=1)].astype("int32"))
+
+    return assign
 
 
 def assign_clusters(
     df: DataFrame, vec_col: str, centers: dict[int, list[float]]
 ) -> DataFrame:
-    """Add a ``cluster`` column: argmin over literal centers, ties to the
-    smallest cid. Pure expression — one narrow pass, no shuffle."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist(F.col(vec_col), c).alias("d"),
-                    F.lit(int(cid)).alias("cid"),
-                )
-                for cid, c in sorted(centers.items())
-            ]
-        )
-    )
-    return df.withColumn("cluster", best["cid"])
+    """Add a ``cluster`` column: argmin over the broadcast center set,
+    ties to the smallest cid. One narrow Arrow-batched pass, no shuffle
+    (the centers travel as task-closure constants — k x dim doubles)."""
+    return df.withColumn("cluster", _assign_udf(centers)(F.col(vec_col)))
 
 
 def _mean_centers(assigned: DataFrame, vec_col: str) -> DataFrame:

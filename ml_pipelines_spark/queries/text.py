@@ -136,14 +136,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan stage, dedup is the only shuffle, the split adds none.
 # Thresholds: 0.9 -> 'e666', 0.95 -> 'f333'.
 # ---------------------------------------------------------------------------
-_QUALITY_SQL = """
-    ROUND(least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
-        + (1.0 - least(4.0 * (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
-                       / greatest(len(text), 1), 1.0)) * 0.3
-        + (CASE WHEN list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), x -> len(x)), 'sum')
-                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0
-                THEN 1.0 ELSE 0.3 END) * 0.3, 5)
-"""
+_QUALITY_SQL = f"ROUND({quality_sql('text')}, 5)"
 
 
 @query(

@@ -47,7 +47,7 @@ def test_tie_breaks_to_smaller_cid_and_empty_cluster_drops(spark):
     assert len(prof) == 1 and prof[0]["cluster"] == 0 and prof[0]["n"] == 3
 
 
-def test_assign_is_expression_only(spark):
+def test_assign_is_shuffle_free(spark):
     # No shuffle in the assignment pass: the plan has no Exchange.
     df = _vec_df(spark, [[0.0], [4.0]])
     plan = assign_clusters(
