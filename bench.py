@@ -67,6 +67,11 @@ HEADLINE = [
     "snapshot_diff_orders",
     "profile_orders",
     "lm_perplexity_docs",
+    "kmeans_embeddings",
+    "semantic_dedup_pairs",
+    "diverse_curation",
+    "dup_ngram_fraction",
+    "scd2_orders_history",
 ]
 
 RUNS = 3

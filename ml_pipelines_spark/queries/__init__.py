@@ -46,13 +46,19 @@ from . import evolution  # noqa: E402,F401
 # row — seeded_nested_split (hash-fail r1+r2, invariant rewrite never
 # driver-run) and snapshot_diff_orders (r3 ERR: driver hasher can't
 # canonicalize array<string>; now string-encoded) — lead the list; (b) the
+# seven queries NEW this round (multiprobe ANN, k-means + SemDeDup +
+# diverse curation, dup-ngram fraction, SCD2, the real
+# applyInPandasWithState stream) — first driver rows wanted; (c) the
 # relational/splits/text families whose driver evidence dates from r1/r2
 # while three rounds of perf work touched their shared code paths (bloom,
-# dense-ids, shared scans); (c) re-evidence slots for queries whose code
-# changes THIS round (minhash regression fix, export fusion, approx-distinct
-# rework). The r3-evidenced dedup/similarity/geometry/streaming/multimodal
-# families rotate out but keep local oracle parity
-# (tests/test_oracle_parity.py, same DuckDB hash check).
+# dense-ids, shared scans), plus re-evidence slots for queries whose code
+# changed THIS round (minhash regression fix, export fusion,
+# approx-distinct rework). The r3-evidenced dedup/similarity/geometry/
+# streaming/multimodal families stay out but keep local oracle parity
+# (tests/test_oracle_parity.py, same DuckDB hash check), as do the six
+# scalar-function r1/r2 queries displaced by (b) (regex_extract,
+# filename_normalize, json_extract, scalar_funcs, array_restructure,
+# union_all — single-expression queries untouched by any perf work).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
     # never-green driver rows — round 4 job #1
@@ -60,6 +66,12 @@ _CHECK_FIRST = [
     "snapshot_diff_orders",
     # new this round — first driver row wanted (true cross-engine oracle)
     "ann_multiprobe_topk",
+    "kmeans_embeddings",
+    "semantic_dedup_pairs",
+    "diverse_curation",
+    "dup_ngram_fraction",
+    "scd2_orders_history",
+    "stream_running_totals",
     # re-evidence: code touched this round
     "minhash_near_dup",
     "coco_records",
@@ -82,13 +94,7 @@ _CHECK_FIRST = [
     "flatten_collect",
     "dict_encode",
     "array_envelope",
-    "regex_extract",
-    "filename_normalize",
-    "json_extract",
     "monthly_rollup",
-    "scalar_funcs",
-    "array_restructure",
-    "union_all",
     "topk_per_group",
     "rollup_pricing",
     "pivot_event_counts",
