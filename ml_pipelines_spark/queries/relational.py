@@ -880,3 +880,55 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id: the general multi-granularity rollup
+# (ROLLUP/CUBE are special cases). One scan computes three independent
+# granularities — (flag, status), (flag), (month) — in a single
+# aggregate; at scale this replaces three scans+shuffles with one, and
+# grouping_id disambiguates NULL-as-ALL from genuine NULLs, the
+# correctness trap COALESCE-rollups hit. Spark plans a single Expand +
+# hash aggregate (partial agg still applies per set).
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_pricing",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COALESCE(strftime(date_trunc('month', l_shipdate), '%Y-%m'), 'ALL')
+               AS ship_month,
+           GROUPING(l_returnflag, l_linestatus,
+                    date_trunc('month', l_shipdate)) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag),
+                            (date_trunc('month', l_shipdate)))
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    grouped = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["__month"]],
+        "l_returnflag",
+        "l_linestatus",
+        "__month",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+    return grouped.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        F.coalesce(F.date_format("__month", "yyyy-MM"), F.lit("ALL")).alias(
+            "ship_month"
+        ),
+        F.col("gid").cast("bigint").alias("gid"),
+        "n",
+        "total_price",
+    )
