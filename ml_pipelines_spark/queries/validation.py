@@ -239,3 +239,59 @@ def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("int").alias("valid_to"),
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance in the oracle gate: materialize the
+# events rollup from the even-id half, fold the odd-id half in through
+# operators.incremental.incremental_rollup (partition-pruned merge of
+# stored partials + delta partials), read the table back, and compare
+# against a from-scratch full rollup (the oracle). A merge that dropped
+# partials, double-counted, or rewrote untouched partitions diverges.
+# ---------------------------------------------------------------------------
+# avg is derived via exact integer arithmetic (cents = floor(sum*100+.5)
+# — sums are within float-noise of exact cent multiples, so the floor is
+# stable even though stored-partial+delta and full-recompute sums differ
+# in the last bits; a decimal ROUND of sum/n would tie on .xx5 values).
+@query(
+    "incremental_rollup_events",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_cents,
+           CAST(FLOOR(FLOOR(SUM(value) * 100 + 0.5) * 1000.0 / COUNT(*))
+                AS BIGINT) AS avg_millicents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import (
+        incremental_rollup,
+        init_rollup,
+        read_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="mlps_ivm_")
+    try:
+        init_rollup(ev.filter(F.col("event_id") % 2 == 0), d)
+        incremental_rollup(spark, d, ev.filter(F.col("event_id") % 2 == 1))
+        cents = F.floor(F.col("sum_value") * 100 + 0.5).cast("long")
+        out = read_rollup(spark, d).select(
+            "event_date",
+            "event_type",
+            "n_events",
+            cents.alias("sum_cents"),
+            F.floor(cents * 1000.0 / F.col("n_events"))
+            .cast("long")
+            .alias("avg_millicents"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
