@@ -88,3 +88,33 @@ def test_minhash_signature_single_md5_per_shingle(spark):
     )
     optimized = agg._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("md5") == 1, optimized
+
+
+def test_coco_anno_join_is_sort_merge_feeding_window(spark, sf_dir):
+    # Round-4 shape: image ids reach the fact side via a SORT-MERGE join
+    # whose hash(image_name) exchange the per-image rank window reuses —
+    # no BroadcastHashJoin on the dimension, and no exchange between the
+    # join and the window (only a local Sort). A regression to the
+    # broadcast shape re-adds the dim broadcast build AND a second, wider
+    # shuffle for the window (~2x end-to-end at sf0.1).
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["coco_records"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    # the window over the anno fact must sit directly on the join output:
+    # between "Window" (anno rank) and SortMergeJoin there is no Exchange
+    seg = plan.split("SortMergeJoin")[0]
+    anno_window_exchanges = len(re.findall(r"Exchange hashpartitioning", seg))
+    assert anno_window_exchanges == 0, (
+        "exchange re-appeared between the anno-rank window and the join:\n" + seg
+    )
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # Segment window and per-run groupBy share the hash(key)
+    # partitioning: exactly one hash exchange in the whole plan.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["scd2_orders_history"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n == 1, f"expected 1 hash exchange, got {n}"
