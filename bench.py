@@ -72,6 +72,7 @@ HEADLINE = [
     "diverse_curation",
     "dup_ngram_fraction",
     "scd2_orders_history",
+    "grouping_sets_pricing",
 ]
 
 RUNS = 3
