@@ -76,6 +76,8 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_bins_ffd",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens,
            TRUE AS no_overflow,
            TRUE AS bins_within_ff_bound
     FROM documents
@@ -102,8 +104,13 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("n_tokens").alias("__fill")
     )
+    # n_docs AND total_tokens are true cross-engine anchors (DuckDB
+    # re-derives both from raw text), so the kernel cannot silently drop
+    # or mutate token mass; the two booleans remain self-check
+    # invariants (the FFD assignment itself is not SQL-reproducible).
     return bins.agg(
         F.sum("__n").cast("long").alias("n_docs"),
+        F.sum("__fill").cast("long").alias("total_tokens"),
         (F.max("__fill") <= F.lit(_BUDGET)).alias("no_overflow"),
         (
             F.count(F.lit(1))

@@ -116,11 +116,18 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_BOUNDS = {"train": (0.70, 0.90), "val": (0.10, 0.22), "test": (0.01, 0.08)}
 
 
+# The booleans are self-check invariants (Spark RNG splits cannot be
+# reproduced in SQL) but the n_eligible anchor is a TRUE cross-engine
+# value: DuckDB recomputes the semi-join denominator every fraction is
+# measured against, so a broken eligibility join cannot silently
+# legitimize in-bounds fractions (ADVICE r3: vacuous-oracle hardening).
 @query(
     "seeded_nested_split",
     """
-    SELECT * FROM (VALUES ('test', TRUE, TRUE), ('train', TRUE, TRUE), ('val', TRUE, TRUE))
-        AS v(split, frac_ok, complete)
+    SELECT v.split, TRUE AS frac_ok, TRUE AS complete,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS n_eligible
+    FROM (VALUES ('test'), ('train'), ('val')) AS v(split)
     """,
 )
 def seeded_nested_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +162,7 @@ def seeded_nested_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             frac_ok.alias("frac_ok"),
             (F.col("__sum") == F.col("__eligible")).alias("complete"),
+            F.col("__eligible").alias("n_eligible"),
         )
     )
 
