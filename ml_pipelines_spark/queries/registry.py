@@ -24,7 +24,13 @@ ORACLES: dict[str, str] = {}
 #      in-plan invariant passes. Used only where no engine-portable
 #      value oracle can exist (library k-means, engine RNG, engine HLL,
 #      float-kernel geometry); each carries pytest property tests as the
-#      second line of defense.
+#      second line of defense, and where possible a TRUE cross-engine
+#      anchor rides in the same row set (rbb_from_seg: aabb_area;
+#      seeded_nested_split: the semi-join denominator n_eligible;
+#      pack_bins_ffd: n_docs + total_tokens re-derived from raw text;
+#      audio_frame_features: the exact (vec_id, frame) grid;
+#      approx_distinct_users: n_events) so the invariant's inputs are
+#      independently verified even when the kernel output cannot be.
 #   3. rows-only (sql=None): genuinely non-SQL-expressible.
 SELF_CHECK_INVARIANTS = {
     "ann_ivf_topk",          # MLlib k-means cells: recall + count pinned
