@@ -56,24 +56,53 @@ def seg_coord(seg: Column, axis: int) -> Column:
     )
 
 
+def seg_axis_min(seg: Column, axis: int) -> Column:
+    """Min coordinate along ``axis`` (0=x, 1=y) with a whole-stage-codegen
+    fast path for 4-point polygons (the dominant case — every rectangle):
+    higher-order functions (transform/array_min over a lambda) run
+    INTERPRETED in Spark, and on the 600k-row export bench the
+    least/greatest branch cut the envelope stage ~2x. Other sizes fall
+    back to the general slice + array_min.
+
+    Deliberately NOT let-bound: ``let`` routes the body through a
+    transform lambda, which would demote the fast branch to interpreted
+    evaluation — the exact cost this helper exists to avoid. ``seg``
+    should be a plain column (repeated references are free under
+    codegen CSE); the interpreted slice runs only on non-4-point rows."""
+    return F.when(
+        F.size(seg) == 8,
+        F.least(*[F.element_at(seg, 2 * i + 1 + axis) for i in range(4)]),
+    ).otherwise(F.array_min(seg_coord(seg, axis)))
+
+
+def seg_axis_max(seg: Column, axis: int) -> Column:
+    """Max coordinate along ``axis`` — see :func:`seg_axis_min`."""
+    return F.when(
+        F.size(seg) == 8,
+        F.greatest(*[F.element_at(seg, 2 * i + 1 + axis) for i in range(4)]),
+    ).otherwise(F.array_max(seg_coord(seg, axis)))
+
+
 def segmentation_bbox(seg: Column) -> Column:
     """Axis-aligned envelope [xmin, ymin, w, h] as array<double>
-    (G5/A8; reference segmentation2bbox COCOUtils.py:82-89)."""
+    (G5/A8; reference segmentation2bbox COCOUtils.py:82-89).
+
+    ``seg`` is let-bound ONCE before the 12 coordinate references — this
+    general entry point cannot assume the input column is cheap (callers
+    pass HOF-built polygons, e.g. the seg_bbox bench corpus, and
+    CollapseProject would otherwise inline that interpreted subtree into
+    every reference). Inside the binding the least/greatest fast path
+    still avoids the xs/ys array allocations of the old slice approach.
+    Callers with a provably cheap column can use seg_axis_min/max raw."""
 
     def bbox(s: Column) -> Column:
-        # xs/ys are let-bound so each coordinate slice is materialized
-        # once, not once per min/max reference.
-        return let(
-            seg_coord(s, 0),
-            lambda xs: let(
-                seg_coord(s, 1),
-                lambda ys: F.array(
-                    F.array_min(xs).cast("double"),
-                    F.array_min(ys).cast("double"),
-                    (F.array_max(xs) - F.array_min(xs)).cast("double"),
-                    (F.array_max(ys) - F.array_min(ys)).cast("double"),
-                ),
-            ),
+        xmin, ymin = seg_axis_min(s, 0), seg_axis_min(s, 1)
+        xmax, ymax = seg_axis_max(s, 0), seg_axis_max(s, 1)
+        return F.array(
+            xmin.cast("double"),
+            ymin.cast("double"),
+            (xmax - xmin).cast("double"),
+            (ymax - ymin).cast("double"),
         )
 
     return let(seg, bbox)

@@ -64,33 +64,25 @@ def yolo_lines(
         )
 
     if not segmentation:
-        # Staged projections instead of `let`-bound HOF lambdas: each
-        # stage's expensive expressions are referenced more than once
-        # downstream, so CollapseProject keeps the stages separate and
-        # whole-stage codegen evaluates each exactly once — the min/max
-        # and all the digit assembly stay in generated code instead of
-        # interpreted lambda evaluation (~2.5x on the 600k-row bench).
-        n_pairs = F.floor(F.size("segmentation") / 2).cast("int")
-        idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
-            F.array().cast("array<int>")
-        )
-        coords = joined.select(
+        # Envelope via seg_axis_min/max: codegen least/greatest for
+        # 4-point polygons (the rectangle-dominated export corpus),
+        # interpreted HOF slice only as the general fallback — ~2x on
+        # the envelope stage at 600k rows. Staged projection keeps the
+        # envelope values materialized once for the digit assembly.
+        from ..functions.geometry import seg_axis_max, seg_axis_min
+
+        s = F.col("segmentation")
+        xmin, ymin = seg_axis_min(s, 0), seg_axis_min(s, 1)
+        xmax, ymax = seg_axis_max(s, 0), seg_axis_max(s, 1)
+        envelope = joined.select(
             "image_name",
             "category_id",
             F.col("width").cast("double").alias("width"),
             F.col("height").cast("double").alias("height"),
-            F.transform(idx, lambda i: F.col("segmentation")[i * 2 - 2]).alias("xs"),
-            F.transform(idx, lambda i: F.col("segmentation")[i * 2 - 1]).alias("ys"),
-        )
-        envelope = coords.select(
-            "image_name",
-            "category_id",
-            "width",
-            "height",
-            F.array_min("xs").cast("double").alias("xmin"),
-            F.array_min("ys").cast("double").alias("ymin"),
-            (F.array_max("xs") - F.array_min("xs")).cast("double").alias("bw"),
-            (F.array_max("ys") - F.array_min("ys")).cast("double").alias("bh"),
+            xmin.cast("double").alias("xmin"),
+            ymin.cast("double").alias("ymin"),
+            (xmax - xmin).cast("double").alias("bw"),
+            (ymax - ymin).cast("double").alias("bh"),
         )
         # Same arithmetic shape as yolo_box(segmentation_bbox(...)):
         # xc = (xmin + bw/2)/W with bw = xmax - xmin.
