@@ -443,3 +443,54 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(index_path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup RESOLUTION — the materialization users actually run: keep the
+# smallest doc_id of every near-dup component (deterministic keep-min
+# policy), pass through every document that collided with nothing. One
+# anti-join against the non-representative component members; at scale
+# the survivors write is the dedup job's output.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_keep_docs",
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.format(table="documents")
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {COMPONENTS_T}
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def near_dup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", threshold=COMPONENTS_T, shingle_k=3
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
