@@ -932,3 +932,39 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long melt) — the inverse reshape of
+# pivot_event_counts, via the native DataFrame.unpivot (Spark's Expand
+# under the hood: one scan, no join, each input row fans out to
+# n_value_columns rows map-side). Zero-count cells are kept, so the
+# round-trip pivot -> unpivot is lossless and the output size is exactly
+# n_users x n_event_types.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_event_counts",
+    """
+    WITH wide AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, event_type, n
+    FROM wide
+    UNPIVOT INCLUDE NULLS (n FOR event_type IN (click, view, purchase, signup, error))
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_event_counts(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
