@@ -136,3 +136,40 @@ def pack_first_fit(
     schema = f"{id_col} {dict(slim.dtypes)[id_col]}, {bin_col} long"
     assignment = slim.groupBy("__grp").applyInPandas(pack, schema=schema)
     return df.join(assignment, id_col)
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    batch_size: int,
+    num_groups: int = 8,
+    group_expr: Column | None = None,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padded-batch efficiency
+    trick: sort by length so each batch of ``batch_size`` rows holds
+    near-equal lengths, making per-batch padding waste
+    (batch_max_len - len) near zero instead of corpus_max - len.
+
+    Scale shape mirrors segment_pack: rows hash into ``num_groups``
+    independent scheduling groups (one shuffle), lengths sort WITHIN a
+    group's window — no global sort, no single-task window — and the
+    batch id is (group << 40) + row_rank // batch_size. Padding quality
+    degrades only by the group count (each group spans the same length
+    distribution), which is the standard distributed reading of
+    length-grouped batching.
+    """
+    grp = group_expr if group_expr is not None else (F.crc32(F.col(id_col).cast("string")) % num_groups)
+    w = Window.partitionBy("__grp").orderBy(F.col(len_col), F.col(id_col))
+    ranked = df.withColumn("__grp", grp.cast("long")).withColumn(
+        "__rank", F.row_number().over(w) - 1
+    )
+    return (
+        ranked.withColumn(
+            "batch_id",
+            F.col("__grp") * _GROUP_SHIFT
+            + F.floor(F.col("__rank") / batch_size).cast("long"),
+        )
+        .drop("__rank")
+        .drop("__grp")
+    )

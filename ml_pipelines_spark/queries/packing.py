@@ -117,3 +117,65 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (F.sum("__fill") * 2.0 / _BUDGET + _GROUPS)
         ).alias("bins_within_ff_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: batches of equal-count, near-equal-length
+# docs (padding-waste minimization). Group bucket is the portable md5
+# expression shared with sequence_pack_docs, so the full assignment —
+# group, length-sorted rank, batch id, per-batch max and padding waste —
+# is value-checked cross-engine.
+# ---------------------------------------------------------------------------
+_BATCH = 32
+
+
+@query(
+    "length_bucket_batches",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               {_GRP_SQL} AS grp
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, grp,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_tokens, doc_id) - 1
+                   AS rank
+        FROM d
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               grp * {1 << 40} + CAST(FLOOR(rank / {_BATCH}) AS BIGINT) AS batch_id
+        FROM ranked
+    )
+    SELECT doc_id, n_tokens, batch_id,
+           MAX(n_tokens) OVER (PARTITION BY batch_id) AS batch_max_len,
+           MAX(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS pad_waste
+    FROM assigned
+    """,
+)
+def length_bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.packing import length_bucket_batches
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    assigned = length_bucket_batches(
+        docs,
+        "n_tokens",
+        "doc_id",
+        batch_size=_BATCH,
+        num_groups=_GROUPS,
+        group_expr=_grp_col(),
+    )
+    bmax = F.max("n_tokens").over(Window.partitionBy("batch_id"))
+    return assigned.select(
+        "doc_id",
+        "n_tokens",
+        "batch_id",
+        bmax.alias("batch_max_len"),
+        (bmax - F.col("n_tokens")).alias("pad_waste"),
+    )
