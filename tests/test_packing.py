@@ -78,3 +78,39 @@ def test_first_fit_fill_quality(spark):
         .count()
     )
     assert half_empty_per_group.filter(F.col("count") > 1).count() == 0
+
+
+def test_length_bucket_batches_shape(spark):
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.packing import length_bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(500)], "doc_id long, n long"
+    )
+    out = length_bucket_batches(df, "n", "doc_id", batch_size=16, num_groups=4)
+    # every doc assigned exactly once
+    assert out.count() == 500
+    assert out.select("doc_id").distinct().count() == 500
+    rows = out.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.min("n").alias("lo"),
+        F.max("n").alias("hi"),
+    ).collect()
+    # full batches hold exactly batch_size; at most one ragged tail per group
+    ragged = {}
+    for r in rows:
+        grp = r["batch_id"] >> 40
+        if r["sz"] != 16:
+            assert r["sz"] < 16
+            assert grp not in ragged
+            ragged[grp] = True
+    # within a group, batches are length-ordered: sort batches by their
+    # local index and check lo/hi are non-decreasing across consecutive ones
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["batch_id"] >> 40, []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["batch_id"] & ((1 << 40) - 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi"] <= b["lo"] or a["hi"] <= b["hi"]

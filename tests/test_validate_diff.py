@@ -134,3 +134,54 @@ def test_scd2_build_runs_gaps_and_currency(spark):
         (2, "x", 3, None, True),
         (3, "c", 1, None, True),
     }
+
+
+def test_scd2_build_exhaustive_single_key_patterns(spark):
+    """All 27 presence/value patterns of one key across 3 snapshot
+    versions (absent / 'a' / 'b' each version), checked against a serial
+    reference model — covers every combination of appear, change,
+    disappear, and reappear in one Spark job."""
+    from itertools import product
+
+    from ml_pipelines_spark.operators.diff import scd2_build
+
+    patterns = list(product([None, "a", "b"], repeat=3))
+
+    def ref(seq):
+        runs, cur = [], None  # cur = [val, start, last]
+        for v, val in enumerate(seq, start=1):
+            if val is None:
+                if cur:
+                    runs.append(cur)
+                    cur = None
+            elif cur and cur[2] == v - 1 and cur[0] == val:
+                cur[2] = v
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = [val, v, v]
+        if cur:
+            runs.append(cur)
+        return {
+            (val, start, None if last == 3 else last + 1, last == 3)
+            for val, start, last in runs
+        }
+
+    snaps = []
+    for version in (1, 2, 3):
+        rows = [
+            (k, pat[version - 1])
+            for k, pat in enumerate(patterns)
+            if pat[version - 1] is not None
+        ]
+        snaps.append(
+            (version, spark.createDataFrame(rows, "k long, v string"))
+        )
+    hist = scd2_build(snaps, ["k"], ["v"])
+    got = {}
+    for r in hist.collect():
+        got.setdefault(r["k"], set()).add(
+            (r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    for k, pat in enumerate(patterns):
+        assert got.get(k, set()) == ref(pat), f"pattern {pat}"
