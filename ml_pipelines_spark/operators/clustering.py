@@ -198,3 +198,93 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _dist_to_center_udf(centers: dict[int, list[float]]):
+    """Arrow-batched squared-L2 distance from each row's vector to its
+    OWN cluster's center — same serial-over-dims exact-fold contract as
+    ``_assign_udf`` (bit-identical to the SQL twin's in-order list_sum)."""
+    from pyspark.sql.types import DoubleType
+
+    C = {int(cid): np.asarray(c, dtype=np.float64) for cid, c in centers.items()}
+
+    @F.pandas_udf(DoubleType())
+    def dist(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        cl = clusters.to_numpy()
+        out = np.zeros(len(X))
+        for cid, c in C.items():
+            m = cl == cid
+            if not m.any():
+                continue
+            acc = np.zeros(int(m.sum()))
+            Xm = X[m]
+            for k in range(X.shape[1]):
+                d = Xm[:, k] - c[k]
+                acc += d * d
+            out[m] = acc
+        return pd.Series(out)
+
+    return dist
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    center_updates: int = 1,
+    top_n: int = 20,
+) -> DataFrame:
+    """Embedding outlier scan: the ``top_n`` vectors farthest from their
+    own k-means centroid — the standard embedding-space quality gate
+    (mislabeled / corrupt / off-distribution samples rank first).
+
+    Distances use the exact-fold kernel so the DuckDB twin reproduces
+    them; ranking orders on the 6dp-ROUNDED distance (ties to the
+    smaller id) so the cross-engine rank is stable even though grouped
+    AVG centroids can differ in the last float bit. Two-phase top-n:
+    per-partition prune to ``top_n`` before the single global sort of
+    the ~top_n * P survivors.
+    """
+    from pyspark.sql.window import Window
+
+    assigned, _ = kmeans_fit(
+        df, vec_col, id_col, k=k, center_updates=center_updates
+    )
+    # Distances are measured against the MEMBER-MEAN center of the final
+    # assignment (not the center the assignment was made with): that is
+    # the centroid the cluster actually has, and what the SQL twin
+    # re-derives. One more k*dim collect.
+    mean_rows = _mean_centers(assigned, vec_col).collect()
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in mean_rows:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    centers = {
+        cid: [pos_m[p] for p in sorted(pos_m)]
+        for cid, pos_m in sorted(by_cluster.items())
+    }
+    scored = assigned.select(
+        "cluster",
+        F.col(id_col).alias("id"),
+        F.round(
+            _dist_to_center_udf(centers)(F.col(vec_col), F.col("cluster")), 6
+        ).alias("dist_sq"),
+    )
+    part = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("dist_sq").desc(), F.col("id")
+    )
+    pruned = scored.withColumn("__pr", F.row_number().over(part)).filter(
+        F.col("__pr") <= top_n
+    )
+    w = Window.orderBy(F.col("dist_sq").desc(), F.col("id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            "dist_sq",
+            "rank",
+        )
+    )

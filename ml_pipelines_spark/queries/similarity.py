@@ -530,3 +530,44 @@ def _register_diverse_curation_oracle() -> None:
 
 
 _register_diverse_curation_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier scan: top-20 vectors farthest from their own k-means
+# centroid (mislabeled/corrupt/off-distribution detector). Shares the
+# Lloyd CTEs; distances rank on the 6dp-rounded value with vec_id ties
+# so the cross-engine rank is stable.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_outliers",
+    f"""
+    WITH {_KM_CTES},
+    m2 AS (
+        SELECT cluster, pos, AVG(v) AS m FROM (
+            SELECT cluster, unnest(generate_series(1, len(e))) AS pos,
+                   unnest(e) AS v
+            FROM a2
+        ) GROUP BY cluster, pos
+    ),
+    c2 AS (
+        SELECT cluster, list(m ORDER BY pos) AS c FROM m2 GROUP BY cluster
+    ),
+    scored AS (
+        SELECT a2.vec_id, a2.cluster,
+               ROUND(list_sum(list_transform(generate_series(1, len(a2.e)),
+                   i -> (a2.e[i] - c2.c[i]) * (a2.e[i] - c2.c[i]))), 6)
+                   AS dist_sq
+        FROM a2 JOIN c2 ON a2.cluster = c2.cluster
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, dist_sq,
+           CAST(ROW_NUMBER() OVER (ORDER BY dist_sq DESC, vec_id) AS INT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import embedding_outliers
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, k=8, center_updates=1, top_n=20)
