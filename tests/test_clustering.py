@@ -81,3 +81,32 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert got == {(0, 2), (0, 4), (2, 4), (1, 3)}
     for r in pairs:
         assert r["cosine"] >= 0.99
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    # Init takes min(k, N) centers; the fit must still converge and
+    # cover every row.
+    df = _vec_df(spark, [[0.0], [9.0]])
+    assigned, centers = kmeans_fit(df, "embedding", "id", k=8, center_updates=1)
+    assert set(centers) <= {0, 1}
+    assert assigned.count() == 2
+    prof = cluster_profile(assigned, "embedding")
+    assert sum(r["n"] for r in prof.collect()) == 2
+
+
+def test_embedding_outliers_duplicate_vectors_deterministic(spark):
+    from ml_pipelines_spark.operators.clustering import embedding_outliers
+
+    # Duplicate vectors have exactly equal distances; ranks must break
+    # ties by id, so repeated runs agree.
+    vecs = [[0.0, 0.0]] * 3 + [[5.0, 5.0]] * 3 + [[2.0, 2.0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    a = [(r["vec_id"], r["rank"]) for r in
+         embedding_outliers(df, k=2, top_n=4).orderBy("rank").collect()]
+    b = [(r["vec_id"], r["rank"]) for r in
+         embedding_outliers(df, k=2, top_n=4).orderBy("rank").collect()]
+    assert a == b
+    assert len(a) == 4
