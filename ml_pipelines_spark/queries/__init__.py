@@ -46,8 +46,9 @@ from . import evolution  # noqa: E402,F401
 # row — seeded_nested_split (hash-fail r1+r2, invariant rewrite never
 # driver-run) and snapshot_diff_orders (r3 ERR: driver hasher can't
 # canonicalize array<string>; now string-encoded) — lead the list; (b) the
-# seven queries NEW this round (multiprobe ANN, k-means + SemDeDup +
-# diverse curation, dup-ngram fraction, SCD2, the real
+# eleven queries NEW this round (multiprobe ANN, the k-means family —
+# clusters + SemDeDup + diverse curation + outliers, dup-ngram fraction,
+# SCD2, grouping sets, IVM, near-dup resolution, the real
 # applyInPandasWithState stream) — first driver rows wanted; (c) the
 # relational/splits/text families whose driver evidence dates from r1/r2
 # while three rounds of perf work touched their shared code paths (bloom,
@@ -55,10 +56,12 @@ from . import evolution  # noqa: E402,F401
 # changed THIS round (minhash regression fix, export fusion,
 # approx-distinct rework). The r3-evidenced dedup/similarity/geometry/
 # streaming/multimodal families stay out but keep local oracle parity
-# (tests/test_oracle_parity.py, same DuckDB hash check), as do the six
-# scalar-function r1/r2 queries displaced by (b) (regex_extract,
+# (tests/test_oracle_parity.py, same DuckDB hash check), as do the ten
+# scalar/filter r1/r2 queries displaced by (b) (regex_extract,
 # filename_normalize, json_extract, scalar_funcs, array_restructure,
-# union_all — single-expression queries untouched by any perf work).
+# union_all, filter_isin, filter_eq, distinct_keys, count_per_group —
+# single-expression queries untouched by any perf work, each with two
+# prior green driver rows).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
     # never-green driver rows — round 4 job #1
@@ -72,6 +75,10 @@ _CHECK_FIRST = [
     "dup_ngram_fraction",
     "scd2_orders_history",
     "stream_running_totals",
+    "grouping_sets_pricing",
+    "incremental_rollup_events",
+    "near_dup_keep_docs",
+    "embedding_outliers",
     # re-evidence: code touched this round
     "minhash_near_dup",
     "coco_records",
@@ -81,15 +88,11 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     # r1/r2-evidenced relational block — fresh rows wanted
     "proj_cast",
-    "filter_isin",
-    "filter_eq",
     "filter_array_overlap",
     "semi_join",
     "anti_join",
     "star_join_revenue",
-    "distinct_keys",
     "dedup_keep_first",
-    "count_per_group",
     "group_collect_sorted",
     "flatten_collect",
     "dict_encode",
