@@ -579,7 +579,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (map-side combine collapses repeats), ONE join back on shingle tags
 # each doc's shingles, ONE groupBy(doc_id) folds the ratio. No pair
 # join, no window — the same aggregate-only skeleton as vocab_topk, so
-# hot shingles cost a counter, not a fan-out.
+# hot shingles cost a counter, not a fan-out. The shingle subtree is
+# deliberately evaluated twice (two scans of documents.text): at corpus
+# scale, persisting the exploded shingle table costs more than
+# re-deriving it, and a window-over-shingle alternative would put every
+# occurrence of a hot shingle in ONE task with no map-side combine —
+# the two-pass groupBy+join is the skew-robust shape (CCNet runs the
+# same two passes).
 # ---------------------------------------------------------------------------
 @query(
     "dup_ngram_fraction",
