@@ -288,3 +288,100 @@ def embedding_outliers(
             "rank",
         )
     )
+
+
+def _min_dist_udf(centers: dict[int, list[float]]):
+    """Arrow-batched distance to the NEAREST center (same exact-fold
+    contract as ``_assign_udf``; the min over centers of in-order sums)."""
+    from pyspark.sql.types import DoubleType
+
+    cids = sorted(centers)
+    C = [np.asarray(centers[cid], dtype=np.float64) for cid in cids]
+
+    @F.pandas_udf(DoubleType())
+    def min_dist(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        D = np.empty((X.shape[0], len(C)))
+        for j, c in enumerate(C):
+            acc = np.zeros(X.shape[0])
+            for k in range(X.shape[1]):
+                d = X[:, k] - c[k]
+                acc += d * d
+            D[:, j] = acc
+        return pd.Series(D.min(axis=1))
+
+    return min_dist
+
+
+def kmeans_trajectory(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    center_updates: int = 1,
+) -> DataFrame:
+    """Per-iteration convergence report for the deterministic Lloyd run:
+    (iteration, inertia, n_moved) where inertia is the summed
+    nearest-center squared distance under that iteration's centers and
+    n_moved counts points whose assignment changed vs the previous
+    iteration (0 rows moved == converged). Lloyd guarantees inertia is
+    non-increasing; a cross-engine twin re-derives the whole trajectory,
+    so a drifting update step (wrong means, wrong tie-break, lost
+    cluster) shows up as a value mismatch, not just a weaker invariant.
+
+    Each iteration is one narrow Arrow pass + a 2-value aggregate; the
+    per-iteration center collect is k*dim doubles, as in kmeans_fit.
+    """
+    init_rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centers = {i: list(r["v"]) for i, r in enumerate(init_rows)}
+    prev_assigned = None
+    reports = []
+    for it in range(center_updates + 1):
+        assigned = assign_clusters(df, vec_col, centers).select(
+            F.col(id_col).alias("id"),
+            "cluster",
+            _min_dist_udf(centers)(F.col(vec_col)).alias("__d"),
+        )
+        inertia = assigned.agg(
+            F.round(F.sum("__d"), 2).alias("inertia")
+        )
+        if prev_assigned is None:
+            moved = inertia.select(F.lit(None).cast("long").alias("n_moved"))
+        else:
+            moved = (
+                assigned.alias("cur")
+                .join(prev_assigned.alias("prv"), "id")
+                .agg(
+                    F.sum(
+                        (F.col("cur.cluster") != F.col("prv.cluster")).cast(
+                            "long"
+                        )
+                    ).alias("n_moved")
+                )
+            )
+        reports.append(
+            inertia.crossJoin(moved).select(
+                F.lit(it).alias("iteration"), "inertia", "n_moved"
+            )
+        )
+        prev_assigned = assigned.select("id", "cluster")
+        if it < center_updates:
+            mean_rows = _mean_centers(
+                assign_clusters(df, vec_col, centers), vec_col
+            ).collect()
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in mean_rows:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            centers = {
+                cid: [pos_m[p] for p in sorted(pos_m)]
+                for cid, pos_m in sorted(by_cluster.items())
+            }
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -571,3 +571,38 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, k=8, center_updates=1, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd convergence trajectory: per-iteration inertia + moved-point
+# count, fully value-checked (the oracle re-derives both iterations from
+# the shared CTEs). Inertia must be non-increasing — but rather than
+# pinning the inequality, the actual values cross-check.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_inertia",
+    f"""
+    WITH {_KM_CTES},
+    i1 AS (
+        SELECT ROUND(SUM(md), 2) AS inertia
+        FROM (SELECT MIN(d) AS md FROM d1 GROUP BY vec_id)
+    ),
+    i2 AS (
+        SELECT ROUND(SUM(md), 2) AS inertia
+        FROM (SELECT MIN(d) AS md FROM d2 GROUP BY vec_id)
+    ),
+    mv AS (
+        SELECT CAST(SUM(CASE WHEN x.cluster <> y.cluster THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM a1 x JOIN a2 y USING (vec_id)
+    )
+    SELECT 0 AS iteration, inertia, CAST(NULL AS BIGINT) AS n_moved FROM i1
+    UNION ALL
+    SELECT 1 AS iteration, i2.inertia, mv.n_moved FROM i2, mv
+    """,
+)
+def kmeans_inertia_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_trajectory
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_trajectory(emb, "embedding", "vec_id", k=8, center_updates=1)

@@ -110,3 +110,22 @@ def test_embedding_outliers_duplicate_vectors_deterministic(spark):
          embedding_outliers(df, k=2, top_n=4).orderBy("rank").collect()]
     assert a == b
     assert len(a) == 4
+
+
+def test_kmeans_trajectory_monotone_and_converges(spark):
+    from ml_pipelines_spark.operators.clustering import kmeans_trajectory
+
+    blob_a = [[0.0 + i * 0.01, 0.0] for i in range(6)]
+    blob_b = [[10.0 + i * 0.01, 10.0] for i in range(6)]
+    df = _vec_df(spark, [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:])
+    rows = {
+        r["iteration"]: r
+        for r in kmeans_trajectory(
+            df, "embedding", "id", k=2, center_updates=2
+        ).collect()
+    }
+    assert rows[0]["n_moved"] is None
+    assert rows[0]["inertia"] >= rows[1]["inertia"] >= rows[2]["inertia"]
+    # separated blobs: assignment is already right after init, and the
+    # second update changes nothing
+    assert rows[2]["n_moved"] == 0
