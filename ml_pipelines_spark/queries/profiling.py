@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 
 from ..operators.profile import profile_columns, top_values
 from .registry import query
+
+
+def _quality_expr() -> str:
+    from .text import quality_sql
+
+    return quality_sql("text")
 from .relational import t
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
@@ -56,3 +62,51 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return top_values(docs, "source", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — the one-row corpus datasheet a training run records:
+# document/token volume, language spread, median length, mean quality.
+# ONE aggregation pass over documents (the exact median uses Spark's
+# built-in percentile, matching DuckDB quantile_cont as in
+# exact_percentiles); every metric value-checked cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_card",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               {_quality_expr()} AS quality
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+               AS frac_en,
+           ROUND(quantile_cont(n_tokens, 0.5), 1) AS median_tokens,
+           ROUND(AVG(quality), 4) AS mean_quality
+    FROM d
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg((F.col("lang") == "en").cast("double")), 4).alias(
+            "frac_en"
+        ),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 1).alias(
+            "median_tokens"
+        ),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+    )
