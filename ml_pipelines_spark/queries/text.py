@@ -638,3 +638,54 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document vectors — the hashing trick (Weinberger et al.,
+# 2009; vowpal-wabbit style): token counts bucketed by md5 into a fixed
+# 16-dim vector, the model-free way to get documents into vector space
+# (clusterable / ANN-searchable with the embedding operators). One
+# explode + ONE groupBy(doc_id) with conditional sums — no pivot
+# discovery scan, map-side combine collapses each doc's tokens early.
+# md5 bucketing is engine-portable, so every component value-checks.
+# ---------------------------------------------------------------------------
+_HASH_DIM = 16
+
+@query(
+    "hashed_doc_vectors",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) % {_HASH_DIM}
+                   AS bucket
+        FROM tok
+    )
+    SELECT doc_id,
+           {", ".join(f"CAST(COUNT(CASE WHEN bucket = {i} THEN 1 END) AS BIGINT) AS c{i}" for i in range(16))}
+    FROM b GROUP BY doc_id
+    """,
+)
+def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long"),
+        F.lit(_HASH_DIM),
+    )
+    exploded = docs.select("doc_id", F.explode(toks).alias("w")).select(
+        "doc_id", bucket.alias("bucket")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.count(F.when(F.col("bucket") == i, 1)).alias(f"c{i}")
+            for i in range(_HASH_DIM)
+        ]
+    )
