@@ -243,3 +243,55 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.ntile(4).over(w).alias("quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel conversion — the classic event-sequence analysis: a
+# user converts at step N when their FIRST occurrences of the step
+# events are in strict timestamp order (view < click < purchase). One
+# groupBy(user) with conditional min(ts) per step — no self-joins, no
+# window; the per-user row then folds to one summary row. Ties (equal
+# first timestamps) do not advance the funnel, which keeps the
+# definition engine-portable.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS step_view,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 END) AS step_click,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                      THEN 1 END) AS step_purchase
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts"))).alias(
+            f"t_{step}"
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("step_view"),
+        F.count(F.when(clicked, 1)).alias("step_click"),
+        F.count(F.when(purchased, 1)).alias("step_purchase"),
+    )
