@@ -295,3 +295,53 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("step_click"),
         F.count(F.when(purchased, 1)).alias("step_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-activity week; each cell
+# counts cohort members active again N weeks later. Two aggregates (per-
+# user first week; distinct user-weeks) + one join on user_id; week
+# offsets are exact integer arithmetic on week-truncated epochs, so
+# every cell value-checks. Both engines truncate weeks to Monday.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(FLOOR((epoch(a.wk) - epoch(f.cohort)) / 604800.0) AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = activity.join(firsts, "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (
+                    F.unix_timestamp("wk") - F.unix_timestamp("cohort")
+                )
+                / 604800.0
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
