@@ -345,3 +345,66 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly flags — ingest monitoring: hourly event counts
+# z-scored against each type's own trailing 24 hours (exclusive frame,
+# so the current hour never masks itself). One aggregate + one
+# partitioned window; per-type partitions are dictionary-sized keys with
+# hour-count rows, so the window never funnels raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "hourly_anomaly_flags",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, hr, n,
+               AVG(n) OVER w AS mu,
+               STDDEV_SAMP(n) OVER w AS sd
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n,
+           ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END, 4) AS z,
+           CASE WHEN sd > 0 AND abs((n - mu) / sd) > 2
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM scored
+    """,
+)
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    # sd can be 0 (constant trailing counts) or NULL (<2 prior rows):
+    # z is NULL there, the flag FALSE — guarded before the division so
+    # ANSI mode never sees a zero divisor.
+    z = F.when(
+        F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")
+    )
+    return scored.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
+    )
