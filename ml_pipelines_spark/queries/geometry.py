@@ -227,3 +227,68 @@ def rbb_from_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w * h <= aabb_area * (1 + 1e-9) + eps).alias("area_le_aabb"),
         F.round(aabb_area, 4).alias("aabb_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement — the labeling-ops QA metric: mean IoU
+# between two annotators' boxes for the same annotation id. Annotator B
+# is a deterministic perturbation of annotator A (shift derived from the
+# keys), so the whole pipeline — pairing, intersection, union, per-image
+# fold — is exact float64 arithmetic and value-checks cross-engine.
+# Expression-only: one scan, one groupBy(image); no kernel, no join (the
+# perturbation pairs row-locally, the realistic two-table variant is the
+# same plan plus an equi-join on annotation id).
+# ---------------------------------------------------------------------------
+@query(
+    "annotator_agreement_iou",
+    """
+    WITH a AS (
+        SELECT 'img_' || l_orderkey AS image_name,
+               CAST(l_partkey % 1000 AS DOUBLE) AS x,
+               CAST(l_suppkey % 1000 AS DOUBLE) AS y,
+               l_quantity * 5.0 AS w,
+               l_discount * 1000.0 + 10.0 AS h,
+               CAST(l_partkey % 7 AS DOUBLE) - 3.0 AS dx,
+               CAST(l_suppkey % 5 AS DOUBLE) - 2.0 AS dy
+        FROM lineitem
+    ),
+    iou AS (
+        SELECT image_name,
+               greatest(least(x + w, x + dx + w) - greatest(x, x + dx), 0.0)
+               * greatest(least(y + h, y + dy + h) - greatest(y, y + dy), 0.0)
+                   AS inter,
+               w * h AS area
+        FROM a
+    )
+    SELECT image_name,
+           COUNT(*) AS n_boxes,
+           ROUND(AVG(inter / (2.0 * area - inter)), 6) AS mean_iou
+    FROM iou
+    GROUP BY image_name
+    """,
+)
+def annotator_agreement_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 1000).cast("double")
+    y = (F.col("l_suppkey") % 1000).cast("double")
+    w = F.col("l_quantity") * 5.0
+    h = F.col("l_discount") * 1000.0 + 10.0
+    dx = (F.col("l_partkey") % 7).cast("double") - 3.0
+    dy = (F.col("l_suppkey") % 5).cast("double") - 2.0
+    inter = F.greatest(
+        F.least(x + w, x + dx + w) - F.greatest(x, x + dx), F.lit(0.0)
+    ) * F.greatest(
+        F.least(y + h, y + dy + h) - F.greatest(y, y + dy), F.lit(0.0)
+    )
+    area = w * h
+    boxes = li.select(
+        F.concat(F.lit("img_"), F.col("l_orderkey")).alias("image_name"),
+        inter.alias("inter"),
+        area.alias("area"),
+    )
+    return boxes.groupBy("image_name").agg(
+        F.count(F.lit(1)).alias("n_boxes"),
+        F.round(
+            F.avg(F.col("inter") / (2.0 * F.col("area") - F.col("inter"))), 6
+        ).alias("mean_iou"),
+    )
