@@ -494,3 +494,51 @@ def near_dup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplication report — the curation dashboard number that
+# decides which sources get dedup attention: exact-fingerprint distinct
+# counts per source plus the share of docs whose fingerprint also
+# appears in ANOTHER source (cross-source contamination). Two aggregate
+# passes, no pair joins.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_rate_by_source",
+    """
+    WITH fp AS (
+        SELECT source, doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS fp
+        FROM documents
+    ),
+    spread AS (
+        SELECT fp, COUNT(DISTINCT source) AS n_sources FROM fp GROUP BY fp
+    )
+    SELECT fp.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp.fp) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT fp.fp) / COUNT(*), 6) AS dup_rate,
+           COUNT(CASE WHEN spread.n_sources > 1 THEN 1 END) AS n_cross_source
+    FROM fp JOIN spread ON fp.fp = spread.fp
+    GROUP BY fp.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    spread = docs.groupBy("fp").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    joined = docs.join(spread, "fp")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.count(F.when(F.col("n_sources") > 1, 1)).alias("n_cross_source"),
+    )
