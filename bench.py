@@ -73,6 +73,17 @@ HEADLINE = [
     "dup_ngram_fraction",
     "scd2_orders_history",
     "grouping_sets_pricing",
+    "funnel_conversion",
+    "cohort_retention",
+    "hourly_anomaly_flags",
+    "dataset_card",
+    "hashed_doc_vectors",
+    "length_bucket_batches",
+    "annotator_agreement_iou",
+    "dup_rate_by_source",
+    "unpivot_event_counts",
+    "embedding_outliers",
+    "kmeans_inertia",
 ]
 
 RUNS = 3
