@@ -147,3 +147,50 @@ def training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order(docs, "doc_id", salt="curr").select(
         "doc_id", F.col("pos").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix divergence — the mixture-planning metric: KL(current mix ||
+# target mix) plus per-source share deltas against the declared target
+# weights. One count aggregate; the KL fold is a handful of exact
+# float64 terms, rounded on both sides.
+# ---------------------------------------------------------------------------
+_TARGET_MIX = {"web": 0.4, "books": 0.2, "code": 0.2, "wiki": 0.1, "news": 0.1}
+
+
+@query(
+    "source_mix_kl",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    shares AS (
+        SELECT source, n, n / CAST(total AS DOUBLE) AS p,
+               CASE source
+                   {' '.join(f"WHEN '{s}' THEN {w}" for s, w in _TARGET_MIX.items())}
+                   ELSE 0.0 END AS q
+        FROM counts, tot
+    )
+    SELECT source, n,
+           ROUND(p, 6) AS share,
+           ROUND(p - q, 6) AS delta_vs_target,
+           ROUND(CASE WHEN q > 0 THEN p * ln(p / q) END, 6) AS kl_term
+    FROM shares
+    """,
+)
+def source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    q = F.lit(0.0)
+    for s, w in _TARGET_MIX.items():
+        q = F.when(F.col("source") == s, F.lit(float(w))).otherwise(q)
+    p = F.col("n") / F.col("total").cast("double")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n",
+        F.round(p, 6).alias("share"),
+        F.round(p - q, 6).alias("delta_vs_target"),
+        F.round(F.when(q > 0, p * F.log(p / q)), 6).alias("kl_term"),
+    )

@@ -408,3 +408,47 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.coalesce(F.abs(z) > 2, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics — outlier-resistant per-type value
+# summaries: exact p05/p95 (built-in percentile, matching DuckDB
+# quantile_cont), values clipped to the band before the mean. One
+# groupBy computes the percentiles; a self-join-free second aggregate
+# applies the clip via a broadcast of the 5-row percentile dimension.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_stats",
+    """
+    WITH bands AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(e.value), 4) AS raw_mean,
+           ROUND(AVG(least(greatest(e.value, b.lo), b.hi)), 4)
+               AS winsorized_mean,
+           ROUND(ANY_VALUE(b.lo), 4) AS p05,
+           ROUND(ANY_VALUE(b.hi), 4) AS p95
+    FROM events e JOIN bands b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    joined = ev.join(F.broadcast(bands), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+        F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        F.round(F.first("lo"), 4).alias("p05"),
+        F.round(F.first("hi"), 4).alias("p95"),
+    )
