@@ -204,3 +204,64 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass  # memory-sink table may not exist if the stream failed
+
+
+# ---------------------------------------------------------------------------
+# Cross-micro-batch stream dedup in the oracle gate: the events file is
+# written TWICE into the stream directory (two identical-content
+# batches, one per trigger), pushed through the watermarked
+# dropDuplicates state, and the surviving rows must equal the original
+# table exactly — duplicate suppression across batch boundaries is the
+# whole point, and a state bug (eviction too early, key mixing) changes
+# the counts. Batch-split-invariant, so the result is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_dedup_replay",
+    """
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import read_stream, stream_dedup
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    d = tempfile.mkdtemp(prefix="mlps_sdr_")
+    name = f"sdr_{uuid.uuid4().hex}"
+    try:
+        # same rows written twice -> two files -> two identical batches
+        ev.coalesce(1).write.mode("append").parquet(d)
+        ev.coalesce(1).write.mode("append").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+        deduped = stream_dedup(
+            stream, keys=["event_id"], ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
