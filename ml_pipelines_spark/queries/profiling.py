@@ -110,3 +110,48 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("quality"), 4).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence statistic for the lang x source contingency
+# table — the statistical-test family: observed vs expected cell counts
+# from two marginal passes over one aggregate, exact float64 terms
+# rounded on both sides. (The statistic, not the p-value — no special
+# functions in either engine.)
+# ---------------------------------------------------------------------------
+@query(
+    "lang_source_chisq",
+    """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT lang, source, o,
+               SUM(o) OVER (PARTITION BY lang) AS row_n,
+               SUM(o) OVER (PARTITION BY source) AS col_n,
+               SUM(o) OVER () AS total
+        FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(
+               (o - row_n * col_n / CAST(total AS DOUBLE))
+               * (o - row_n * col_n / CAST(total AS DOUBLE))
+               / (row_n * col_n / CAST(total AS DOUBLE))
+           ), 4) AS chi_sq
+    FROM m
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # marginals over the tiny cell table (|langs| x |sources| rows)
+    row_n = F.sum("o").over(Window.partitionBy("lang"))
+    col_n = F.sum("o").over(Window.partitionBy("source"))
+    total = F.sum("o").over(Window.partitionBy())
+    e = row_n * col_n / total.cast("double")
+    return cells.select(((F.col("o") - e) * (F.col("o") - e) / e).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum("t"), 4).alias("chi_sq"),
+    )

@@ -452,3 +452,115 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("lo"), 4).alias("p05"),
         F.round(F.first("hi"), 4).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix — per-user consecutive event-type pairs (the
+# Markov-chain sufficient statistics behind session modeling): one
+# partitioned lag window, one count aggregate, transition probability
+# normalized within each source state.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+               AS p
+    FROM pairs
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # normalization rides a tiny window over the 25-cell matrix
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS trend — per-type least-squares slope/intercept of
+# value over time, from the five classical sufficient statistics in ONE
+# aggregate pass (aggregate-only ML: no iterations, no library). Time is
+# centered per group (hours since the group's min) before the slope
+# formula to keep the float magnitudes tame; all terms exact float64,
+# rounded on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "ols_value_trend",
+    """
+    WITH base AS (
+        SELECT event_type,
+               (epoch(ts) - MIN(epoch(ts)) OVER (PARTITION BY event_type))
+                   / 3600.0 AS x,
+               value AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept
+    FROM s
+    """,
+)
+def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("double")
+    # per-type min via groupBy + broadcast join, NOT a window: a window
+    # partitioned by the 5-value event_type would funnel each type's
+    # entire history into one task at scale; the groupBy partial-aggs
+    # map-side and the 5-row dimension broadcasts back.
+    mins = ev.groupBy("event_type").agg(F.min(epoch).alias("__t0"))
+    x = (epoch - F.col("__t0")) / 3600.0
+    base = ev.join(F.broadcast(mins), "event_type").select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
