@@ -155,3 +155,36 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.round(F.sum("t"), 4).alias("chi_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over the lineitem measures — both engines'
+# built-in corr aggregates implement the same sample formula, so the
+# rounded coefficients value-check; one aggregate pass produces all six
+# upper-triangle pairs.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "lineitem_correlations",
+    """
+    SELECT """
+    + ",\n           ".join(
+        f"ROUND(corr({a}, {b}), 6) AS corr_{a[2:]}_{b[2:]}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + """
+    FROM lineitem
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}")
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1 :]
+        ]
+    )
