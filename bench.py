@@ -84,6 +84,12 @@ HEADLINE = [
     "unpivot_event_counts",
     "embedding_outliers",
     "kmeans_inertia",
+    "source_mix_kl",
+    "winsorized_stats",
+    "event_transitions",
+    "lang_source_chisq",
+    "ols_value_trend",
+    "lineitem_correlations",
 ]
 
 RUNS = 3
