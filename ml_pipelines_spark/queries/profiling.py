@@ -188,3 +188,44 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in _CORR_COLS[i + 1 :]
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-median sketch check — the quantile companion of
+# approx_distinct_users: Spark's percentile_approx (Greenwald-Khanna
+# style sketch, mergeable, O(1/accuracy) memory — the 100 TB substitute
+# for exact sorts) has no cross-engine twin, so the oracle contract is
+# the BAND invariant with exact anchors: the p45/p50/p55 exact
+# percentiles are true cross-engine values (quantile_cont), and the
+# sketch estimate must land inside [p45, p55] (pinned TRUE). Registered
+# in SELF_CHECK_INVARIANTS.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_median_band",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.45), 4) AS p45,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.55), 4) AS p55,
+           TRUE AS approx_in_band
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.45)), 4).alias("p45"),
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.55)), 4).alias("p55"),
+        (
+            (
+                F.percentile_approx("value", F.lit(0.5), F.lit(100))
+                >= F.percentile("value", F.lit(0.45))
+            )
+            & (
+                F.percentile_approx("value", F.lit(0.5), F.lit(100))
+                <= F.percentile("value", F.lit(0.55))
+            )
+        ).alias("approx_in_band"),
+    )

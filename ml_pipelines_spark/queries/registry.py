@@ -39,6 +39,7 @@ SELF_CHECK_INVARIANTS = {
     "pack_bins_ffd",         # FFD packing feasibility/optimality bounds
     "approx_distinct_users", # engine HLL sketch: ±5% tolerance flag
     "seeded_nested_split",   # Spark RNG split: fractions + completeness
+    "approx_median_band",    # GK quantile sketch: exact p45/p55 anchors
 }
 
 
