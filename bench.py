@@ -90,6 +90,10 @@ HEADLINE = [
     "lang_source_chisq",
     "ols_value_trend",
     "lineitem_correlations",
+    # sketch-only production shape (the invariant twin approx_distinct_users
+    # stays out of the headline: its exact-countDistinct self-check is
+    # gate-only cost, not user-facing cost)
+    "approx_distinct_users_sketch",
 ]
 
 RUNS = 3

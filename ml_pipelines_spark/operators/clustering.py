@@ -342,9 +342,14 @@ def kmeans_trajectory(
     prev_assigned = None
     reports = []
     for it in range(center_updates + 1):
+        # vec_col rides along so the mean-update below reuses THIS
+        # assignment frame instead of re-invoking assign_clusters
+        # (Catalyst prunes __d out of the mean branch, so the reuse does
+        # not drag the distance fold into the update pass).
         assigned = assign_clusters(df, vec_col, centers).select(
             F.col(id_col).alias("id"),
             "cluster",
+            F.col(vec_col),
             _min_dist_udf(centers)(F.col(vec_col)).alias("__d"),
         )
         inertia = assigned.agg(
@@ -371,9 +376,7 @@ def kmeans_trajectory(
         )
         prev_assigned = assigned.select("id", "cluster")
         if it < center_updates:
-            mean_rows = _mean_centers(
-                assign_clusters(df, vec_col, centers), vec_col
-            ).collect()
+            mean_rows = _mean_centers(assigned, vec_col).collect()
             by_cluster: dict[int, dict[int, float]] = {}
             for r in mean_rows:
                 by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]

@@ -46,20 +46,23 @@ def snapshot_diff(
     )
     j = o.join(n, [f"__k_{k}" for k in keys], "full_outer")
 
-    diffs = F.array_sort(
-        F.filter(
-            F.array(
-                *[
-                    F.when(
-                        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
-                        F.lit(c),
-                    )
-                    for c in compare_cols
-                ]
-            ),
-            lambda x: x.isNotNull(),
-        )
-    ) if compare_cols else F.array().cast("array<string>")
+    # Sorted-by-name concat of per-column conditional singletons instead
+    # of array_sort(filter(...)): higher-order-function lambdas run
+    # interpreted outside whole-stage codegen (and outside its CSE), and
+    # this expression is repeated across the status filter and both
+    # output projections — measured ~25% of the query's post-join cost
+    # at sf0.1. Iterating sorted(compare_cols) makes the concat output
+    # identical to the old array_sort result.
+    empty = F.array().cast("array<string>")
+    diffs = F.concat(
+        *[
+            F.when(
+                ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                F.array(F.lit(c)),
+            ).otherwise(empty)
+            for c in sorted(compare_cols)
+        ]
+    ) if compare_cols else empty
 
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))

@@ -42,85 +42,91 @@ from . import evolution  # noqa: E402,F401
 # registered queries against their oracles each round; registration order is
 # therefore the evidence-collection schedule, not an implementation detail.
 #
-# Round-4 window: (a) the two queries that have never earned a green driver
-# row — seeded_nested_split (hash-fail r1+r2, invariant rewrite never
-# driver-run) and snapshot_diff_orders (r3 ERR: driver hasher can't
-# canonicalize array<string>; now string-encoded) — lead the list; (b) the
-# eleven queries NEW this round (multiprobe ANN, the k-means family —
-# clusters + SemDeDup + diverse curation + outliers, dup-ngram fraction,
-# SCD2, grouping sets, IVM, near-dup resolution, the real
-# applyInPandasWithState stream) — first driver rows wanted; (c) the
-# relational/splits/text families whose driver evidence dates from r1/r2
-# while three rounds of perf work touched their shared code paths (bloom,
-# dense-ids, shared scans), plus re-evidence slots for queries whose code
-# changed THIS round (minhash regression fix, export fusion,
-# approx-distinct rework). The r3-evidenced dedup/similarity/geometry/
-# streaming/multimodal families stay out but keep local oracle parity
-# (tests/test_oracle_parity.py, same DuckDB hash check), as do the ten
-# scalar/filter r1/r2 queries displaced by (b) (regex_extract,
-# filename_normalize, json_extract, scalar_funcs, array_restructure,
-# union_all, filter_isin, filter_eq, distinct_keys, count_per_group —
-# single-expression queries untouched by any perf work, each with two
-# prior green driver rows).
+# STANDING ROTATION SCHEDULE (adopted round 5; VERDICT r4 item 9). With
+# ~128 registered queries and a 50-slot window, every query must earn a
+# driver row at least once per 3 rounds. Each round the window is filled
+# in strict priority order:
+#   1. queries that have NEVER had a driver row (new registrations and
+#      any query whose prior rows all errored),
+#   2. queries whose implementation or oracle changed THIS round
+#      (re-evidence after code motion),
+#   3. the flagship (q1_pricing_summary rides every round — it is the
+#      smoke-check query and its driver row should never go stale),
+#   4. remaining slots to the queries with the OLDEST driver evidence,
+#      oldest first, family-balanced.
+# Queries rotated out always keep local parity coverage —
+# tests/test_oracle_parity.py runs ALL registered queries against DuckDB
+# with the same hash compare every pytest run.
+#
+# Round-5 window: (a) the 24 queries that had never been driver-checked
+# entering this round (VERDICT r4 "What's missing" #1 — the late-round-4
+# analytics/statistics families, multimodal checksums, incremental dedup,
+# salted join, schema evolution, stream-dedup replay); (b) re-evidence
+# for code touched this round (approx-distinct rework, snapshot-diff plan
+# work, jaccard finite-cap default + oracle mirror, clustering module
+# cleanup, quality-SQL blank-text guard which rewrites the text/packing
+# twins, tokenizer-seam wiring) plus queries NEW this round; (c) the
+# flagship; (d) the r3-evidenced dedup/similarity/geometry/windows/
+# streaming/multimodal representatives whose last driver row is now two
+# rounds old. The r4-evidenced relational/splits/kmeans families rotate
+# out this round and come back in round 6 under rule 4.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # never-green driver rows — round 4 job #1
-    "seeded_nested_split",
-    "snapshot_diff_orders",
-    # new this round — first driver row wanted (true cross-engine oracle)
-    "ann_multiprobe_topk",
-    "kmeans_embeddings",
-    "semantic_dedup_pairs",
-    "diverse_curation",
-    "dup_ngram_fraction",
-    "scd2_orders_history",
-    "stream_running_totals",
-    "grouping_sets_pricing",
-    "incremental_rollup_events",
-    "near_dup_keep_docs",
-    "embedding_outliers",
-    # re-evidence: code touched this round
-    "minhash_near_dup",
-    "coco_records",
-    "yolo_export_lines",
+    # (a) never driver-checked — round 5 job #1 (24)
+    "annotator_agreement_iou",
+    "approx_median_band",
+    "cohort_retention",
+    "dataset_card",
+    "dup_rate_by_source",
+    "event_transitions",
+    "funnel_conversion",
+    "hashed_doc_vectors",
+    "hourly_anomaly_flags",
+    "image_redact_checksum",
+    "image_resize_checksum",
+    "incremental_dedup_batches",
+    "kmeans_inertia",
+    "lang_source_chisq",
+    "length_bucket_batches",
+    "lineitem_correlations",
+    "ols_value_trend",
+    "salted_join_revenue",
+    "schema_evolution_read",
+    "source_mix_kl",
+    "stream_dedup_replay",
+    "unpivot_event_counts",
+    "video_frame_sample",
+    "winsorized_stats",
+    # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
-    # flagship
-    "q1_pricing_summary",
-    # r1/r2-evidenced relational block — fresh rows wanted
-    "proj_cast",
-    "filter_array_overlap",
-    "semi_join",
-    "anti_join",
-    "star_join_revenue",
-    "dedup_keep_first",
-    "group_collect_sorted",
-    "flatten_collect",
-    "dict_encode",
-    "array_envelope",
-    "monthly_rollup",
-    "topk_per_group",
-    "rollup_pricing",
-    "pivot_event_counts",
-    "intersect_except_custkeys",
-    "exact_percentiles",
-    "bloom_semi_join_revenue",
-    "doc_length_quartiles",
-    # r1/r2-evidenced splits block
-    "hash_split_assign",
-    "hash_split_materialize",
-    "hash_sample",
-    "stratified_sample_docs",
-    "sample_k_per_source",
-    # r1/r2-evidenced text block
+    "snapshot_diff_orders",
+    "ngram_jaccard_pairs",
+    "kmeans_embeddings",
     "text_quality",
-    "lang_id",
-    "doc_fingerprint",
+    "pack_bins_ffd",
+    "sequence_pack_docs",
+    "token_budget_per_source",
     "curate_corpus",
-    "word_shingles",
-    "vocab_topk",
-    "tfidf_top_terms",
-    "gopher_quality_flags",
-    "top_bigram_share",
+    # (c) flagship
+    "q1_pricing_summary",
+    # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
+    # streaming/multimodal representatives (16)
+    "window_lag",
+    "last_per_key",
+    "forward_fill",
+    "tumbling_window",
+    "session_window",
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "simhash_near_dup",
+    "decontaminate_train",
+    "near_dup_components",
+    "knn_bruteforce",
+    "ann_ivf_topk",
+    "seg_bbox",
+    "rbb_from_seg",
+    "image_exif_normalize",
+    "track_interpolation",
 ]
 
 

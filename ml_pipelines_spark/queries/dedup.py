@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    DEFAULT_MAX_DOC_FREQ,
     contamination_flags,
     fingerprint_dedup_stats,
     jaccard_pairs,
@@ -190,20 +191,33 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "ngram_jaccard_pairs",
+    # Mirrors jaccard_pairs' DEFAULT (finite) stop-shingle cap: shingles
+    # with doc-frequency above the cap are dropped on both engines before
+    # sizes/intersections, so the twin stays exact at ANY scale factor
+    # (at test scale no shingle reaches the cap and the filter is a
+    # no-op, preserving prior driver evidence).
     "WITH "
     + _SHINGLES_CTE.format(table="documents")
-    + f"""
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM ex GROUP BY shingle),
+    kept AS (
+        SELECT e.doc_id, list(e.shingle) AS s
+        FROM ex e JOIN dfq USING (shingle)
+        WHERE dfq.dfreq <= {DEFAULT_MAX_DOC_FREQ}
+        GROUP BY e.doc_id
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.s, b.s))
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 5) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(a.s) > 0 AND len(b.s) > 0
-      AND len(list_intersect(a.s, b.s))
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_T}
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # Default (finite) max_doc_freq — the oracle mirrors the cap.
     pairs = jaccard_pairs(docs, "doc_id", "text", threshold=JACCARD_T, shingle_k=3)
     return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
 

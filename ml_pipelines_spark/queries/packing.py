@@ -41,7 +41,9 @@ def _grp_col() -> F.Column:
     f"""
     WITH d AS (
         SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               (CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   AS n_tokens,
                {_GRP_SQL} AS grp
         FROM documents
     ),
@@ -76,8 +78,9 @@ def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_bins_ffd",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-               AS total_tokens,
+           CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                AS BIGINT) AS total_tokens,
            TRUE AS no_overflow,
            TRUE AS bins_within_ff_bound
     FROM documents
@@ -134,7 +137,9 @@ _BATCH = 32
     f"""
     WITH d AS (
         SELECT doc_id,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               (CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   AS n_tokens,
                {_GRP_SQL} AS grp
         FROM documents
     ),

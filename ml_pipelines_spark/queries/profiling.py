@@ -76,7 +76,9 @@ def top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (
         SELECT lang,
-               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               (CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   AS n_tokens,
                {_quality_expr()} AS quality
         FROM documents
     )

@@ -729,13 +729,10 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the HLL estimate (rsd=0.02) and the exact distinct and emits
     ``approx_within_5pct``; the oracle emits literal TRUE. A sketch
     drifting past ±5% flips the boolean and fails the hash compare.
-    The exact countDistinct exists only to power this self-check — it
-    roughly doubles this verification query's aggregation cost, which is
-    why it is NOT in the bench headline set. A production rollup keeps
-    just the O(1)-memory sketch::
-
-        ev.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id", rsd=0.02))
+    The exact countDistinct exists ONLY to power this verification-gate
+    self-check — the production/user-facing shape is
+    ``approx_distinct_users_sketch`` below (sketch-only cost, estimate
+    in the output), which is what the bench headline times.
     """
     ev = t(spark, sf_dir, "events")
     exact = F.countDistinct("user_id")
@@ -743,6 +740,25 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.abs(approx - exact) <= exact * F.lit(0.05)).alias("approx_within_5pct"),
+    )
+
+
+@query("approx_distinct_users_sketch")
+def approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production approximate-distinct rollup: ONE aggregation pass, the
+    O(1)-memory HLL++ sketch only, estimate in the output schema — at
+    100 TB this is the default shape (exact countDistinct is a full
+    shuffle of the distinct pairs; the sketch is a fixed-size buffer per
+    group merged map-side). Registered rows-only: the estimate is
+    engine-specific by construction, so no cross-engine value oracle can
+    exist — ``approx_distinct_users`` (the invariant twin above) pins
+    this same sketch within ±5% of exact under the driver gate, and the
+    bench times THIS query so the recorded cost is the sketch-only cost
+    (VERDICT r4 item 5)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
 
 

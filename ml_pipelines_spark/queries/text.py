@@ -18,11 +18,29 @@ from .relational import t
 _SW = "', '".join(T.ENGLISH_STOPWORDS)
 
 
+def token_count_sql(txt: str) -> str:
+    """DuckDB twin of functions.text.token_count for expression ``txt``.
+
+    DuckDB's ``string_split_regex('', ...)`` returns ``['']`` (length 1)
+    while Spark's ``token_count`` is guarded to 0 for blank text — so
+    the twin carries the same guard (ADVICE r4: without it, a blank
+    document would hash-diverge even though both engines are
+    self-consistent)."""
+    return (
+        f"(CASE WHEN len(trim({txt})) = 0 THEN 0"
+        f" ELSE len(string_split_regex(trim({txt}), '\\s+')) END)"
+    )
+
+
 def quality_sql(txt: str) -> str:
     """DuckDB twin of functions.text.quality_score for expression ``txt``
     — same terms in the same order, so the float64 result matches the
     Spark expression bit-for-bit on identical inputs (the arithmetic is
-    a few ops over small integer counts)."""
+    a few ops over small integer counts). The length term counts tokens
+    through the blank-guarded ``token_count_sql``; the mean-word-length
+    denominator deliberately keeps the unguarded ``greatest(len(...),1)``
+    because Spark's mean_token_length divides by ``greatest(size,1)`` of
+    the raw split, which is 1 for blank on both engines."""
     punct = (
         f"(len({txt}) - len(regexp_replace({txt}, "
         "'[!-/:-@\\[-`{-~]', '', 'g')))"
@@ -33,7 +51,7 @@ def quality_sql(txt: str) -> str:
         f" / greatest(len({wt}), 1)"
     )
     return (
-        f"least(len({wt}) / 64.0, 1.0) * 0.4"
+        f"least({token_count_sql(txt)} / 64.0, 1.0) * 0.4"
         f" + (1.0 - least(4.0 * {punct} / greatest(len({txt}), 1), 1.0)) * 0.3"
         f" + (CASE WHEN {mwl} BETWEEN 2.0 AND 12.0"
         " THEN 1.0 ELSE 0.3 END) * 0.3"
@@ -51,7 +69,8 @@ def quality_sql(txt: str) -> str:
         FROM documents
     )
     SELECT doc_id,
-           len(ws_toks) AS n_tokens,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(ws_toks) END)
+               AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            ROUND((len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
                  / greatest(len(text), 1), 5) AS punct_ratio,
@@ -59,7 +78,8 @@ def quality_sql(txt: str) -> str:
                  / greatest(len(ws_toks), 1), 5) AS stopword_ratio,
            ROUND(list_aggregate(list_transform(ws_toks, x -> len(x)), 'sum')
                  / greatest(len(ws_toks), 1), 5) AS mean_token_len,
-           ROUND(least(len(ws_toks) / 64.0, 1.0) * 0.4
+           ROUND(least((CASE WHEN len(trim(text)) = 0 THEN 0
+                             ELSE len(ws_toks) END) / 64.0, 1.0) * 0.4
                  + (1.0 - least(4.0 * (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
                                        / greatest(len(text), 1), 1.0)) * 0.3
                  + (CASE WHEN list_aggregate(list_transform(ws_toks, x -> len(x)), 'sum')

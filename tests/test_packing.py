@@ -113,4 +113,6 @@ def test_length_bucket_batches_shape(spark):
     for grp, rs in by_grp.items():
         rs.sort(key=lambda r: r["batch_id"] & ((1 << 40) - 1))
         for a, b in zip(rs, rs[1:]):
-            assert a["hi"] <= b["lo"] or a["hi"] <= b["hi"]
+            # row_number over (len, id) guarantees every doc in batch k+1
+            # is at least as long as every doc in batch k (ties included)
+            assert a["hi"] <= b["lo"]

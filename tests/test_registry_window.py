@@ -15,34 +15,50 @@ def test_check_first_is_the_window():
     assert len(_CHECK_FIRST) == 50
 
 
-def test_window_covers_round4_priorities():
-    # Round-4 window contract: the two never-green queries, the new
-    # multiprobe query, the queries whose code changed this round, and a
-    # representative of each r1/r2-evidenced family being re-evidenced.
-    must_be_checked = [
-        # never a green driver row before round 4
-        "seeded_nested_split",
-        "snapshot_diff_orders",
-        # new / changed this round
-        "ann_multiprobe_topk",
-        "minhash_near_dup",
-        "coco_records",
-        "yolo_export_lines",
+def test_window_covers_round5_priorities():
+    # Round-5 window contract (rotation rule 1): every query that had
+    # never been driver-checked entering round 5 must be in the window,
+    # plus re-evidence for this round's code motion and the flagship.
+    never_checked_entering_r5 = [
+        "annotator_agreement_iou",
+        "approx_median_band",
+        "cohort_retention",
+        "dataset_card",
+        "dup_rate_by_source",
+        "event_transitions",
+        "funnel_conversion",
+        "hashed_doc_vectors",
+        "hourly_anomaly_flags",
+        "image_redact_checksum",
+        "image_resize_checksum",
+        "incremental_dedup_batches",
+        "kmeans_inertia",
+        "lang_source_chisq",
+        "length_bucket_batches",
+        "lineitem_correlations",
+        "ols_value_trend",
+        "salted_join_revenue",
+        "schema_evolution_read",
+        "source_mix_kl",
+        "stream_dedup_replay",
+        "unpivot_event_counts",
+        "video_frame_sample",
+        "winsorized_stats",
+    ]
+    must_be_checked = never_checked_entering_r5 + [
+        # code/oracle touched in round 5
         "approx_distinct_users",
-        "q1_pricing_summary",
-        # r1/r2 relational family
-        "proj_cast",
-        "star_join_revenue",
-        "group_collect_sorted",
-        "bloom_semi_join_revenue",
-        "topk_per_group",
-        # r1/r2 splits family
-        "hash_split_assign",
-        "hash_sample",
-        # r1/r2 text family
+        "snapshot_diff_orders",
+        "ngram_jaccard_pairs",
         "text_quality",
-        "lang_id",
-        "tfidf_top_terms",
+        # flagship
+        "q1_pricing_summary",
+        # oldest-evidence (r3) representatives
+        "window_lag",
+        "dedup_exact_docs",
+        "knn_bruteforce",
+        "rbb_from_seg",
+        "track_interpolation",
     ]
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]
