@@ -94,6 +94,8 @@ HEADLINE = [
     # stays out of the headline: its exact-countDistinct self-check is
     # gate-only cost, not user-facing cost)
     "approx_distinct_users_sketch",
+    # J5 tag attachment through the real broadcast-dimension join path
+    "cvat_image_tags",
 ]
 
 RUNS = 3

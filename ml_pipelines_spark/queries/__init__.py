@@ -97,6 +97,8 @@ _CHECK_FIRST = [
     "unpivot_event_counts",
     "video_frame_sample",
     "winsorized_stats",
+    # (a') NEW registrations this round — first driver row (rule 1)
+    "cvat_image_tags",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -112,7 +114,6 @@ _CHECK_FIRST = [
     # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
     # streaming/multimodal representatives (16)
     "window_lag",
-    "last_per_key",
     "forward_fill",
     "tumbling_window",
     "session_window",

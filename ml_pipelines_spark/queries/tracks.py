@@ -103,3 +103,73 @@ def track_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("points", 1), 3).alias("x0"),
         F.round(F.element_at("points", 2), 3).alias("y0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 tag attachment (reference lookup_tags, CvatApi.py:241-248 +
+# create_image_feather :250-315) exercised through the REAL operator
+# (sources.cvat.attach_tags: broadcast label-dimension join + per-image
+# aggregation + left join back) on table-derived synthetic payloads so
+# the whole join/collect/coalesce semantics are value-checked
+# cross-engine: tags come from embeddings by formula (frame = vec_id %
+# 16 on image vec_id % 40, label vec_id % 3), images span vec_id % 50 —
+# so ids 40-49 are untagged and must survive with an empty list. The
+# REST-walk plumbing that produces these same frames stays covered by
+# the fake-transport equivalence tests in tests/test_cvat_tracks.py.
+# ---------------------------------------------------------------------------
+@query(
+    "cvat_image_tags",
+    """
+    WITH tags AS (
+        SELECT 'img_' || CAST(vec_id % 40 AS VARCHAR) || '.jpeg' AS image_name,
+               vec_id % 3 AS label_id
+        FROM embeddings
+    ),
+    named AS (
+        SELECT image_name,
+               CASE label_id WHEN 0 THEN 'car' WHEN 1 THEN 'person'
+                    ELSE 'truck' END AS tag
+        FROM tags
+    ),
+    per_image AS (
+        SELECT image_name, list_sort(list(tag)) AS tags
+        FROM named GROUP BY image_name
+    ),
+    images AS (
+        SELECT DISTINCT 'img_' || CAST(vec_id % 50 AS VARCHAR) || '.jpeg'
+                   AS image_name
+        FROM embeddings
+    )
+    SELECT i.image_name,
+           CAST(COALESCE(len(p.tags), 0) AS INT) AS n_tags,
+           COALESCE(array_to_string(p.tags, ','), '') AS tags_str
+    FROM images i LEFT JOIN per_image p USING (image_name)
+    """,
+)
+def cvat_image_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.cvat import attach_tags, labels_df
+
+    emb = t(spark, sf_dir, "embeddings")
+    tags = emb.select(
+        F.concat(
+            F.lit("img_"), (F.col("vec_id") % 40).cast("string"),
+            F.lit(".jpeg"),
+        ).alias("image_name"),
+        (F.col("vec_id") % 3).cast("long").alias("label_id"),
+    )
+    images = (
+        emb.select(
+            F.concat(
+                F.lit("img_"), (F.col("vec_id") % 50).cast("string"),
+                F.lit(".jpeg"),
+            ).alias("image_name")
+        )
+        .distinct()
+    )
+    labels = labels_df(spark, {0: "car", 1: "person", 2: "truck"})
+    out = attach_tags(images, tags, labels)
+    return out.select(
+        "image_name",
+        F.size("tags").alias("n_tags"),
+        F.array_join("tags", ",").alias("tags_str"),
+    )

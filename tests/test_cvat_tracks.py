@@ -27,10 +27,15 @@ from ml_pipelines_spark.operators.tracks import (
 )
 from ml_pipelines_spark.sources.cvat import (
     CvatSource,
+    attach_tags,
+    fetch_images_distributed,
     fetch_shapes_distributed,
     images_df,
+    images_with_tags_df,
+    labels_df,
     normalize_image_name,
     shapes_df,
+    tags_df,
 )
 
 SQUARE_0 = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]
@@ -38,10 +43,12 @@ SQUARE_40 = [40.0, 0.0, 50.0, 0.0, 50.0, 10.0, 40.0, 10.0]
 
 
 def _zip_bytes() -> bytes:
+    # Image names match the frames meta of task 5 (front/back), so the
+    # export path and the tag-attachment join line up end-to-end.
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("images/5_a.JPG", bytes(encode_image(synth_pixels(4, 4))))
-        zf.writestr("images/5_b.jpeg.jpeg", bytes(encode_image(synth_pixels(5, 3))))
+        zf.writestr("images/5_front.JPG", bytes(encode_image(synth_pixels(4, 4))))
+        zf.writestr("images/5_back.jpeg.jpeg", bytes(encode_image(synth_pixels(5, 3))))
         zf.writestr("annotations.xml", b"<xml/>")
     return buf.getvalue()
 
@@ -81,7 +88,11 @@ def fake_transport(path: str, params: dict):
         return {"frames": []}
     if path == "jobs/50/annotations":
         return {
-            "tags": [],
+            "tags": [
+                {"label_id": 10, "frame": 0},
+                {"label_id": 11, "frame": 0},
+                {"label_id": 10, "frame": 1},
+            ],
             "shapes": [
                 {"frame": 0, "label_id": 10, "type": "polygon",
                  "points": SQUARE_0, "outside": False,
@@ -150,8 +161,93 @@ class TestProjectWalk:
         df = images_df(spark, CvatSource(fake_transport), [5],
                        poll_sleep=sleeps.append)
         pdf = df.toPandas()
-        assert sorted(pdf["image_name"]) == ["a.jpeg", "b.jpeg"]
+        assert sorted(pdf["image_name"]) == ["back.jpeg", "front.jpeg"]
         assert len(sleeps) == 2  # two 202s before the 201
+
+    def test_distributed_images_match_driver_side(self, spark):
+        _EXPORT_POLLS["n"] = 0
+        a = images_df(spark, CvatSource(fake_transport), [5]).toPandas()
+        b = fetch_images_distributed(spark, fake_transport, [5]).toPandas()
+        key = lambda pdf: sorted(
+            (r["image_name"], bytes(r["image_bytes"]))
+            for _, r in pdf.iterrows()
+        )
+        assert key(a) == key(b)
+
+
+def _reference_lookup_tags(frame_id, tags, labels):
+    """Reference-style serial model (CvatApi.py:241-248): tag names for
+    one frame, payload order."""
+    out = []
+    for label_id, fr in tags:
+        if fr == frame_id:
+            out.append(labels[label_id])
+    return out
+
+
+class TestTagAttachment:
+    def test_tags_df_rows(self, spark):
+        src = CvatSource(fake_transport)
+        pdf = tags_df(spark, src, 1).toPandas()
+        assert len(pdf) == 3
+        assert set(pdf["image_name"]) == {"front.jpeg", "back.jpeg"}
+        assert set(pdf["label_id"]) == {10, 11}
+
+    def test_attach_matches_reference_model(self, spark):
+        src = CvatSource(fake_transport)
+        proj = src.fetch_project(1)
+        imgs = images_df(spark, src, [5])
+        tags = tags_df(spark, src, 1, proj=proj)
+        out = attach_tags(imgs, tags, labels_df(spark, proj["labels"]))
+        got = {
+            r["image_name"]: list(r["tags"]) for r in out.collect()
+        }
+        # serial reference model over the same payloads (frame ids 0/1
+        # map to front/back via the task-5 frames meta)
+        ref_tags = [(10, 0), (11, 0), (10, 1)]
+        expected = {
+            "front.jpeg": sorted(
+                _reference_lookup_tags(0, ref_tags, proj["labels"])
+            ),
+            "back.jpeg": sorted(
+                _reference_lookup_tags(1, ref_tags, proj["labels"])
+            ),
+        }
+        assert got == expected
+
+    def test_images_with_tags_end_to_end(self, spark):
+        _EXPORT_POLLS["n"] = 0
+        out = images_with_tags_df(
+            spark, CvatSource(fake_transport), 1, [5]
+        )
+        assert dict(out.dtypes)["tags"] == "array<string>"
+        got = {r["image_name"]: list(r["tags"]) for r in out.collect()}
+        assert got == {
+            "front.jpeg": ["car", "person"],
+            "back.jpeg": ["car"],
+        }
+        # the P6 skip-tag filter now runs directly on the ingest result
+        from pyspark.sql import functions as F
+
+        kept = out.filter(
+            ~F.arrays_overlap(F.col("tags"), F.array(F.lit("person")))
+        )
+        assert [r["image_name"] for r in kept.collect()] == ["back.jpeg"]
+
+    def test_untagged_image_keeps_empty_array(self, spark):
+        src = CvatSource(fake_transport)
+        proj = src.fetch_project(1)
+        imgs = spark.createDataFrame(
+            [("front.jpeg", bytearray(b"x")), ("lonely.jpeg", bytearray(b"y"))],
+            "image_name string, image_bytes binary",
+        )
+        out = attach_tags(
+            imgs, tags_df(spark, src, 1, proj=proj),
+            labels_df(spark, proj["labels"]),
+        )
+        got = {r["image_name"]: list(r["tags"]) for r in out.collect()}
+        assert got["lonely.jpeg"] == []
+        assert got["front.jpeg"] == ["car", "person"]
 
 
 class TestInterpolationKernel:
