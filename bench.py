@@ -96,6 +96,9 @@ HEADLINE = [
     "approx_distinct_users_sketch",
     # J5 tag attachment through the real broadcast-dimension join path
     "cvat_image_tags",
+    # tokenizer-seam wiring: budget/packing under the pinned-BPE cost
+    "token_budget_bpe",
+    "sequence_pack_bpe",
 ]
 
 RUNS = 3

@@ -99,6 +99,8 @@ _CHECK_FIRST = [
     "winsorized_stats",
     # (a') NEW registrations this round — first driver row (rule 1)
     "cvat_image_tags",
+    "sequence_pack_bpe",
+    "token_budget_bpe",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -114,9 +116,7 @@ _CHECK_FIRST = [
     # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
     # streaming/multimodal representatives (16)
     "window_lag",
-    "forward_fill",
     "tumbling_window",
-    "session_window",
     "dedup_exact_docs",
     "doc_fingerprint",
     "simhash_near_dup",

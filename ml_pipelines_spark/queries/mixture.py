@@ -194,3 +194,48 @@ def source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p - q, 6).alias("delta_vs_target"),
         F.round(F.when(q > 0, p * F.log(p / q)), 6).alias("kl_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token budget under the PINNED-BPE cost (functions.tokenizer): the
+# opt-in wiring of the subword-tokenizer seam into budget planning
+# (VERDICT r4 item 4). Same greedy cheapest-first prefix rule as
+# token_budget_per_source; the cost is subword tokens from the
+# pinned-vocab model instead of characters, and the DuckDB twin
+# re-derives every count from the same literal vocab, so the selection
+# stays value-checked row for row.
+# ---------------------------------------------------------------------------
+from ..functions.tokenizer import pinned_token_count, pinned_token_count_sql  # noqa: E402
+
+BPE_BUDGET = 4000
+
+
+@query(
+    "token_budget_bpe",
+    f"""
+    SELECT doc_id, source, n_bpe_tokens FROM (
+        SELECT doc_id, source, n_bpe_tokens,
+               SUM(n_bpe_tokens) OVER (
+                   PARTITION BY source ORDER BY n_bpe_tokens, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (
+            SELECT doc_id, source,
+                   {pinned_token_count_sql('text')} AS n_bpe_tokens
+            FROM documents
+        )
+    ) WHERE cum <= {BPE_BUDGET}
+    """,
+)
+def token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        pinned_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+    return token_budget_select(
+        docs,
+        "source",
+        "n_bpe_tokens",
+        BPE_BUDGET,
+        order_by=[F.col("n_bpe_tokens").asc(), F.col("doc_id").asc()],
+    ).select("doc_id", "source", "n_bpe_tokens")

@@ -129,3 +129,63 @@ def test_kmeans_trajectory_monotone_and_converges(spark):
     # separated blobs: assignment is already right after init, and the
     # second update changes nothing
     assert rows[2]["n_moved"] == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup at scale: k grows with N so the expected cluster size stays
+# constant (VERDICT r4 item 8 — turns the k-grows-with-N docstring
+# caveat in operators/clustering.py into evidence). Three claims:
+# the cluster-keyed pair join is bounded by sum(n_c^2) << N^2, the
+# assigned table written partitioned by cluster prunes on disk, and the
+# scaled-k pass still finds a planted duplicate pair.
+# ---------------------------------------------------------------------------
+def test_semdedup_scaled_k_bounds_pair_join_and_prunes(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.clustering import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    n, k, dim = 2000, 64, 8
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(n, dim)
+    vecs[1501] = vecs[1500]  # planted exact duplicate pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    assigned, _centers = kmeans_fit(
+        df, "embedding", "vec_id", k=k, center_updates=2
+    )
+    sizes = [r["count"] for r in assigned.groupBy("cluster").count().collect()]
+    assert sum(sizes) == n
+    # the quadratic term is sum over clusters of n_c^2 — with k scaled
+    # to hold E[cluster size] ~ n/k, that is ~n^2/k, NOT n^2
+    pair_volume = sum(s * s for s in sizes)
+    assert pair_volume < n * n / 10, (max(sizes), pair_volume)
+
+    # cluster-partitioned storage: a single-cluster probe reads only its
+    # own hive directory (re-dedup of one semantic bucket prunes on disk)
+    out = str(tmp_path / "assigned_by_cluster")
+    assigned.select("vec_id", "cluster", "embedding").write.partitionBy(
+        "cluster"
+    ).parquet(out)
+    probe = spark.read.parquet(out).filter(F.col("cluster") == 5)
+    files = [
+        r["f"]
+        for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all("cluster=5" in f for f in files)
+
+    # recall survives the k scale-up: identical vectors share a cluster
+    # by construction (assignment is a function of the vector), so the
+    # planted pair is still produced
+    pairs = semantic_dedup_pairs(
+        df, threshold=0.9999, id_col="vec_id", vec_col="embedding",
+        k=k, center_updates=2,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1500, 1501) in got
