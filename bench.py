@@ -99,6 +99,8 @@ HEADLINE = [
     # tokenizer-seam wiring: budget/packing under the pinned-BPE cost
     "token_budget_bpe",
     "sequence_pack_bpe",
+    # perceptual-hash image near-dup (banded collision, popcount verify)
+    "image_phash_near_dup",
 ]
 
 RUNS = 3

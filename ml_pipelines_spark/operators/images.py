@@ -392,3 +392,116 @@ def read_image_dir(spark: SparkSession, path: str, glob: str = "*.fimg") -> Data
             F.col("length").alias("n_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (average hash) — image near-duplicate detection over
+# binary columns. The hash kernel runs where the pixels are (inside the
+# mapInPandas decode pass); candidate generation is banded hash-key
+# collision, the same sub-quadratic shape as the SimHash text path
+# (operators.dedup): at 100 TB the pair join is keyed on (band, value)
+# buckets, never all-pairs.
+# ---------------------------------------------------------------------------
+
+def ahash_bits(pixels: np.ndarray, grid: int = 8) -> int:
+    """Average-hash of channel 0: nearest-sample a grid x grid matrix
+    (sy = gy*h // grid, sx = gx*w // grid), threshold at the strict
+    sample mean, bit p = gy*grid + gx. Deterministic integer/float64
+    arithmetic only, so an independent SQL engine reproduces it exactly
+    on closed-form pixels. Returned as a SIGNED 64-bit value (two's
+    complement wrap) so it stores in a Spark LongType."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    sample = pixels[np.ix_(ys, xs)][:, :, 0].astype(np.float64).ravel()
+    mean = float(sample.mean())
+    bits = 0
+    for p, v in enumerate(sample):
+        if v > mean:
+            bits |= 1 << p
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    image_col: str = "image_bytes",
+    grid: int = 8,
+) -> DataFrame:
+    """(id, ahash) per image — one Arrow-batched decode+hash pass."""
+    schema = StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            StructField("ahash", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (i, ahash_bits(decode_image(b)[0], grid))
+                for i, b in zip(pdf[id_col], pdf[image_col])
+            ]
+            yield pd.DataFrame(out, columns=[id_col, "ahash"])
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def ahash_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "vec_id",
+    hash_col: str = "ahash",
+    grid: int = 8,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate image pairs from banded hash collisions.
+
+    The grid*grid hash splits into ``bands`` contiguous bit bands; two
+    images are candidates iff SOME band matches exactly (images within
+    ``max_hamming`` differing bits collide on >= bands - max_hamming
+    bands, so recall is structural for small distances). Candidates are
+    verified with the exact popcount Hamming distance. All expression
+    work (shifts, masks, xor, bit_count) is JVM-side.
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    band_bits = (grid * grid) // bands
+    mask = (1 << band_bits) - 1
+    side = hashed.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "h", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a, b = side.alias("a"), side.alias("b")
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

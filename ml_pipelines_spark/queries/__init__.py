@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "cvat_image_tags",
     "sequence_pack_bpe",
     "token_budget_bpe",
+    "image_phash_near_dup",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -118,7 +119,6 @@ _CHECK_FIRST = [
     "window_lag",
     "tumbling_window",
     "dedup_exact_docs",
-    "doc_fingerprint",
     "simhash_near_dup",
     "decontaminate_train",
     "near_dup_components",

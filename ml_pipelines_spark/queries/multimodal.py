@@ -276,3 +276,106 @@ def image_redact_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = redact_regions(with_regions, "image_bytes", "regions")
     with_sum = pixel_checksum(redacted, "image_bytes")
     return image_meta(with_sum, "image_bytes").select("vec_id", "pix_sum")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (operators.images.image_ahash +
+# ahash_near_dup_pairs): the multimodal member of the dedup family.
+# Synthetic corpus: 256 FIMG images at 16x12, pixel seed = vec_id % 32
+# (so each seed group holds 8 images), and every odd vec_id//32 carries
+# a one-pixel perturbation (+200 mod 251 at flat index 0) — a controlled
+# near-duplicate. The REAL pipeline runs: encode -> mapInPandas
+# decode+ahash (6x6 grid = 36 bits) -> banded collision join (4 bands x
+# 9 bits) -> exact popcount verify. Every stage is closed-form, so the
+# DuckDB twin re-derives the hash bit-for-bit (nearest-sample indices,
+# strict-mean threshold, band arithmetic, xor popcount) and the pair
+# set hash-matches. Grid 6 keeps the oracle in signed-BIGINT territory;
+# production default is grid 8 (64-bit, same code path).
+# ---------------------------------------------------------------------------
+_PH_N = 256
+_PH_GRID = 6
+_PH_W, _PH_H = 16, 12
+_PH_SEEDS = 32
+
+
+def _phash_images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") < _PH_N)
+    )
+    schema = StructType(
+        [StructField("vec_id", LongType()),
+         StructField("image_bytes", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                px = synth_pixels(_PH_W, _PH_H, 1, seed=vid % _PH_SEEDS)
+                if (vid // _PH_SEEDS) % 2 == 1:
+                    px[0, 0, 0] = (int(px[0, 0, 0]) + 200) % 251
+                out.append((vid, encode_image(px, 1)))
+            yield pd.DataFrame(out, columns=["vec_id", "image_bytes"])
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+@query(
+    "image_phash_near_dup",
+    f"""
+    WITH ids AS (
+        SELECT vec_id FROM embeddings WHERE vec_id < {_PH_N}
+    ),
+    pos AS (SELECT unnest(generate_series(0, {_PH_GRID * _PH_GRID - 1})) AS p),
+    vals AS (
+        SELECT vec_id, p,
+               CASE WHEN ((p // {_PH_GRID}) * {_PH_H} // {_PH_GRID}) * {_PH_W}
+                         + ((p % {_PH_GRID}) * {_PH_W} // {_PH_GRID}) = 0
+                         AND (vec_id // {_PH_SEEDS}) % 2 = 1
+                    THEN ((7 * (vec_id % {_PH_SEEDS})) % 251 + 200) % 251
+                    ELSE (31 * (((p // {_PH_GRID}) * {_PH_H} // {_PH_GRID}) * {_PH_W}
+                                + ((p % {_PH_GRID}) * {_PH_W} // {_PH_GRID}))
+                          + 7 * (vec_id % {_PH_SEEDS})) % 251
+               END AS v
+        FROM ids CROSS JOIN pos
+    ),
+    m AS (SELECT vec_id, SUM(v) / {_PH_GRID * _PH_GRID}.0 AS mean
+          FROM vals GROUP BY vec_id),
+    h AS (
+        SELECT vals.vec_id,
+               CAST(SUM(CASE WHEN vals.v > m.mean
+                             THEN (CAST(1 AS BIGINT) << vals.p) ELSE 0 END)
+                    AS BIGINT) AS ahash
+        FROM vals JOIN m ON vals.vec_id = m.vec_id
+        GROUP BY vals.vec_id
+    ),
+    bands AS (
+        SELECT vec_id, ahash, b, (ahash >> (9 * b)) & 511 AS v
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                        a.ahash AS h_a, b.ahash AS h_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v
+                                  AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h_a, h_b)) <= 2
+    """,
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import ahash_near_dup_pairs, image_ahash
+
+    imgs = _phash_images_df(spark, sf_dir)
+    hashed = image_ahash(imgs, id_col="vec_id", grid=_PH_GRID)
+    pairs = ahash_near_dup_pairs(
+        hashed, id_col="vec_id", grid=_PH_GRID, bands=4, max_hamming=2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

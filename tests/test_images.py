@@ -207,3 +207,53 @@ def test_real_codec_seam():
     out, orientation = decode_image(data)
     assert orientation == 1
     assert np.array_equal(out, px)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash near-dup (operators.images.image_ahash /
+# ahash_near_dup_pairs)
+# ---------------------------------------------------------------------------
+def test_ahash_identical_and_perturbed(spark):
+    import numpy as np
+
+    from ml_pipelines_spark.operators.images import (
+        ahash_bits,
+        ahash_near_dup_pairs,
+        encode_image,
+        image_ahash,
+        synth_pixels,
+    )
+
+    px = synth_pixels(16, 12, 1, seed=3)
+    noisy = px.copy()
+    noisy[0, 0, 0] = (int(noisy[0, 0, 0]) + 200) % 251
+    # kernel determinism + sensitivity
+    assert ahash_bits(px, 6) == ahash_bits(px.copy(), 6)
+    assert ahash_bits(px, 6) != ahash_bits(noisy, 6)
+
+    rows = [
+        (0, bytearray(encode_image(px, 1))),
+        (1, bytearray(encode_image(px, 1))),        # exact dup of 0
+        (2, bytearray(encode_image(noisy, 1))),      # near dup of 0
+        (3, bytearray(encode_image(synth_pixels(16, 12, 1, seed=9), 1))),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, image_bytes binary")
+    hashed = image_ahash(df, grid=6)
+    hs = {r["vec_id"]: r["ahash"] for r in hashed.collect()}
+    assert hs[0] == hs[1]
+
+    # pigeonhole recall: any pair within max_hamming bits MUST collide on
+    # at least one of the 4 bands, so (0,1) is guaranteed; (0,2) iff its
+    # true hamming <= 2 (compute it and assert consistency)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dup_pairs(
+            hashed, grid=6, bands=4, max_hamming=2
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    true_d = bin(hs[0] ^ hs[2]).count("1")
+    if true_d <= 2:
+        assert pairs[(0, 2)] == true_d
+    else:
+        assert (0, 2) not in pairs
