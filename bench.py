@@ -101,6 +101,11 @@ HEADLINE = [
     "sequence_pack_bpe",
     # perceptual-hash image near-dup (banded collision, popcount verify)
     "image_phash_near_dup",
+    # product-quantization ANN (32x lighter codes scan + LUT-only ADC)
+    "ann_pq_topk",
+    # TPC-H-shaped multi-join plans (broadcast dims + heap top-k)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 
 RUNS = 3

@@ -102,6 +102,9 @@ _CHECK_FIRST = [
     "sequence_pack_bpe",
     "token_budget_bpe",
     "image_phash_near_dup",
+    "ann_pq_topk",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -120,10 +123,7 @@ _CHECK_FIRST = [
     "tumbling_window",
     "dedup_exact_docs",
     "simhash_near_dup",
-    "decontaminate_train",
-    "near_dup_components",
     "knn_bruteforce",
-    "ann_ivf_topk",
     "seg_bbox",
     "rbb_from_seg",
     "image_exif_normalize",

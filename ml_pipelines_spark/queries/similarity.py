@@ -606,3 +606,77 @@ def kmeans_inertia_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_trajectory(emb, "embedding", "vec_id", k=8, center_updates=1)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (operators.similarity.pq_codebooks/pq_encode/
+# pq_topk): M=8 subspaces x 16 codes over the 64-dim embeddings — the
+# stored representation is 8 small ints per vector (32x lighter than
+# float32) and query scoring is 8 LUT lookups + 7 adds per row, pure
+# codegen (ADC; Jégou et al. 2011). Deterministic codebooks (sub-slices
+# of the 16 smallest-id vectors) + exact-fold encode + in-order LUT sums
+# make the FULL approximate ranking a cross-engine value oracle — the
+# quantization error itself is hash-checked, not tolerance-waved, same
+# contract as ann_quantized_topk.
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_DS = DIM // _PQ_M
+_PQ_KS = 16
+
+
+@query(
+    "ann_pq_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    base AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_PQ_KS}),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    cb AS (
+        SELECT subs.m,
+               CAST(ROW_NUMBER() OVER (PARTITION BY subs.m
+                                       ORDER BY base.vec_id) - 1 AS INT) AS c,
+               base.e[subs.m * {_PQ_DS} + 1 : subs.m * {_PQ_DS} + {_PQ_DS}] AS cv
+        FROM base CROSS JOIN subs
+    ),
+    enc AS (
+        SELECT emb.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_DS}),
+                   i -> (emb.e[cb.m * {_PQ_DS} + i] - cb.cv[i])
+                        * (emb.e[cb.m * {_PQ_DS} + i] - cb.cv[i]))) AS d
+        FROM emb CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, c FROM enc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1
+    ),
+    q AS (SELECT {_QLIT} AS qv),
+    lut AS (
+        SELECT cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_DS}),
+                   i -> (q.qv[cb.m * {_PQ_DS} + i] - cb.cv[i])
+                        * (q.qv[cb.m * {_PQ_DS} + i] - cb.cv[i]))) AS ld
+        FROM cb CROSS JOIN q
+    ),
+    scored AS (
+        SELECT codes.vec_id,
+               ROUND(list_sum(list(lut.ld ORDER BY codes.m)), 6) AS approx_dist
+        FROM codes JOIN lut ON codes.m = lut.m AND codes.c = lut.c
+        GROUP BY codes.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, approx_dist,
+               ROW_NUMBER() OVER (ORDER BY approx_dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT vec_id, approx_dist, rank FROM ranked WHERE rank <= {K}
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, num_sub=_PQ_M, num_codes=_PQ_KS)
+    encoded = pq_encode(emb, books)
+    return pq_topk(encoded, books, QUERY_VEC, k=K)

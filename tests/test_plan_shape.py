@@ -118,3 +118,29 @@ def test_scd2_single_exchange(spark, sf_dir):
     plan = _plan(QUERIES["scd2_orders_history"](spark, sf_dir))
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n == 1, f"expected 1 hash exchange, got {n}"
+
+
+def test_q3_topk_is_heap_not_global_sort(spark, sf_dir):
+    # ORDER BY ... LIMIT 10 must land in TakeOrderedAndProject (per-
+    # partition heap + driver merge of k rows), never a range-partitioned
+    # global Sort — the difference between O(k) and a full extra shuffle
+    # at scale.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q5_dimensions_broadcast_no_cartesian(spark, sf_dir):
+    # The snowflake probe must broadcast every dimension (supplier,
+    # customer, nation, region — plus possibly the fact join at test
+    # scale, which AQE is free to pick) and must never degrade the
+    # co-nation condition (c_nationkey = s_nationkey) into a cartesian
+    # or nested-loop join.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

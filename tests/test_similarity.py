@@ -229,3 +229,53 @@ def test_multitable_near_dup_recall_on_planted_pairs(spark):
     }
     recall = len(got & planted) / len(planted)
     assert recall >= 0.85, f"planted-pair recall {recall}"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators.similarity.pq_*)
+# ---------------------------------------------------------------------------
+def test_pq_codes_shape_and_recall(spark, sf_dir):
+    import numpy as np
+
+    from ml_pipelines_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from ml_pipelines_spark.queries.relational import t
+    from ml_pipelines_spark.queries.similarity import QUERY_VEC
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, num_sub=8, num_codes=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    enc = pq_encode(emb, books)
+    codes = enc.select("vec_id", "codes").collect()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # a vector that IS a codeword encodes to itself: vec_id 0 supplied
+    # code 0 of every subspace, and argmin ties break to the smallest
+    first = next(r for r in codes if r["vec_id"] == 0)
+    assert list(first["codes"]) == [0] * 8
+
+    # recall floor vs exact euclidean top-k. The synthetic embeddings
+    # are ~uniform random — PQ's adversarial case (no cluster structure,
+    # so 16 centroids per 8-dim subspace quantize coarsely); the bar is
+    # correspondingly modest and the point is the STRUCTURE (32x lighter
+    # scan, LUT-only scoring), with recall tunable via ks/M on real,
+    # clusterable embeddings.
+    got = {r["vec_id"] for r in pq_topk(enc, books, QUERY_VEC, k=20).collect()}
+    rows = emb.collect()
+    q = np.array(QUERY_VEC)
+    d = sorted(
+        (float(np.sum((np.array(r["embedding"], dtype=float) - q) ** 2)), r["vec_id"])
+        for r in rows
+    )
+    exact = {v for _, v in d[:20]}
+    assert len(got & exact) / 20 >= 0.2
+
+    # ADC scoring must stay expression-only: no Python eval in the
+    # scoring stage (the encode pass is the single ArrowEvalPython)
+    plan = pq_topk(enc, books, QUERY_VEC, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1
