@@ -106,6 +106,11 @@ HEADLINE = [
     # TPC-H-shaped multi-join plans (broadcast dims + heap top-k)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # gap-based session ids (shared-sort double window + rollup)
+    "sessionize_events",
+    # boilerplate passage drill-down + information-density signal
+    "top_dup_passages",
+    "unigram_entropy_docs",
 ]
 
 RUNS = 3

@@ -105,6 +105,9 @@ _CHECK_FIRST = [
     "ann_pq_topk",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "sessionize_events",
+    "top_dup_passages",
+    "unigram_entropy_docs",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -120,13 +123,10 @@ _CHECK_FIRST = [
     # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
     # streaming/multimodal representatives (16)
     "window_lag",
-    "tumbling_window",
     "dedup_exact_docs",
-    "simhash_near_dup",
     "knn_bruteforce",
     "seg_bbox",
     "rbb_from_seg",
-    "image_exif_normalize",
     "track_interpolation",
 ]
 

@@ -709,3 +709,101 @@ def hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_HASH_DIM)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-passage extraction — the drill-down
+# companion of dup_ngram_fraction: WHICH passages are the corpus
+# boilerplate. Top-15 most-duplicated 3-word shingles with their doc
+# frequency and a bounded doc-id witness pair (min/max — never a
+# collect of the full posting list, which for true boilerplate is the
+# whole corpus). Same aggregate-only skeleton: explode distinct
+# shingles once, one groupBy(shingle) with min/max riding the count,
+# heap top-k. Rank ties break lexicographically for a stable
+# cross-engine order.
+# ---------------------------------------------------------------------------
+@query(
+    "top_dup_passages",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM toks
+    ),
+    freq AS (
+        SELECT shingle, COUNT(*) AS df,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM sh GROUP BY shingle
+    )
+    SELECT shingle, df, first_doc, last_doc
+    FROM freq WHERE df >= 2
+    ORDER BY df DESC, shingle LIMIT 15
+    """,
+)
+def top_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_shingles(F.col("text"), k=3))
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("df") >= 2)
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram entropy — the information-density quality signal
+# (low-entropy docs are repetitive/templated; CCNet buckets on exactly
+# this kind of statistic). H = ln(N) - (Σ c·ln c)/N over token counts:
+# one explode, one (doc, token) groupBy with map-side combine, one
+# (doc) fold. ln is IEEE double on both engines; the 5dp round on both
+# sides absorbs summation-order ulps, the same contract as
+# lm_perplexity_docs.
+# ---------------------------------------------------------------------------
+@query(
+    "unigram_entropy_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    p AS (SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS s
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(ln(n) - s / n, 5) AS entropy
+    FROM p
+    """,
+)
+def unigram_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("s"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.log(F.col("n")) - F.col("s") / F.col("n"), 5).alias("entropy"),
+    )

@@ -564,3 +564,68 @@ def ols_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: gap-based session ids (> 4h of silence starts a
+# new session) via lag + running sum — the classic two-window
+# construction, distinct from the session_window AGGREGATION in
+# queries/streaming.py (this one assigns an id to every event, so
+# downstream joins can key on (user, session)). Both windows share the
+# (user_id, ts, event_id) sort, so Spark plans ONE exchange + ONE sort;
+# the final per-session rollup reuses the same hash partitioning.
+# Arithmetic is exact integer epoch-microseconds — portable.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 4 * 3600 * 1_000_000
+
+
+@query(
+    "sessionize_events",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, tus,
+               CASE WHEN LAG(tus) OVER w IS NULL
+                         OR tus - LAG(tus) OVER w > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    x AS (
+        SELECT user_id, tus,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM s
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           CAST(MIN(tus) AS BIGINT) AS start_us,
+           CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us
+    FROM x GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    new_s = (
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("tus", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx", F.sum("new_s").over(run)
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").cast("long").alias("start_us"),
+        (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
+    )

@@ -144,3 +144,14 @@ def test_q5_dimensions_broadcast_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # The lag window, the running-sum window, AND the per-session rollup
+    # must all ride ONE hash exchange on user_id: both windows share the
+    # (user_id, ts, event_id) sort, and partitioning by user_id already
+    # co-locates every (user_id, session_idx) group.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["sessionize_events"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
