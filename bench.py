@@ -111,6 +111,9 @@ HEADLINE = [
     # boilerplate passage drill-down + information-density signal
     "top_dup_passages",
     "unigram_entropy_docs",
+    # portable md5-based sketches (mergeable registers / additive counters)
+    "portable_hll_users",
+    "count_min_user_freq",
 ]
 
 RUNS = 3

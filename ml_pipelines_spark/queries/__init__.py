@@ -36,6 +36,7 @@ from . import validation  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import lm  # noqa: E402,F401
 from . import evolution  # noqa: E402,F401
+from . import sketches  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -108,6 +109,8 @@ _CHECK_FIRST = [
     "sessionize_events",
     "top_dup_passages",
     "unigram_entropy_docs",
+    "portable_hll_users",
+    "count_min_user_freq",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -124,8 +127,6 @@ _CHECK_FIRST = [
     # streaming/multimodal representatives (16)
     "window_lag",
     "dedup_exact_docs",
-    "knn_bruteforce",
-    "seg_bbox",
     "rbb_from_seg",
     "track_interpolation",
 ]

@@ -1,0 +1,216 @@
+"""Portable sketches — engine-agnostic HLL and Count-Min over md5.
+
+Engine-built-in sketches (Spark HLL++, DuckDB approx_count_distinct) can
+never hash-match across engines, which is why approx_distinct_users is
+an invariant oracle. These two queries close that gap from the other
+side: the sketches themselves are HAND-ROLLED from md5 — every register
+and counter is deterministic integer/float64 arithmetic — so DuckDB
+re-derives the ENTIRE sketch and the estimates are full cross-engine
+value oracles. Both are the real 100 TB shapes:
+
+- ``portable_hll_users``: 256-register HyperLogLog per event_type.
+  The register table (groupBy(key, bucket).max(rho)) is tiny, mergeable
+  (re-aggregating register tables from two partitions/days is just
+  another max — the property that makes HLL the distributed-distinct
+  workhorse), and the estimate is a closed-form fold over 256 rows.
+- ``count_min_user_freq``: depth-4 x width-256 Count-Min frequency
+  sketch. The build is ONE explode + ONE groupBy (1024 counter cells
+  regardless of stream size); point estimates are min-over-depth
+  lookups. Counters are additive — partial sketches merge by summing —
+  and the classic one-sided error (estimate >= true count) holds by
+  construction and is value-checked here, not just asserted.
+
+Both sketches hash with md5 (no engine RNG), so a register/counter bug
+on either engine flips a hashed value and fails the driver compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import t
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: m = 256 registers (8-bit bucket from the first 2
+# md5 hex chars), rho = leading-zero rank inside the next 60 bits.
+# Small-range (linear-counting) correction applied exactly as published
+# (Flajolet et al. 2007): E = m*ln(m/empty) when raw <= 2.5m.
+# ---------------------------------------------------------------------------
+_HLL_M = 256
+
+
+@query(
+    "portable_hll_users",
+    f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                   AS bucket,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+                   AS w
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - len(bin(w)) END) AS m_j
+        FROM h GROUP BY event_type, bucket
+    ),
+    p AS (
+        SELECT event_type, COUNT(*) AS v, SUM(power(2.0, -m_j)) AS s_present
+        FROM r GROUP BY event_type
+    ),
+    e AS (
+        SELECT event_type, v,
+               (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M} * {_HLL_M}
+                   / (s_present + ({_HLL_M} - v)) AS raw
+        FROM p
+    ),
+    x AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(CASE WHEN e.raw <= 2.5 * {_HLL_M} AND e.v < {_HLL_M}
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                         / ({_HLL_M} - e.v))
+                      ELSE e.raw END, 4) AS hll_est,
+           x.exact_users
+    FROM e JOIN x USING (event_type)
+    """,
+)
+def portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(61)).otherwise(61 - F.length(F.bin(w)))
+    regs = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_present"),
+    )
+    m = float(_HLL_M)
+    raw = (
+        (0.7213 / (1 + 1.079 / _HLL_M)) * m * m
+        / (F.col("s_present") + (m - F.col("v")))
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v") < _HLL_M),
+        m * F.log(F.lit(m) / (m - F.col("v"))),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        per.select("event_type", F.round(est, 4).alias("hll_est"))
+        .join(exact, "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch: depth 4, width 256; row-i hash of key x is
+# the first 4 hex chars of md5(x || 'cm' || i) mod width. Point
+# estimates for the ten smallest user ids ride a broadcast of the
+# 1024-cell counter table.
+# ---------------------------------------------------------------------------
+_CM_D = 4
+_CM_W = 256
+_CM_KEYS = 10
+
+
+def _cm_pos_sql(key_expr: str, i: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || 'cm' || {i}),"
+        f" 1, 4))::BIGINT % {_CM_W})"
+    )
+
+
+@query(
+    "count_min_user_freq",
+    f"""
+    WITH rows_i AS (
+        SELECT user_id, unnest(generate_series(0, {_CM_D - 1})) AS i
+        FROM events
+    ),
+    cms AS (
+        SELECT i, {_cm_pos_sql('user_id', 'i')} AS pos, COUNT(*) AS c
+        FROM rows_i GROUP BY i, pos
+    ),
+    keys AS (
+        SELECT DISTINCT user_id FROM events
+        ORDER BY user_id LIMIT {_CM_KEYS}
+    ),
+    probes AS (
+        SELECT k.user_id, d.i, {_cm_pos_sql('k.user_id', 'd.i')} AS pos
+        FROM keys k CROSS JOIN
+             (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i) d
+    ),
+    est AS (
+        SELECT p.user_id, MIN(COALESCE(cms.c, 0)) AS cms_est
+        FROM probes p LEFT JOIN cms ON p.i = cms.i AND p.pos = cms.pos
+        GROUP BY p.user_id
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    )
+    SELECT est.user_id, exact.exact_n, CAST(est.cms_est AS BIGINT) AS cms_est,
+           est.cms_est >= exact.exact_n AS overestimates
+    FROM est JOIN exact USING (user_id)
+    """,
+)
+def count_min_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def pos(key_col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key_col.cast("string"), F.lit("cm"),
+                            i_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        )
+
+    depth = F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i")
+    cms = (
+        ev.select(F.col("user_id"), depth)
+        .select("i", pos(F.col("user_id"), F.col("i")).alias("pos"))
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(_CM_KEYS)
+    )
+    probes = keys.select(
+        "user_id", depth
+    ).select("user_id", "i", pos(F.col("user_id"), F.col("i")).alias("pos"))
+    est = (
+        probes.join(F.broadcast(cms), ["i", "pos"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
+        )
+    )

@@ -56,7 +56,6 @@ def test_window_covers_round5_priorities():
         # oldest-evidence (r3) representatives
         "window_lag",
         "dedup_exact_docs",
-        "knn_bruteforce",
         "rbb_from_seg",
         "track_interpolation",
     ]
