@@ -114,6 +114,8 @@ HEADLINE = [
     # portable md5-based sketches (mergeable registers / additive counters)
     "portable_hll_users",
     "count_min_user_freq",
+    # FastSS deletion-neighborhood fuzzy join
+    "fuzzy_name_pairs",
 ]
 
 RUNS = 3

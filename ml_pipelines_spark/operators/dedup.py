@@ -477,3 +477,63 @@ def decontaminate(
     return flagged.filter(
         ~F.col("contaminated_exact") & ~F.col("contaminated_ngram")
     ).drop("contaminated_exact", "contaminated_ngram")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) entity matching via deletion-neighborhood
+# blocking — the FastSS construction (Bocek et al., 2007): two strings
+# within edit distance 1 ALWAYS share an entry of their 0/1-deletion
+# neighborhoods, so candidate generation is an equi-join on the variant
+# key — O(rows × length) blocking rows, never an all-pairs cross join —
+# and the exact levenshtein verify runs only on bucket colliders (both
+# engines ship levenshtein as a built-in). k=1 is the sweet spot: the
+# k-deletion neighborhood grows as C(len, k), so higher k trades
+# blocking-row volume for recall — at entity-resolution scale the
+# standard move is k=1 over a normalized key plus a second pass on
+# survivors.
+# ---------------------------------------------------------------------------
+
+def deletion_variants(name: Column) -> Column:
+    """Array of the string itself plus every single-character deletion."""
+    return F.concat(
+        F.array(name),
+        F.transform(
+            F.sequence(F.lit(1), F.length(name)),
+            lambda i: F.concat(
+                F.substring(name, F.lit(1), i - 1),
+                name.substr(i + 1, F.length(name)),
+            ),
+        ),
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """(id_a, id_b, dist) pairs with levenshtein distance <= 1, id_a <
+    id_b. One explode + one equi-join on the variant key + exact verify.
+    """
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        F.explode(deletion_variants(F.col(name_col))).alias("variant"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nm").alias("nm_a"),
+            F.col("b.nm").alias("nm_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -111,6 +111,7 @@ _CHECK_FIRST = [
     "unigram_entropy_docs",
     "portable_hll_users",
     "count_min_user_freq",
+    "fuzzy_name_pairs",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -126,7 +127,6 @@ _CHECK_FIRST = [
     # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
     # streaming/multimodal representatives (16)
     "window_lag",
-    "dedup_exact_docs",
     "rbb_from_seg",
     "track_interpolation",
 ]

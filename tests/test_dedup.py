@@ -159,3 +159,33 @@ def test_jaccard_default_guard_is_finite_and_in_plan(spark):
                                threshold=0.5).collect()
     }
     assert got == got_default
+
+
+def test_fuzzy_pairs_recall_and_precision(spark):
+    # FastSS guarantee: EVERY pair within levenshtein distance 1 shares
+    # a 0/1-deletion variant, so recall is structural, not probabilistic.
+    from ml_pipelines_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corp"),    # identical        -> dist 0
+        (3, "acme  corp"),   # one insertion    -> dist 1 of 1
+        (4, "acme cort"),    # one substitution -> dist 1 of 1
+        (5, "acme cor"),     # one deletion     -> dist 1 of 1
+        (6, "acne cort"),    # dist 2 of 1      -> excluded
+        (7, "zzz unrelated"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    }
+    assert got[(1, 2)] == 0
+    for b in (3, 4, 5):
+        assert got[(1, b)] == 1
+        assert got[(2, b)] == 1
+    assert (1, 6) not in got
+    assert all(7 not in p for p in got)
+    # blocking is an equi-join, never a cross product
+    plan = fuzzy_pairs(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -55,7 +55,6 @@ def test_window_covers_round5_priorities():
         "q1_pricing_summary",
         # oldest-evidence (r3) representatives
         "window_lag",
-        "dedup_exact_docs",
         "rbb_from_seg",
         "track_interpolation",
     ]
