@@ -116,6 +116,8 @@ HEADLINE = [
     "count_min_user_freq",
     # FastSS deletion-neighborhood fuzzy join
     "fuzzy_name_pairs",
+    # deterministic A-Res weighted sampling
+    "weighted_sample_docs",
 ]
 
 RUNS = 3

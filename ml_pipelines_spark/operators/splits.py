@@ -189,3 +189,55 @@ def shuffle_split(
     distinct = ids.select(key_col).distinct()
     rest, sampled = distinct.randomSplit([1.0 - p, p], seed=seed)
     return rest, sampled
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement — the A-Res/A-ExpJ reservoir
+    construction (Efraimidis & Spirakis 2006) made deterministic and
+    engine-portable: each row gets key = ln(u)/w with u an md5-derived
+    uniform in (0,1), and the k LARGEST keys are the sample (equivalent
+    ordering to u^(1/w); items are selected with probability
+    proportional to ``weight_col``). At scale this is the standard
+    one-pass distributed weighted sampler: keys are computed row-local,
+    and top-k is two-phase (per-partition prune to k, then one global
+    window over <= k*P survivors). md5 in place of engine RNG keeps
+    results independent of partitioning AND re-derivable by a SQL twin.
+
+    Output: (id, weight, wkey ROUNDED to 9dp, rank). The 9dp round + id
+    tiebreak pins the cross-engine rank against last-ulp libm
+    differences, the same contract as the perplexity/entropy queries.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
+    wkey = F.round(F.log(u) / F.col(weight_col), 9)
+    scored = df.select(
+        F.col(id_col), F.col(weight_col), wkey.alias("wkey")
+    )
+    part = scored.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy(F.spark_partition_id()).orderBy(
+                F.col("wkey").desc(), id_col
+            )
+        ),
+    ).filter(F.col("__r") <= k)
+    return (
+        part.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("wkey").desc(), id_col)),
+        )
+        .filter(F.col("rank") <= k)
+        .select(id_col, weight_col, "wkey", "rank")
+    )

@@ -112,6 +112,7 @@ _CHECK_FIRST = [
     "portable_hll_users",
     "count_min_user_freq",
     "fuzzy_name_pairs",
+    "weighted_sample_docs",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -128,7 +129,6 @@ _CHECK_FIRST = [
     # streaming/multimodal representatives (16)
     "window_lag",
     "rbb_from_seg",
-    "track_interpolation",
 ]
 
 

@@ -219,3 +219,39 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_k_per_group(docs, ["source"], "doc_id", k=3).select(
         "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (operators.splits.
+# weighted_sample_topk): 50 documents drawn with probability
+# proportional to length — the "sample long docs more" curation move —
+# via the deterministic A-Res key ln(u)/w over md5 uniforms. The twin
+# re-derives every key, so the SELECTED SET ITSELF is value-checked,
+# not just its size.
+# ---------------------------------------------------------------------------
+_WS_K = 50
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'),
+                                        1, 13))::BIGINT + 0.5)
+                        / {float(1 << 52)}) / n_chars, 9) AS wkey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, wkey,
+               ROW_NUMBER() OVER (ORDER BY wkey DESC, doc_id) AS rank
+        FROM s
+    )
+    SELECT doc_id, n_chars, wkey, rank FROM ranked WHERE rank <= {_WS_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import weighted_sample_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=_WS_K)

@@ -56,7 +56,6 @@ def test_window_covers_round5_priorities():
         # oldest-evidence (r3) representatives
         "window_lag",
         "rbb_from_seg",
-        "track_interpolation",
     ]
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]

@@ -121,3 +121,28 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         assert r["approx_within_5pct"] is True, r
         assert r["n_events"] > 0
+
+
+def test_weighted_sample_bias_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.splits import weighted_sample_topk
+
+    # 1000 light items (w=1) + 1000 heavy items (w=100): a
+    # weight-proportional sample of 100 must be dominated by heavy items
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1000, F.lit(1.0)).otherwise(F.lit(100.0)).alias("w"),
+    )
+    got = weighted_sample_topk(df, "id", "w", k=100).collect()
+    heavy = sum(1 for r in got if r["id"] >= 1000)
+    assert heavy >= 80, heavy
+
+    # determinism under repartitioning: md5 keys are row-local, so the
+    # selected set must not depend on physical layout
+    a = {r["id"] for r in got}
+    b = {
+        r["id"]
+        for r in weighted_sample_topk(df.repartition(17), "id", "w", k=100).collect()
+    }
+    assert a == b
