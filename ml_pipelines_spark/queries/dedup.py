@@ -567,30 +567,34 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distance<=1 pair shares a variant), verified with the exact built-in
 # levenshtein on both engines.
 # ---------------------------------------------------------------------------
+# Corpus note: supplier, not customer — zero-padded id-style names make
+# the TRUE distance-1 pair set quadratically dense (each "Name#0001234"
+# has ~35 one-digit neighbors; customer at sf0.1 yields 262k pairs, and
+# no algorithm beats its own output size). Supplier has the same name
+# shape at a tenth of the rows, which keeps the demo's pair volume
+# proportionate; the blocking itself is linear either way.
 @query(
     "fuzzy_name_pairs",
     """
     WITH v AS (
-        SELECT c_custkey AS id, c_name AS nm,
-               CASE WHEN d.i = 0 THEN c_name
-                    ELSE substr(c_name, 1, d.i - 1) || substr(c_name, d.i + 1)
+        SELECT s_suppkey AS id, s_name AS nm,
+               CASE WHEN d.i = 0 THEN s_name
+                    ELSE substr(s_name, 1, d.i - 1) || substr(s_name, d.i + 1)
                END AS variant
-        FROM customer
+        FROM supplier
         CROSS JOIN (SELECT unnest(generate_series(0, 40)) AS i) d
-        WHERE d.i <= len(c_name)
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS nm_a, b.nm AS nm_b
-        FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        WHERE d.i <= len(s_name)
     )
-    SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS INT) AS dist
-    FROM cand WHERE levenshtein(nm_a, nm_b) <= 1
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+    FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 1
     """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import fuzzy_pairs
 
-    cust = t(spark, sf_dir, "customer")
-    return fuzzy_pairs(cust, "c_custkey", "c_name").select(
+    supp = t(spark, sf_dir, "supplier")
+    return fuzzy_pairs(supp, "s_suppkey", "s_name").select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
