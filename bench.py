@@ -118,6 +118,8 @@ HEADLINE = [
     "fuzzy_name_pairs",
     # deterministic A-Res weighted sampling
     "weighted_sample_docs",
+    # CDC apply: latest-wins upsert/delete with touched-partition rewrites
+    "cdc_apply_orders",
 ]
 
 RUNS = 3

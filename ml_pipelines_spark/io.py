@@ -16,6 +16,7 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
 
 from .schemas import TESTDATA_SCHEMAS
 
@@ -351,3 +352,53 @@ def evolve_read(
                 F.lit(defaults.get(field.name)).cast(field.dataType).alias(field.name)
             )
     return df.select(*out)
+
+
+def cdc_apply(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    schema: StructType | None = None,
+) -> None:
+    """Apply a CDC batch (ops 'I'/'U'/'D' + a per-row sequence) to a
+    partitioned parquet table — ``merge_upsert`` extended with deletes.
+
+    Per key, the LATEST change wins (row_number over ``seq_col``
+    descending, ties to the delete so replays are idempotent): a final
+    'D' removes the key, a final 'I'/'U' upserts the row. The write
+    amplification bound is identical to merge_upsert: only partitions
+    named by the change batch are read or rewritten (partition values
+    are part of a row's identity — a change row must carry its key's
+    partition columns, including deletes).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(),
+        F.when(F.col(op_col) == "D", 0).otherwise(1),
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    target = read_table(spark, path, schema)
+    touched = changes.select(*partition_cols).distinct()
+    in_touched = target.join(F.broadcast(touched), partition_cols, "left_semi")
+    # every latest-change key leaves the kept set: deleted keys stay
+    # gone, upserted keys re-enter from `upserts`
+    kept = in_touched.join(
+        latest.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(upserts.select(*kept.columns))
+    tmp = path.rstrip("/") + "__cdc_tmp"
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    try:
+        overwrite_partitions(spark.read.parquet(tmp), path, partition_cols)
+    finally:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(tmp)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)

@@ -113,6 +113,7 @@ _CHECK_FIRST = [
     "count_min_user_freq",
     "fuzzy_name_pairs",
     "weighted_sample_docs",
+    "cdc_apply_orders",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -127,7 +128,6 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
     # streaming/multimodal representatives (16)
-    "window_lag",
     "rbb_from_seg",
 ]
 

@@ -114,3 +114,89 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "o_orderstatus",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (io.cdc_apply): a deterministic change batch — updates on
+# keys %7==0 (price +10), deletes on keys %21==0 (issued at a LATER
+# sequence than their own update, so latest-wins must delete), inserts
+# of key+10M for keys %13==0 — applied to a real partitioned copy of
+# orders, then the FINAL TABLE STATE is read back and summarized per
+# partition. The oracle derives the same final state declaratively from
+# the orders table, so the whole latest-wins/delete/upsert/rewrite path
+# is value-checked; the touched-partition write bound is asserted in
+# tests/test_maintenance.py.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_apply_orders",
+    """
+    WITH survivors AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 21 <> 0
+    ),
+    inserts AS (
+        -- +5, not /2: halving creates half-cent values that can park a
+        -- group SUM exactly on a .xx5 rounding boundary, where the two
+        -- engines' float partial-sum orders legitimately disagree at 2dp
+        SELECT o_orderpriority, o_totalprice + 5 AS price
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    final AS (
+        SELECT * FROM survivors UNION ALL SELECT * FROM inserts
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(price), 2) AS total_price
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import cdc_apply
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="mlps_cdc_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = f"{d}/orders"
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        "o_orderpriority",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    cdc_apply(
+        spark,
+        path,
+        changes,
+        key_cols=["o_orderkey"],
+        partition_cols=["o_orderpriority"],
+    )
+    final = spark.read.parquet(path)
+    result = final.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    rows = result.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

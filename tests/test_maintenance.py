@@ -131,3 +131,56 @@ def test_evolve_read_across_schema_generations(spark, tmp_path):
         (2, "b", 0.0, "legacy"),
         (3, "c", 0.5, "legacy"),
     ]
+
+
+def test_cdc_apply_latest_wins_and_partition_bound(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.io import cdc_apply
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b"), (4, 40.0, "c")],
+        "k long, v double, p string",
+    )
+    base.write.partitionBy("p").parquet(path)
+    untouched_before = sorted(
+        f for f, _ in _list_data_files(spark, path) if "/p=c/" in f
+    )
+
+    changes = spark.createDataFrame(
+        [
+            # k=1: U then D -> deleted (latest wins)
+            (1, 11.0, "a", "U", 1),
+            (1, 11.0, "a", "D", 2),
+            # k=2: D then U -> survives with the update
+            (2, 20.0, "a", "D", 1),
+            (2, 25.0, "a", "U", 2),
+            # k=3: plain update
+            (3, 33.0, "b", "U", 1),
+            # k=5: insert into partition b
+            (5, 55.0, "b", "I", 1),
+        ],
+        "k long, v double, p string, op string, seq long",
+    )
+    cdc_apply(spark, path, changes, key_cols=["k"], partition_cols=["p"])
+    got = {
+        r["k"]: (r["v"], r["p"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {2: (25.0, "a"), 3: (33.0, "b"), 4: (40.0, "c"), 5: (55.0, "b")}
+
+    # untouched partition files are bit-identical (never read or written)
+    untouched_after = sorted(
+        f for f, _ in _list_data_files(spark, path) if "/p=c/" in f
+    )
+    assert untouched_before == untouched_after
+
+    # replaying the same batch is a no-op (same-seq delete outranks the
+    # update of its own key; upserted rows re-assert their values)
+    cdc_apply(spark, path, changes, key_cols=["k"], partition_cols=["p"])
+    again = {
+        r["k"]: (r["v"], r["p"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got

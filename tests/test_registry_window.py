@@ -53,8 +53,7 @@ def test_window_covers_round5_priorities():
         "text_quality",
         # flagship
         "q1_pricing_summary",
-        # oldest-evidence (r3) representatives
-        "window_lag",
+        # oldest-evidence (r3) representative
         "rbb_from_seg",
     ]
     window = set(list(QUERIES)[:50])
