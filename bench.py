@@ -120,6 +120,8 @@ HEADLINE = [
     "weighted_sample_docs",
     # CDC apply: latest-wins upsert/delete with touched-partition rewrites
     "cdc_apply_orders",
+    # numeric band join via bin bucketing
+    "band_join_balances",
 ]
 
 RUNS = 3

@@ -94,3 +94,39 @@ def range_join(
         .filter(contained)
         .drop("__bin")
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    delta: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Numeric band join: pairs with ``|left_val - right_val| <= delta``
+    (optionally under equi-``keys``) — the |a-b|<=δ companion of the
+    point-in-interval rewrite above, same bucketing idea: with bin width
+    δ, any qualifying pair's bins differ by at most 1, so the LEFT side
+    emits one row per bin and the RIGHT side fans out to its bin and
+    both neighbors (a fixed 3x, independent of data), the bins equi-join
+    (one balanced hash shuffle, never a nested loop over the cross
+    product), and the exact band predicate filters in-stage. Each pair
+    meets in exactly one bin — the left row's — so no dedup pass.
+    """
+    keys = keys or []
+    lb = F.floor(F.col(left_val) / F.lit(delta)).alias("__bin")
+    l = left.select("*", lb)
+    r = right.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_val) / F.lit(delta)) - 1,
+                F.floor(F.col(right_val) / F.lit(delta)) + 1,
+            )
+        ).alias("__bin"),
+    )
+    joined = l.join(r, keys + ["__bin"])
+    return joined.filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= delta
+    ).drop("__bin")

@@ -114,11 +114,14 @@ _CHECK_FIRST = [
     "fuzzy_name_pairs",
     "weighted_sample_docs",
     "cdc_apply_orders",
+    "band_join_balances",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
     "ngram_jaccard_pairs",
-    "kmeans_embeddings",
+    # (kmeans_embeddings dropped from re-evidence: the round-5 clustering
+    # edit touched only kmeans_trajectory, whose query kmeans_inertia is
+    # already in (a); kmeans_fit/assign are unchanged)
     "text_quality",
     "pack_bins_ffd",
     "sequence_pack_docs",
@@ -126,8 +129,9 @@ _CHECK_FIRST = [
     "curate_corpus",
     # (c) flagship
     "q1_pricing_summary",
-    # (d) oldest driver evidence (r3) — windows/dedup/similarity/geometry/
-    # streaming/multimodal representatives (16)
+    # (d) oldest driver evidence (r3) — one representative slot remains;
+    # the rest of the r3 families return in round 6 under rule 4 (new
+    # registrations outranked them this round)
     "rbb_from_seg",
 ]
 

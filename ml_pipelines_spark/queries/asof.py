@@ -95,3 +95,37 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric band join (operators.rangejoin.band_join): supplier/customer
+# account balances within ±1.0 — the |a-b|<=δ reconciliation shape.
+# The oracle states the predicate directly (DuckDB's IE-join handles
+# it); the Spark side uses the bin rewrite, so the hash-compare proves
+# the bucketing loses no pair and admits no extra (bin edges, the
+# classic off-by-one surface, are value-checked).
+# ---------------------------------------------------------------------------
+_BAND_DELTA = 1.0
+
+
+@query(
+    "band_join_balances",
+    f"""
+    SELECT s.s_suppkey, c.c_custkey,
+           ROUND(s.s_acctbal - c.c_acctbal, 2) AS diff
+    FROM supplier s JOIN customer c
+      ON abs(s.s_acctbal - c.c_acctbal) <= {_BAND_DELTA}
+    """,
+)
+def band_join_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import band_join
+
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return band_join(
+        supp, cust, "s_acctbal", "c_acctbal", delta=_BAND_DELTA
+    ).select(
+        "s_suppkey",
+        "c_custkey",
+        F.round(F.col("s_acctbal") - F.col("c_acctbal"), 2).alias("diff"),
+    )

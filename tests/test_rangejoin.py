@@ -120,3 +120,32 @@ def test_plans_as_equi_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan
+
+
+def test_band_join_edges_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.rangejoin import band_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "lid long, lv double"
+    )
+    right = spark.createDataFrame(
+        # exactly on the edge (|diff| = delta) is IN; just past is OUT
+        [(10, 9.5), (11, 10.5), (12, 10.51), (13, 19.5), (14, 25.0)],
+        "rid long, rv double",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in band_join(left, right, "lv", "rv", delta=0.5).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 13)}
+
+    # bin rewrite must plan an equi-join on the bin, never a nested loop
+    plan = band_join(left, right, "lv", "rv", delta=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # no duplicate pairs (each pair meets in exactly one bin)
+    rows = band_join(left, right, "lv", "rv", delta=0.5).select("lid", "rid").collect()
+    assert len(rows) == len(set((r["lid"], r["rid"]) for r in rows))
