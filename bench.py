@@ -122,6 +122,8 @@ HEADLINE = [
     "cdc_apply_orders",
     # numeric band join via bin bucketing
     "band_join_balances",
+    # end-to-end image curation (tags gate + phash dedup + split)
+    "curate_images",
 ]
 
 RUNS = 3

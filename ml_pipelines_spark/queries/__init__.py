@@ -115,6 +115,7 @@ _CHECK_FIRST = [
     "weighted_sample_docs",
     "cdc_apply_orders",
     "band_join_balances",
+    "curate_images",
     # (b) code or oracle touched this round — re-evidence (9)
     "approx_distinct_users",
     "snapshot_diff_orders",
@@ -125,7 +126,9 @@ _CHECK_FIRST = [
     "text_quality",
     "pack_bins_ffd",
     "sequence_pack_docs",
-    "token_budget_per_source",
+    # (token_budget_per_source dropped from re-evidence: the tokenizer
+    # seam landed as the NEW token_budget_bpe query; the char-cost query
+    # itself is unchanged and keeps its r4 row)
     "curate_corpus",
     # (c) flagship
     "q1_pricing_summary",

@@ -323,10 +323,10 @@ def _phash_images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(gen, schema=schema)
 
 
-@query(
-    "image_phash_near_dup",
-    f"""
-    WITH ids AS (
+# Closed-form re-derivation of the aHash table (vec_id, ahash) for the
+# synthetic corpus above — shared by the near-dup pair query and the
+# end-to-end image-curation query.
+_PH_HASH_CTES = f"""ids AS (
         SELECT vec_id FROM embeddings WHERE vec_id < {_PH_N}
     ),
     pos AS (SELECT unnest(generate_series(0, {_PH_GRID * _PH_GRID - 1})) AS p),
@@ -351,7 +351,13 @@ def _phash_images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS ahash
         FROM vals JOIN m ON vals.vec_id = m.vec_id
         GROUP BY vals.vec_id
-    ),
+    )"""
+
+
+@query(
+    "image_phash_near_dup",
+    f"""
+    WITH {_PH_HASH_CTES},
     bands AS (
         SELECT vec_id, ahash, b, (ahash >> (9 * b)) & 511 AS v
         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
@@ -378,4 +384,67 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end IMAGE curation — the multimodal twin of curate_corpus and
+# the reference user's actual pipeline (E1+E3 shapes) expressed in one
+# declarative plan on the new engine: skip-tag gate (P6 arrays_overlap,
+# TrainDatasets.py:201-211 semantics) → perceptual-hash dedup keeping
+# the smallest id → deterministic 90/5/5 hash split (entity-keyed,
+# leakage-free by construction). Tags are closed-form (vec_id % 17 ==
+# 0 → 'badimage'), the hash table is the shared CTE block, and the
+# split thresholds are the same md5-prefix scheme as curate_corpus — so
+# the WHOLE pipeline output (survivor id, hash, copy count, split) is
+# value-checked cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "curate_images",
+    f"""
+    WITH {_PH_HASH_CTES},
+    tagged AS (
+        SELECT vec_id, ahash,
+               CASE WHEN vec_id % 17 = 0 THEN 'badimage' ELSE 'keep' END AS tag
+        FROM h
+    ),
+    kept AS (SELECT vec_id, ahash FROM tagged WHERE tag <> 'badimage'),
+    dedup AS (
+        SELECT ahash, MIN(vec_id) AS vec_id, COUNT(*) AS n_copies
+        FROM kept GROUP BY ahash
+    )
+    SELECT vec_id, ahash, n_copies,
+           CASE WHEN substr(md5('img' || CAST(vec_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train'
+                WHEN substr(md5('img' || CAST(vec_id AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup
+    """,
+)
+def curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.images import image_ahash
+    from ..operators.splits import hash_split_expr
+
+    imgs = _phash_images_df(spark, sf_dir)
+    tags = F.when(
+        F.col("vec_id") % 17 == 0, F.array(F.lit("badimage"))
+    ).otherwise(F.array(F.lit("keep")))
+    kept = imgs.withColumn("tags", tags).filter(
+        ~F.arrays_overlap(F.col("tags"), F.array(F.lit("badimage")))
+    )
+    hashed = image_ahash(kept, id_col="vec_id", grid=_PH_GRID)
+    dedup = hashed.groupBy("ahash").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return dedup.select(
+        "vec_id",
+        "ahash",
+        "n_copies",
+        hash_split_expr(
+            F.col("vec_id"),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="img",
+        ).alias("split"),
     )
