@@ -97,3 +97,61 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the symmetrized edge set — Pregel-lite: each
+    iteration is one join (ranks onto out-edges) plus one groupBy(dst),
+    with the per-iteration frame localCheckpoint'ed so iteration t+1
+    reads a materialized t rather than replaying the whole lineage (the
+    same convention as connected_components above).
+
+    Symmetrized edges mean every node has out-degree >= 1, so there is
+    no dangling mass to redistribute. Per-edge contributions are
+    quantized to int64 (floor(r/deg * 1e12 + 0.5)) before the sum, so
+    ranks are independent of partitioning and bit-reproducible by the
+    SQL oracle. Returns (node, rank); ranks sum to ~1.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ed = sym.join(deg, "s").localCheckpoint(eager=True)
+
+    nodes = ed.select(F.col("s").alias("node")).distinct()
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+
+    for _ in range(iters):
+        contrib = ed.join(
+            ranks.withColumnRenamed("node", "s"), "s"
+        ).select(
+            F.col("d").alias("node"),
+            F.floor(F.col("r") / F.col("deg") * 1e12 + 0.5)
+            .cast("long")
+            .alias("q"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("q").alias("sq"))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.col("sq") / F.lit(1e12))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -539,3 +539,120 @@ def fuzzy_pairs(
         .filter(F.col("dist") <= 1)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span REMOVAL — the rewrite companion of the measure
+# (dup_ngram_fraction) and the drill-down (top_dup_passages). Word-level
+# form of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+# Models Better") exact substring dedup: any word position covered by a
+# k-gram that occurs in >= min_df distinct documents is cut, and the
+# surviving words are stitched back in order. The reference has no text
+# surface at all; this is a north-star extension, built Spark-first.
+#
+# Scale shape (100 TB posture): one positional-shingle explode
+# (O(words)), one doc-frequency groupBy hash-partitioned on the shingle,
+# one join back on the shingle (skew bounded because a shingle hot
+# enough to skew is by definition removed — its rows carry only
+# (id, start), never text), a (id, pos) distinct + anti-join both
+# partitioned on id, and one final per-document groupBy whose state is
+# bounded by document length. No pair join anywhere — unlike near-dup
+# LSH, span removal is aggregate-only.
+# ---------------------------------------------------------------------------
+
+def positional_shingles(toks: Column, k: int) -> Column:
+    """Array of {start, shingle} structs over 1-based word positions.
+    Empty array when the text has fewer than k tokens."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(
+        n < k, F.array().cast("array<struct<start:int,shingle:string>>")
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ).alias("shingle"),
+            ),
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cut every word position covered by a corpus-duplicated k-gram.
+
+    Returns one row per input row: (id_col, n_words, n_removed,
+    cleaned_text) — documents with no duplicated span (or fewer than k
+    words, or blank text) come back intact.
+    """
+    txt = F.col(text_col)
+    lower_toks = F.filter(
+        F.split(F.trim(F.lower(txt)), r"\s+"), lambda x: x != ""
+    )
+    orig_toks = F.filter(F.split(F.trim(txt), r"\s+"), lambda x: x != "")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        orig_toks.alias("ow"),
+        lower_toks.alias("lw"),
+    )
+
+    sh = base.select(
+        "id", F.explode(positional_shingles(F.col("lw"), k)).alias("ps")
+    ).select("id", F.col("ps.start").alias("start"), F.col("ps.shingle").alias("shingle"))
+
+    freq = (
+        sh.select("shingle", "id")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+    covered = (
+        sh.join(freq, "shingle")
+        .select(
+            "id", F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("pos")
+        )
+        .distinct()
+    )
+
+    words = base.select(
+        "id", F.posexplode(F.col("ow")).alias("pos0", "word")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "word")
+
+    kept = (
+        words.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("cleaned"),
+        )
+    )
+
+    return (
+        base.select("id", F.size("ow").cast("long").alias("n_words"))
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -598,3 +598,158 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(supp, "s_suppkey", "s_name").select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (rewrite, not just measurement) — word-level
+# Lee et al. 2022 exact substring dedup. k=6 sits on the corpus's
+# coverage plateau (k=6 and k=8 cut the same ~10% of words at sf0.001,
+# so the cuts are genuine planted boilerplate, not k-gram noise). The
+# oracle re-derives positional shingles, doc frequencies, covered
+# positions, and the stitched text — every output value cross-engine.
+# ---------------------------------------------------------------------------
+_RDS_K = 6
+_RDS_SH = " || ' ' || ".join(
+    (f"lw[s+{j}]" if j else "lw[s]") for j in range(_RDS_K)
+)
+
+
+@query(
+    "remove_dup_passages",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS lw,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS ow
+        FROM documents
+    ),
+    shu AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(lw) - {_RDS_K - 1}, 0)),
+                   s -> struct_pack(start := s, shingle := {_RDS_SH}))) AS ps
+        FROM w
+    ),
+    sh2 AS (SELECT doc_id, ps.start AS start, ps.shingle AS shingle FROM shu),
+    freq AS (
+        SELECT shingle FROM sh2 GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT sh2.doc_id,
+               unnest(generate_series(start, start + {_RDS_K - 1})) AS pos
+        FROM sh2 JOIN freq USING (shingle)
+    ),
+    covd AS (SELECT DISTINCT doc_id, pos FROM cov),
+    wpu AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ow)),
+                   j -> struct_pack(p := j, wd := ow[j]))) AS pw
+        FROM w
+    ),
+    wp AS (SELECT doc_id, pw.p AS p, pw.wd AS wd FROM wpu),
+    kept AS (
+        SELECT wp.doc_id, wp.p, wp.wd
+        FROM wp LEFT JOIN covd ON wp.doc_id = covd.doc_id AND wp.p = covd.pos
+        WHERE covd.pos IS NULL
+    ),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(wd, ' ' ORDER BY p) AS cleaned
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(ow) AS BIGINT) AS n_words,
+           CAST(len(ow) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(cleaned, '') AS cleaned_text
+    FROM w LEFT JOIN ka USING (doc_id)
+    """,
+)
+def remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_dup_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, "doc_id", "text", k=_RDS_K, min_df=2)
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup similarity graph — which
+# documents sit at the CENTER of boilerplate clusters (the natural
+# "canonical representative" signal for keep-one dedup, complementing
+# near_dup_keep_docs' min-id rule). Same edge set as
+# near_dup_components; 5 damped iterations; per-edge contributions
+# quantized to int64 so the SQL twin (which re-runs all 5 iterations in
+# chained MATERIALIZED CTEs) must reproduce every rank bit-for-bit.
+# The double literals are subtracted/multiplied as DOUBLEs in SQL —
+# DuckDB would otherwise fold (1.0 - 0.85) in exact DECIMAL and land
+# one ulp away from Python's 1.0 - 0.85.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_PAIRS = (
+    _SHINGLES_CTE.format(table="documents")
+    + f"""
+    , pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {COMPONENTS_T}
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    ed AS MATERIALIZED (SELECT e.s, e.d, deg.deg FROM edges e JOIN deg USING (s)),
+    nn AS MATERIALIZED (SELECT COUNT(DISTINCT s) AS n FROM edges),
+    r0 AS MATERIALIZED (SELECT DISTINCT s AS node, 1.0 / (SELECT n FROM nn) AS r FROM edges)
+"""
+)
+
+
+def _pr_iter_ctes() -> str:
+    out = []
+    for it in range(_PR_ITERS):
+        out.append(
+            f"""c{it} AS MATERIALIZED (
+        SELECT ed.d AS node,
+               SUM(CAST(floor(r.r / ed.deg * 1000000000000.0 + 0.5)
+                        AS BIGINT)) AS sq
+        FROM ed JOIN r{it} r ON ed.s = r.node GROUP BY ed.d
+    )"""
+        )
+        out.append(
+            f"""r{it + 1} AS MATERIALIZED (
+        SELECT node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * (sq / 1000000000000.0) AS r
+        FROM c{it}, nn
+    )"""
+        )
+    return ",\n    ".join(out)
+
+
+@query(
+    "pagerank_near_dup",
+    "WITH "
+    + _PR_PAIRS
+    + ",\n    "
+    + _pr_iter_ctes()
+    + f"""
+    SELECT node AS doc_id, round(r, 9) AS rank FROM r{_PR_ITERS}
+    """,
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", threshold=COMPONENTS_T, shingle_k=3
+    )
+    pr = pagerank(pairs, "id_a", "id_b", iters=_PR_ITERS, damping=0.85)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round(F.col("rank"), 9).alias("rank")
+    )

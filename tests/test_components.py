@@ -43,3 +43,29 @@ def test_dedup_by_components_keeps_representatives_and_singletons(spark):
     )
     # clusters {1,2,3} -> 1 and {5,6} -> 5 survive; 4 and 7 untouched
     assert kept == [1, 4, 5, 7]
+
+
+def test_pagerank_star_center_dominates(spark):
+    from ml_pipelines_spark.operators.components import pagerank
+
+    # Star: 0 — {1,2,3,4}; plus a detached pair 10—11.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges).collect()}
+    assert set(r) == {0, 1, 2, 3, 4, 10, 11}
+    assert abs(sum(r.values()) - 1.0) < 1e-6  # stochastic: mass conserved
+    assert r[0] > max(r[i] for i in (1, 2, 3, 4))  # hub dominates leaves
+    assert abs(r[1] - r[4]) < 1e-12  # symmetric leaves tie
+    assert abs(r[10] - r[11]) < 1e-12  # detached pair ties
+
+
+def test_pagerank_partition_invariant(spark):
+    from ml_pipelines_spark.operators.components import pagerank
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20) if i != (i * 7 + 3) % 20]
+    a = spark.createDataFrame(edges, ["id_a", "id_b"])
+    b = a.repartition(13)
+    ra = sorted(map(tuple, pagerank(a).collect()))
+    rb = sorted(map(tuple, pagerank(b).collect()))
+    assert ra == rb  # quantized contributions: bit-equal across layouts

@@ -189,3 +189,52 @@ def test_fuzzy_pairs_recall_and_precision(spark):
     # blocking is an equi-join, never a cross product
     plan = fuzzy_pairs(df, "id", "name")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_remove_dup_spans_cuts_shared_passage_only(spark):
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening words here {boiler} and a unique tail one"),
+            (2, f"other document starts differently {boiler} closing words two"),
+            (3, "totally original content with no duplicated span at all ok"),
+            (4, "short doc"),  # fewer than k words: untouched
+            (5, "   "),  # blank: n_words 0, cleaned ''
+        ],
+        ["doc_id", "text"],
+    )
+    from ml_pipelines_spark.operators.dedup import remove_dup_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(docs, "doc_id", "text", k=6, min_df=2).collect()
+    }
+    # The shared 9-word passage is cut from BOTH docs; unique words survive.
+    assert out[1]["cleaned_text"] == "unique opening words here and a unique tail one"
+    assert out[2]["cleaned_text"] == "other document starts differently closing words two"
+    assert out[1]["n_removed"] == 9 and out[2]["n_removed"] == 9
+    # Untouched docs come back verbatim (modulo whitespace collapse).
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"].startswith("totally original")
+    assert out[4] ["n_removed"] == 0 and out[4]["cleaned_text"] == "short doc"
+    assert out[5]["n_words"] == 0 and out[5]["cleaned_text"] == ""
+
+
+def test_remove_dup_spans_case_insensitive_match_keeps_original_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha Beta Gamma Delta Epsilon Zeta kept words after that"),
+            (2, "alpha beta gamma delta epsilon zeta other unique trailing text"),
+        ],
+        ["doc_id", "text"],
+    )
+    from ml_pipelines_spark.operators.dedup import remove_dup_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(docs, "doc_id", "text", k=6, min_df=2).collect()
+    }
+    # Match is on lowercased shingles; surviving words keep original case.
+    assert out[1]["n_removed"] == 6
+    assert out[1]["cleaned_text"] == "kept words after that"
+    assert out[2]["cleaned_text"] == "other unique trailing text"
