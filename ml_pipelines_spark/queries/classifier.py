@@ -1,0 +1,132 @@
+"""Quality-classifier training query — batch-GD logistic regression
+(operators.classifier) with a chained-CTE DuckDB oracle that re-derives
+every gradient step symbolically.
+
+The oracle is a full cross-engine VALUE check of an iterative training
+run: iteration t's weights are scalar CTEs computed from iteration
+t-1's integer-quantized gradient sums, so DuckDB re-trains the model
+from scratch in one SQL statement and must land on bit-equal weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.classifier import score_accuracy, train_logreg
+from .registry import query
+from .relational import t
+from .text import token_count_sql
+
+_ITERS = 30
+_LR = 4.0
+_NF = 4
+_TERMS = ["w_bias", "w_len", "w_en_markers", "w_distinct"]
+
+_EN = "', '".join(T.LANG_MARKERS["en"])
+_LTOKS = "string_split_regex(lower(text), '\\s+')"
+# en-marker ratio scaled x10 so its gradient is commensurate with the
+# other [0,1] features (the raw ratio tops out around 0.15).
+_ENHITS = (
+    f"(10.0 * len(list_filter({_LTOKS}, x -> list_contains(['{_EN}'], x))))"
+    f" / greatest(len({_LTOKS}), 1)"
+)
+_TTOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_DWR = f"len(list_distinct({_TTOKS})) / greatest(len({_TTOKS}), 1)"
+
+
+def _margin_sql(wp: str) -> str:
+    return " + ".join(f"{wp}.w{j}*x{j}" for j in range(_NF))
+
+
+def _logreg_sql() -> str:
+    # Every CTE is MATERIALIZED: without it DuckDB inlines each scalar
+    # CTE into every reference, and the t-th iteration's margin expands
+    # the whole training history — exponential expression blowup.
+    ctes = [
+        f"""f AS MATERIALIZED (
+        SELECT CASE WHEN {token_count_sql('text')} >= 48
+                     AND {_ENHITS} >= 0.5
+               THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               least({token_count_sql('text')} / 64.0, 1.0) AS x1,
+               {_ENHITS} AS x2,
+               {_DWR} AS x3
+        FROM documents
+    )""",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f)",
+    ]
+    for it in range(_ITERS):
+        if it == 0:
+            p, src = "0.5", "f"
+        else:
+            p = f"1.0/(1.0 + exp(-({_margin_sql('w')})))"
+            src = f"f, w{it} w"
+        sums = ", ".join(
+            f"SUM(CAST(round((({p} - y) * x{j}) * 1000000000.0) AS BIGINT)) AS s{j}"
+            for j in range(_NF)
+        )
+        ctes.append(f"g{it} AS MATERIALIZED (SELECT {sums} FROM {src})")
+        prev = [f"w.w{j}" for j in range(_NF)] if it else ["0.0"] * _NF
+        upd = ", ".join(
+            f"{prev[j]} - {_LR}*(g.s{j}/(1000000000.0 * nn.n)) AS w{j}"
+            for j in range(_NF)
+        )
+        frm = f"g{it} g, nn" + (f", w{it} w" if it else "")
+        ctes.append(f"w{it + 1} AS MATERIALIZED (SELECT {upd} FROM {frm})")
+    ctes.append(
+        f"""acc AS (
+        SELECT AVG(CASE WHEN (CASE WHEN ({_margin_sql('w')}) >= 0
+                              THEN 1.0 ELSE 0.0 END) = y
+                   THEN 1.0 ELSE 0.0 END) AS a
+        FROM f, w{_ITERS} w
+    )"""
+    )
+    finals = [
+        f"SELECT '{term}' AS term, round(w.w{j}, 9) AS value FROM w{_ITERS} w"
+        for j, term in enumerate(_TERMS)
+    ]
+    finals.append("SELECT 'accuracy' AS term, round(a, 9) AS value FROM acc")
+    finals.append("SELECT 'n_docs' AS term, CAST(n AS DOUBLE) AS value FROM nn")
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def quality_features(df: DataFrame) -> DataFrame:
+    """Label + feature frame. The label DISTILLS a hard Gopher-style
+    rule gate (token count >= 48 AND en-marker density) into a soft
+    linear scorer — the realistic quality-classifier setup where a
+    cheap linear model learns to approximate an expensive rule/LLM
+    labeler (trains to ~85% vs a 61% majority class at sf0.01).
+    Features: x = [1, len-score, 10x en-marker ratio, distinct-word
+    ratio] — every feature an exact int ratio or an identical-ops
+    double, so features match DuckDB bit-for-bit."""
+    txt = F.col("text")
+    ltoks = T.tokens(F.lower(txt))
+    denom = F.greatest(F.size(ltoks), F.lit(1))
+    en10 = (F.lit(10.0) * T.lang_marker_hits(txt, "en")) / denom
+    return df.select(
+        F.when(
+            (T.token_count(txt) >= 48) & (en10 >= 0.5), 1.0
+        ).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.least(T.token_count(txt) / F.lit(64.0), F.lit(1.0)).alias("x1"),
+        en10.alias("x2"),
+        T.distinct_word_ratio(txt).alias("x3"),
+    )
+
+
+@query("logreg_quality_train", _logreg_sql())
+def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Persist the (y, x0..x3) frame: 30 GD passes + the accuracy pass
+    # re-scan it — the standard cache-the-training-set GD shape (MLlib
+    # GradientDescent requires the same). 5 doubles/row, so the cached
+    # footprint is a tiny fraction of the raw text it replaces.
+    feats = quality_features(t(spark, sf_dir, "documents")).persist()
+    cols = [f"x{j}" for j in range(_NF)]
+    weights, n = train_logreg(feats, cols, "y", iters=_ITERS, lr=_LR)
+    acc = score_accuracy(feats, cols, "y", weights)
+    rows = [(term, w) for term, w in zip(_TERMS, weights)]
+    rows += [("accuracy", acc), ("n_docs", float(n))]
+    out = spark.createDataFrame(rows, ["term", "value"])
+    return out.select("term", F.round(F.col("value"), 9).alias("value"))
