@@ -239,3 +239,98 @@ def token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         BPE_BUDGET,
         order_by=[F.col("n_bpe_tokens").asc(), F.col("doc_id").asc()],
     ).select("doc_id", "source", "n_bpe_tokens")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by log p_target(doc) - log p_raw(doc) under bag-of-hashed-unigram
+# multinomials with add-one smoothing; resampling by this weight shifts
+# the corpus toward the target domain (here: the English slice stands
+# in for DSIR's Wikipedia-quality target). Spark shape at 100 TB: one
+# token explode, ONE groupBy(bucket) building both models in the same
+# pass (conditional count), a 64-row broadcast of the log-ratio
+# dictionary back onto the token stream, and a per-document sum — no
+# pair joins, no driver-side model. The oracle re-derives the bucket
+# models, the smoothing, and every per-document sum in SQL.
+# ---------------------------------------------------------------------------
+_DSIR_B = 64
+_DSIR_TOK = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_DSIR_TOK}) AS w FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) % {_DSIR_B}
+                   AS bucket
+        FROM tok
+    ),
+    dim AS (
+        SELECT bucket, COUNT(*) AS raw_c,
+               COUNT(CASE WHEN lang = 'en' THEN 1 END) AS tgt_c
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(raw_c) AS r, SUM(tgt_c) AS tt FROM dim),
+    lr AS (
+        SELECT bucket,
+               ln((tgt_c + 1.0) / (tt + {_DSIR_B}.0))
+             - ln((raw_c + 1.0) / (r + {_DSIR_B}.0)) AS lr
+        FROM dim, tot
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS s
+        FROM b JOIN lr USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(s, 0.0), 5) AS log_w,
+           COALESCE(s, 0.0) >= 0 AS keep
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tok = docs.select("doc_id", "lang", F.explode(toks).alias("w"))
+    bkt = tok.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long"),
+            F.lit(_DSIR_B),
+        ).alias("bucket"),
+    )
+    dim = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_c"),
+    )
+    tot = dim.agg(
+        F.sum("raw_c").alias("r"), F.sum("tgt_c").alias("tt")
+    )
+    lr = dim.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_c") + 1.0) / (F.col("tt") + float(_DSIR_B)))
+            - F.log((F.col("raw_c") + 1.0) / (F.col("r") + float(_DSIR_B)))
+        ).alias("lr"),
+    )
+    per = (
+        bkt.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("s"))
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)), 5).alias("log_w"),
+        (F.coalesce(F.col("s"), F.lit(0.0)) >= 0).alias("keep"),
+    )
