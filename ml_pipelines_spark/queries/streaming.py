@@ -265,3 +265,174 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join under replay: events stream in as two
+# micro-batches and every batch joins the broadcast customer dimension
+# (streaming.windows.enrich_stream) — the state-free enrichment shape
+# that at 100 TB beats a stream-stream join whenever the dimension is
+# orders of magnitude smaller than the stream. The memory sink captures
+# each batch's APPEND output; the final rollup over the captured rows
+# must equal the batch join+aggregate the oracle computes — a dropped
+# batch, a double-joined row, or a missed dimension key all diverge.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_enrich_replay",
+    """
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import enrich_stream, read_stream
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    d = tempfile.mkdtemp(prefix="mlps_ser_")
+    name = f"ser_{uuid.uuid4().hex}"
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+        enriched = enrich_stream(stream, cust, on="user_id", how="inner")
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(name)
+            .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Stream-STREAM interval join under replay — the attribution shape
+# ("purchases within 24h of a signup"), both sides streaming with
+# event-time watermarks (streaming.joins.interval_join_streams). The
+# range condition is what lets Spark expire join state; here the
+# watermark out-lasts the fixture's 30-day span so no row can be
+# dropped and the append output is exactly the batch join the oracle
+# computes. At production scale the same plan runs with a tight
+# watermark and bounded state — that knob, not the plan, is the only
+# thing that changes.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_interval_join_replay",
+    """
+    SELECT p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           p.value
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOUR
+    """,
+)
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import read_stream
+    from ..streaming.joins import interval_join_streams
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    d = tempfile.mkdtemp(prefix="mlps_sij_")
+    name = f"sij_{uuid.uuid4().hex}"
+    # State-store work is commits x partitions x triggers x two stores;
+    # at replay volume that fixed cost dominates, so pin the stateful
+    # shuffle to 4 partitions for this query (the knob you RAISE for a
+    # real high-volume stream — size state partitions to stream volume).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # Each side gets its OWN pre-filtered, pre-projected replay dir:
+        # the streams then carry only the rows and columns they join on
+        # (a stream-side filter would instead drag every event through
+        # both scans and fill both state stores with rows that can never
+        # match — at any scale, push the filter into the source).
+        d_p, d_i = f"{d}/points", f"{d}/intervals"
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), "value"
+        ).repartition(2).write.mode("overwrite").parquet(d_p)
+        ev.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            F.col("ts").alias("s_ts"),
+            (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("s_end"),
+        ).repartition(2).write.mode("overwrite").parquet(d_i)
+        points = read_stream(
+            spark, d_p, spark.read.parquet(d_p).schema, max_files_per_trigger=1
+        )
+        intervals = read_stream(
+            spark, d_i, spark.read.parquet(d_i).schema, max_files_per_trigger=1
+        )
+        joined = interval_join_streams(
+            points,
+            intervals,
+            key_cols=["user_id"],
+            point_ts="p_ts",
+            start_ts="s_ts",
+            end_ts="s_end",
+            point_watermark="35 days",
+            interval_watermark="35 days",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.table(name).select(
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "purchase_ts"
+            ),
+            F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "signup_ts"
+            ),
+            "value",
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
