@@ -124,6 +124,20 @@ HEADLINE = [
     "band_join_balances",
     # end-to-end image curation (tags gate + phash dedup + split)
     "curate_images",
+    # duplicated-span removal rewrite (Lee et al. exact substring dedup)
+    "remove_dup_passages",
+    # batch-GD logistic quality classifier (30 cached agg passes)
+    "logreg_quality_train",
+    # DSIR importance weights (hashed-unigram target/raw log-ratio)
+    "dsir_importance_weights",
+    # distributed Gram partials + quantized power iteration
+    "pca_top_component",
+    # PageRank centrality over the near-dup graph (5 Pregel-lite rounds)
+    "pagerank_near_dup",
+    # stream-static broadcast enrichment under 2-batch replay
+    "stream_enrich_replay",
+    # stream-stream interval join (24h attribution), both sides streaming
+    "stream_interval_join_replay",
 ]
 
 RUNS = 3

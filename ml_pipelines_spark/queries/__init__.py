@@ -37,6 +37,8 @@ from . import profiling  # noqa: E402,F401
 from . import lm  # noqa: E402,F401
 from . import evolution  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import classifier  # noqa: E402,F401
+from . import linalg  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -116,26 +118,28 @@ _CHECK_FIRST = [
     "cdc_apply_orders",
     "band_join_balances",
     "curate_images",
-    # (b) code or oracle touched this round — re-evidence (9)
-    "approx_distinct_users",
+    # (a'') registrations from the second half of round 5 — rule 1
+    # (these displaced the lower-priority (b) re-evidence and the (d)
+    # slot: rule 1 strictly outranks rules 2/4)
+    "remove_dup_passages",
+    "logreg_quality_train",
+    "dsir_importance_weights",
+    "pca_top_component",
+    "pagerank_near_dup",
+    "stream_enrich_replay",
+    "stream_interval_join_replay",
+    # (b) code or oracle touched this round — one re-evidence slot for
+    # the highest-stakes change (snapshot_diff's plan rewrite).
+    # Rotated out in favor of rule-1 registrations, all with local
+    # parity and returning round 6 under rule 4: the mechanical
+    # blank-guard twin edits (text_quality/pack_bins_ffd/
+    # sequence_pack_docs/curate_corpus), ngram_jaccard_pairs (its new
+    # default cap is a no-op at the gate's sf0.01, so the r4 row still
+    # reflects gate-scale behavior), and approx_distinct_users (the
+    # sketch split left the gate query's invariant untouched).
     "snapshot_diff_orders",
-    "ngram_jaccard_pairs",
-    # (kmeans_embeddings dropped from re-evidence: the round-5 clustering
-    # edit touched only kmeans_trajectory, whose query kmeans_inertia is
-    # already in (a); kmeans_fit/assign are unchanged)
-    "text_quality",
-    "pack_bins_ffd",
-    "sequence_pack_docs",
-    # (token_budget_per_source dropped from re-evidence: the tokenizer
-    # seam landed as the NEW token_budget_bpe query; the char-cost query
-    # itself is unchanged and keeps its r4 row)
-    "curate_corpus",
     # (c) flagship
     "q1_pricing_summary",
-    # (d) oldest driver evidence (r3) — one representative slot remains;
-    # the rest of the r3 families return in round 6 under rule 4 (new
-    # registrations outranked them this round)
-    "rbb_from_seg",
 ]
 
 

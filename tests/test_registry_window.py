@@ -46,15 +46,22 @@ def test_window_covers_round5_priorities():
         "winsorized_stats",
     ]
     must_be_checked = never_checked_entering_r5 + [
-        # code/oracle touched in round 5
-        "approx_distinct_users",
+        # rule 1 also covers queries REGISTERED during round 5 — the
+        # late-round additions displace rule-2 re-evidence slots
+        "remove_dup_passages",
+        "logreg_quality_train",
+        "dsir_importance_weights",
+        "pca_top_component",
+        "pagerank_near_dup",
+        "stream_enrich_replay",
+        "stream_interval_join_replay",
+        # code/oracle touched in round 5 (highest-stakes one; the
+        # mechanical blank-guard twins, the gate-scale-no-op jaccard
+        # cap, and the invariant-preserving approx_distinct split all
+        # keep local parity and return under rule 4)
         "snapshot_diff_orders",
-        "ngram_jaccard_pairs",
-        "text_quality",
         # flagship
         "q1_pricing_summary",
-        # oldest-evidence (r3) representative
-        "rbb_from_seg",
     ]
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]
