@@ -181,3 +181,62 @@ def training_order(
         "__ord", F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
     )
     return dense_ids(keyed, ["__ord"], id_col=pos_col).drop("__ord")
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., 2023): per-row
+    log p_target - log p_raw under bag-of-hashed-unigram multinomials
+    with add-one smoothing; ``target_col`` is a boolean column marking
+    target-domain rows.
+
+    Shape at 100 TB: one token explode, ONE groupBy(bucket) building
+    both models in the same pass (conditional count), a ``buckets``-row
+    broadcast of the log-ratio dictionary back onto the token stream,
+    and a per-row sum — no pair joins, no driver-side model. Returns
+    (id_col, n_tokens, log_w) with log_w unrounded; rows whose text has
+    no tokens keep n_tokens=0, log_w=0.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(target_col).alias("__tgt"),
+        F.explode(toks).alias("w"),
+    )
+    bkt = tok.select(
+        "__id",
+        "__tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    dim = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
+    )
+    tot = dim.agg(F.sum("raw_c").alias("r"), F.sum("tgt_c").alias("tt"))
+    lr = dim.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_c") + 1.0) / (F.col("tt") + float(buckets)))
+            - F.log((F.col("raw_c") + 1.0) / (F.col("r") + float(buckets)))
+        ).alias("lr"),
+    )
+    per = (
+        bkt.join(F.broadcast(lr), "bucket")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("s"))
+    )
+    return df.select(F.col(id_col).alias("__id")).join(per, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("s"), F.lit(0.0)).alias("log_w"),
+    )

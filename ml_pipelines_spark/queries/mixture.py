@@ -296,41 +296,15 @@ _DSIR_TOK = (
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    from ..operators.mixture import dsir_log_weights
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
     )
-    tok = docs.select("doc_id", "lang", F.explode(toks).alias("w"))
-    bkt = tok.select(
+    w = dsir_log_weights(docs, "doc_id", "text", "__is_en", buckets=_DSIR_B)
+    return w.select(
         "doc_id",
-        "lang",
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long"),
-            F.lit(_DSIR_B),
-        ).alias("bucket"),
-    )
-    dim = bkt.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_c"),
-    )
-    tot = dim.agg(
-        F.sum("raw_c").alias("r"), F.sum("tgt_c").alias("tt")
-    )
-    lr = dim.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            F.log((F.col("tgt_c") + 1.0) / (F.col("tt") + float(_DSIR_B)))
-            - F.log((F.col("raw_c") + 1.0) / (F.col("r") + float(_DSIR_B)))
-        ).alias("lr"),
-    )
-    per = (
-        bkt.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("s"))
-    )
-    return docs.select("doc_id").join(per, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-        F.round(F.coalesce(F.col("s"), F.lit(0.0)), 5).alias("log_w"),
-        (F.coalesce(F.col("s"), F.lit(0.0)) >= 0).alias("keep"),
+        "n_tokens",
+        F.round("log_w", 5).alias("log_w"),
+        (F.col("log_w") >= 0).alias("keep"),
     )
