@@ -613,11 +613,9 @@ _RDS_SH = " || ' ' || ".join(
     (f"lw[s+{j}]" if j else "lw[s]") for j in range(_RDS_K)
 )
 
-
-@query(
-    "remove_dup_passages",
-    f"""
-    WITH w AS (
+# Shared CTE block ending in cleaned(doc_id, n_words, n_removed,
+# cleaned_text) — used by remove_dup_passages and curate_corpus_v2.
+_RDS_CTES = f"""w AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                            x -> x <> '') AS lw,
@@ -659,11 +657,20 @@ _RDS_SH = " || ' ' || ".join(
         SELECT doc_id, COUNT(*) AS n_kept,
                string_agg(wd, ' ' ORDER BY p) AS cleaned
         FROM kept GROUP BY doc_id
-    )
-    SELECT w.doc_id, CAST(len(ow) AS BIGINT) AS n_words,
-           CAST(len(ow) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
-           COALESCE(cleaned, '') AS cleaned_text
-    FROM w LEFT JOIN ka USING (doc_id)
+    ),
+    cleaned AS (
+        SELECT w.doc_id, CAST(len(ow) AS BIGINT) AS n_words,
+               CAST(len(ow) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(ka.cleaned, '') AS cleaned_text
+        FROM w LEFT JOIN ka USING (doc_id)
+    )"""
+
+
+@query(
+    "remove_dup_passages",
+    f"""
+    WITH {_RDS_CTES}
+    SELECT doc_id, n_words, n_removed, cleaned_text FROM cleaned
     """,
 )
 def remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,4 +759,200 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(pairs, "id_a", "id_b", iters=_PR_ITERS, damping=0.85)
     return pr.select(
         F.col("node").alias("doc_id"), F.round(F.col("rank"), 9).alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus_v2 — the MODERN LLM-data pipeline end-to-end, composing
+# this round's operators in one plan: (1) span-level boilerplate
+# REWRITE (remove_dup_spans), (2) viability gate on the cleaned length,
+# (3) DSIR target-domain selection with models built on the viable
+# cleaned corpus, (4) exact fingerprint dedup of the cleaned text,
+# (5) deterministic 90/5/5 split. Where curate_corpus (v1) gates and
+# drops whole documents, v2 first REPAIRS documents by cutting
+# duplicated passages, then selects by distributional match instead of
+# a hard rule. Every stage shuffles on a key (shingle, bucket, id, fp)
+# — no pair joins anywhere. The oracle replays the full five-stage
+# pipeline from scratch.
+# ---------------------------------------------------------------------------
+_V2_MIN_TOKENS = 10
+_V2_B = 64
+
+
+@query(
+    "curate_corpus_v2",
+    f"""
+    WITH {_RDS_CTES},
+    lbl AS (
+        SELECT c.doc_id, c.n_removed, c.n_words, c.cleaned_text,
+               d.lang = 'en' AS is_en
+        FROM cleaned c JOIN documents d USING (doc_id)
+        WHERE c.n_words - c.n_removed >= {_V2_MIN_TOKENS}
+    ),
+    tok AS (
+        SELECT doc_id, is_en,
+               unnest(list_filter(
+                   string_split_regex(trim(lower(cleaned_text)), '\\s+'),
+                   x -> x <> '')) AS wd
+        FROM lbl
+    ),
+    b AS (
+        SELECT doc_id, is_en,
+               CAST(('0x' || substr(md5(wd), 1, 4)) AS INTEGER) % {_V2_B}
+                   AS bucket
+        FROM tok
+    ),
+    dim AS (
+        SELECT bucket, COUNT(*) AS raw_c,
+               COUNT(CASE WHEN is_en THEN 1 END) AS tgt_c
+        FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(raw_c) AS r, SUM(tgt_c) AS tt FROM dim),
+    lr AS (
+        SELECT bucket,
+               ln((tgt_c + 1.0) / (tt + {_V2_B}.0))
+             - ln((raw_c + 1.0) / (r + {_V2_B}.0)) AS lr
+        FROM dim, tot
+    ),
+    per AS (
+        SELECT doc_id, COUNT(*) AS n_tokens_clean, SUM(lr) AS s
+        FROM b JOIN lr USING (bucket) GROUP BY doc_id
+    ),
+    sel AS (
+        SELECT l.doc_id, l.n_removed,
+               COALESCE(p.n_tokens_clean, 0) AS n_tokens_clean,
+               COALESCE(p.s, 0.0) AS s, l.cleaned_text
+        FROM lbl l LEFT JOIN per p USING (doc_id)
+        WHERE COALESCE(p.s, 0.0) >= 0
+    ),
+    dd AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY md5(trim(regexp_replace(
+                       lower(cleaned_text), '[^a-z0-9]+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+        FROM sel
+    )
+    SELECT doc_id, n_removed,
+           CAST(n_tokens_clean AS BIGINT) AS n_tokens_clean,
+           ROUND(s, 5) AS log_w,
+           CASE WHEN substr(md5('cur2' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                WHEN substr(md5('cur2' || CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM dd WHERE rn = 1
+    """,
+)
+def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+    from ..operators.dedup import exact_dedup, remove_dup_spans
+    from ..operators.mixture import dsir_log_weights
+    from ..operators.splits import hash_split_expr
+
+    docs = t(spark, sf_dir, "documents")
+    cleaned = remove_dup_spans(docs, "doc_id", "text", k=_RDS_K, min_df=2)
+    lbl = cleaned.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+        "doc_id",
+    ).filter(
+        (F.col("n_words") - F.col("n_removed")) >= _V2_MIN_TOKENS
+    )
+    w = dsir_log_weights(lbl, "doc_id", "cleaned_text", "is_en", buckets=_V2_B)
+    sel = (
+        lbl.join(
+            w.select(
+                "doc_id",
+                F.col("n_tokens").alias("n_tokens_clean"),
+                "log_w",
+            ),
+            "doc_id",
+        )
+        .filter(F.col("log_w") >= 0)
+        .withColumn("fp", fingerprint(F.col("cleaned_text")))
+    )
+    dd = exact_dedup(sel, ["fp"], order_col="doc_id")
+    return dd.select(
+        "doc_id",
+        "n_removed",
+        "n_tokens_clean",
+        F.round("log_w", 5).alias("log_w"),
+        hash_split_expr(
+            F.col("doc_id"),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="cur2",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: FastSS deletion-neighborhood blocking
+# (fuzzy_pairs) -> connected components over the distance<=1 match graph
+# -> canonical id per cluster (min member id). Every supplier appears in
+# the output: matched rows map to their cluster's canonical id,
+# singletons to themselves. The oracle rebuilds the variant blocking,
+# the exact levenshtein verify, and the transitive closure (recursive
+# CTE) from scratch — the same construction near_dup_components proved
+# out for jaccard edges, here over the edit-distance graph.
+# ---------------------------------------------------------------------------
+@query(
+    "entity_resolution_suppliers",
+    """
+    WITH RECURSIVE v AS (
+        SELECT s_suppkey AS id, s_name AS nm,
+               CASE WHEN d.i = 0 THEN s_name
+                    ELSE substr(s_name, 1, d.i - 1) || substr(s_name, d.i + 1)
+               END AS variant
+        FROM supplier
+        CROSS JOIN (SELECT unnest(generate_series(0, 40)) AS i) d
+        WHERE d.i <= len(s_name)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        WHERE levenshtein(a.nm, b.nm) <= 1
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS id, MIN(r) AS canonical FROM reach GROUP BY n),
+    sized AS (
+        SELECT canonical, COUNT(*) AS cluster_size FROM comp GROUP BY canonical
+    )
+    SELECT sup.s_suppkey,
+           COALESCE(comp.canonical, sup.s_suppkey) AS canonical_id,
+           CAST(COALESCE(sized.cluster_size, 1) AS BIGINT) AS cluster_size
+    FROM supplier sup
+    LEFT JOIN comp ON sup.s_suppkey = comp.id
+    LEFT JOIN sized ON comp.canonical = sized.canonical
+    """,
+)
+def entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import fuzzy_pairs
+
+    supp = t(spark, sf_dir, "supplier")
+    pairs = fuzzy_pairs(supp, "s_suppkey", "s_name")
+    comp = connected_components(pairs, "id_a", "id_b")
+    sized = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    mapping = comp.join(sized, "component")
+    return (
+        supp.select("s_suppkey")
+        .join(mapping, supp["s_suppkey"] == mapping["node"], "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("component"), F.col("s_suppkey")).alias(
+                "canonical_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+        )
     )
