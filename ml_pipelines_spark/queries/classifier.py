@@ -40,13 +40,14 @@ def _margin_sql(wp: str) -> str:
     return " + ".join(f"{wp}.w{j}*x{j}" for j in range(_NF))
 
 
-def _logreg_sql() -> str:
+def _logreg_ctes(iters: int, lr: float) -> list[str]:
     # Every CTE is MATERIALIZED: without it DuckDB inlines each scalar
     # CTE into every reference, and the t-th iteration's margin expands
     # the whole training history — exponential expression blowup.
     ctes = [
         f"""f AS MATERIALIZED (
-        SELECT CASE WHEN {token_count_sql('text')} >= 48
+        SELECT doc_id,
+               CASE WHEN {token_count_sql('text')} >= 48
                      AND {_ENHITS} >= 0.5
                THEN 1.0 ELSE 0.0 END AS y,
                1.0 AS x0,
@@ -57,7 +58,7 @@ def _logreg_sql() -> str:
     )""",
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f)",
     ]
-    for it in range(_ITERS):
+    for it in range(iters):
         if it == 0:
             p, src = "0.5", "f"
         else:
@@ -70,11 +71,16 @@ def _logreg_sql() -> str:
         ctes.append(f"g{it} AS MATERIALIZED (SELECT {sums} FROM {src})")
         prev = [f"w.w{j}" for j in range(_NF)] if it else ["0.0"] * _NF
         upd = ", ".join(
-            f"{prev[j]} - {_LR}*(g.s{j}/(1000000000.0 * nn.n)) AS w{j}"
+            f"{prev[j]} - {lr}*(g.s{j}/(1000000000.0 * nn.n)) AS w{j}"
             for j in range(_NF)
         )
         frm = f"g{it} g, nn" + (f", w{it} w" if it else "")
         ctes.append(f"w{it + 1} AS MATERIALIZED (SELECT {upd} FROM {frm})")
+    return ctes
+
+
+def _logreg_sql() -> str:
+    ctes = _logreg_ctes(_ITERS, _LR)
     ctes.append(
         f"""acc AS (
         SELECT AVG(CASE WHEN (CASE WHEN ({_margin_sql('w')}) >= 0
@@ -106,6 +112,7 @@ def quality_features(df: DataFrame) -> DataFrame:
     denom = F.greatest(F.size(ltoks), F.lit(1))
     en10 = (F.lit(10.0) * T.lang_marker_hits(txt, "en")) / denom
     return df.select(
+        "doc_id",
         F.when(
             (T.token_count(txt) >= 48) & (en10 >= 0.5), 1.0
         ).otherwise(0.0).alias("y"),
@@ -130,3 +137,46 @@ def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows += [("accuracy", acc), ("n_docs", float(n))]
     out = spark.createDataFrame(rows, ["term", "value"])
     return out.select("term", F.round(F.col("value"), 9).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Train -> APPLY: the production shape of the quality classifier — fit
+# on the corpus, then score every document and emit the keep decision
+# the curation pipeline consumes. A shorter schedule than the training
+# demo (8 steps; the scores, not the optimum, are the product). The
+# oracle re-trains the 8 steps and re-scores every document: any
+# drift in a single gradient quantum would flip hashes corpus-wide.
+# ---------------------------------------------------------------------------
+_SCORE_ITERS = 8
+_SCORE_LR = 4.0
+
+
+def _scores_sql() -> str:
+    ctes = _logreg_ctes(_SCORE_ITERS, _SCORE_LR)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT f.doc_id,
+           round(1.0/(1.0 + exp(-({_margin_sql('w')}))), 6) AS score,
+           ({_margin_sql('w')}) >= 0 AS keep
+    FROM f, w{_SCORE_ITERS} w
+    """
+    )
+
+
+@query("quality_classifier_scores", _scores_sql())
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import _margin, sigmoid
+
+    feats = quality_features(t(spark, sf_dir, "documents")).persist()
+    cols = [f"x{j}" for j in range(_NF)]
+    weights, _ = train_logreg(
+        feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
+    )
+    m = _margin(weights, [F.col(c) for c in cols])
+    return feats.select(
+        "doc_id",
+        F.round(sigmoid(m), 6).alias("score"),
+        (m >= 0).alias("keep"),
+    )
