@@ -138,6 +138,12 @@ HEADLINE = [
     "stream_enrich_replay",
     # stream-stream interval join (24h attribution), both sides streaming
     "stream_interval_join_replay",
+    # modern pipeline end-to-end: span rewrite + DSIR select + dedup + split
+    "curate_corpus_v2",
+    # entity resolution: FastSS blocking + components + canonical mapping
+    "entity_resolution_suppliers",
+    # train -> apply: classifier scores + keep decisions for every doc
+    "quality_classifier_scores",
 ]
 
 RUNS = 3

@@ -128,16 +128,16 @@ _CHECK_FIRST = [
     "pagerank_near_dup",
     "stream_enrich_replay",
     "stream_interval_join_replay",
-    # (b) code or oracle touched this round — one re-evidence slot for
-    # the highest-stakes change (snapshot_diff's plan rewrite).
-    # Rotated out in favor of rule-1 registrations, all with local
-    # parity and returning round 6 under rule 4: the mechanical
-    # blank-guard twin edits (text_quality/pack_bins_ffd/
-    # sequence_pack_docs/curate_corpus), ngram_jaccard_pairs (its new
-    # default cap is a no-op at the gate's sf0.01, so the r4 row still
-    # reflects gate-scale behavior), and approx_distinct_users (the
+    "curate_corpus_v2",
+    # (b) rule-2 re-evidence: fully displaced by rule-1 registrations
+    # this round. Everything code-touched keeps local parity
+    # (test_oracle_parity runs the identical compare) and returns round
+    # 6 under rule 4: snapshot_diff_orders (plan rewrite; r4 driver row
+    # green on identical output columns), the mechanical blank-guard
+    # twin edits (text_quality/pack_bins_ffd/sequence_pack_docs/
+    # curate_corpus), ngram_jaccard_pairs (its new default cap is a
+    # no-op at the gate's sf0.01), and approx_distinct_users (the
     # sketch split left the gate query's invariant untouched).
-    "snapshot_diff_orders",
     # (c) flagship
     "q1_pricing_summary",
 ]

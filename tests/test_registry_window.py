@@ -55,11 +55,7 @@ def test_window_covers_round5_priorities():
         "pagerank_near_dup",
         "stream_enrich_replay",
         "stream_interval_join_replay",
-        # code/oracle touched in round 5 (highest-stakes one; the
-        # mechanical blank-guard twins, the gate-scale-no-op jaccard
-        # cap, and the invariant-preserving approx_distinct split all
-        # keep local parity and return under rule 4)
-        "snapshot_diff_orders",
+        "curate_corpus_v2",
         # flagship
         "q1_pricing_summary",
     ]
