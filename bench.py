@@ -144,6 +144,8 @@ HEADLINE = [
     "entity_resolution_suppliers",
     # train -> apply: classifier scores + keep decisions for every doc
     "quality_classifier_scores",
+    # PCA apply: projection + orthogonal residual for every embedding
+    "pca_project_embeddings",
 ]
 
 RUNS = 3

@@ -105,3 +105,85 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("int").alias("component"),
         F.round(F.col("loading"), 6).alias("loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA APPLY: project every embedding onto the dominant component and
+# report the orthogonal residual norm — the whitening/denoising shape
+# (large residual = far from the principal subspace; the spectral
+# companion to the centroid-distance embedding_outliers). The fit reuses
+# the quantized Gram/power-iteration pipeline; the per-row fold is a
+# SERIAL left-to-right sum over dimensions on both engines (Spark
+# F.aggregate, DuckDB list_aggregate), so no rounding-order slack is
+# needed beyond the output rounding. The oracle re-derives the fit AND
+# re-projects every row.
+# ---------------------------------------------------------------------------
+def _project_sql() -> str:
+    fit = _pca_sql()
+    ctes = fit[len("WITH ") : fit.rindex("SELECT CAST(i AS INT)")].rstrip().rstrip(
+        "\n"
+    )
+    return f"""
+    WITH {ctes},
+    vl AS MATERIALIZED (SELECT list(val ORDER BY i) AS v FROM v{_ITERS}),
+    ml AS MATERIALIZED (SELECT list(mu ORDER BY i) AS mm FROM m),
+    pr AS (
+        SELECT e2.vec_id, e2.embedding,
+               list_aggregate(list_transform(generate_series(1, {_DIM}),
+                   i -> (CAST(e2.embedding[i] AS DOUBLE) - ml.mm[i]) * vl.v[i]),
+                   'sum') AS proj
+        FROM embeddings e2, vl, ml
+    )
+    SELECT pr.vec_id,
+           round(pr.proj, 6) AS proj,
+           round(list_aggregate(list_transform(generate_series(1, {_DIM}),
+                     i -> pow(CAST(pr.embedding[i] AS DOUBLE) - ml.mm[i]
+                              - pr.proj * vl.v[i], 2)),
+                     'sum'), 6) AS residual_sq
+    FROM pr, vl, ml
+    """
+
+
+@query("pca_project_embeddings", _project_sql())
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = gram_counts(emb, "embedding", _DIM).collect()
+    cov = covariance_from_counts(rows, _DIM, n)
+    v, _ = power_iteration_quantized(cov, iters=_ITERS)
+    mu = [0.0] * _DIM
+    for r in rows:
+        if r["j"] == -1:
+            mu[r["i"]] = r["s"] / 1e6 / n
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    mlit = F.array(*[F.lit(float(x)) for x in mu])
+    idx = F.sequence(F.lit(1), F.lit(_DIM))
+    e = F.col("embedding")
+    proj = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: (F.element_at(e, i).cast("double") - F.element_at(mlit, i))
+            * F.element_at(vlit, i),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pr = emb.select("vec_id", "embedding", proj.alias("proj"))
+    res = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.pow(
+                F.element_at(F.col("embedding"), i).cast("double")
+                - F.element_at(mlit, i)
+                - F.col("proj") * F.element_at(vlit, i),
+                F.lit(2.0),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return pr.select(
+        "vec_id",
+        F.round("proj", 6).alias("proj"),
+        F.round(res, 6).alias("residual_sq"),
+    )
