@@ -238,3 +238,38 @@ def test_remove_dup_spans_case_insensitive_match_keeps_original_case(spark):
     assert out[1]["n_removed"] == 6
     assert out[1]["cleaned_text"] == "kept words after that"
     assert out[2]["cleaned_text"] == "other unique trailing text"
+
+
+def test_repair_then_dedup_collapses_boilerplate_variants(spark):
+    """curate_corpus_v2's core property: documents that differ ONLY in
+    which boilerplate passage was stamped on them become identical
+    after span removal, so fingerprint dedup collapses them — v1-style
+    whole-document dedup would have kept both copies."""
+    from ml_pipelines_spark.functions.text import fingerprint
+    from ml_pipelines_spark.operators.dedup import exact_dedup, remove_dup_spans
+
+    # Cores are SHORTER than k=6 words: a shared core of >= k words
+    # would itself be a duplicated span and (correctly) get cut too.
+    core = "genuinely unique article body here"
+    other = "different piece of content text"
+    b1 = "subscribe to our newsletter for daily updates and offers now"
+    b2 = "all rights reserved terms of service apply contact us today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{b1} {core}"),
+            (2, f"{b2} {core}"),   # same core, different boilerplate
+            (3, f"{b1} {other}"),
+            (4, f"{b2} {other}"),
+        ],
+        ["doc_id", "text"],
+    )
+    cleaned = remove_dup_spans(docs, "doc_id", "text", k=6, min_df=2)
+    out = {r["doc_id"]: r["cleaned_text"] for r in cleaned.collect()}
+    assert out[1] == out[2] == core  # both boilerplates cut
+    dd = exact_dedup(
+        cleaned.withColumn("fp", fingerprint(cleaned["cleaned_text"])),
+        ["fp"],
+        order_col="doc_id",
+    )
+    kept = sorted(r["doc_id"] for r in dd.collect())
+    assert kept == [1, 3]  # one survivor per repaired-identical pair
