@@ -849,11 +849,19 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     cleaned = remove_dup_spans(docs, "doc_id", "text", k=_RDS_K, min_df=2)
-    lbl = cleaned.join(
-        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
-        "doc_id",
-    ).filter(
-        (F.col("n_words") - F.col("n_removed")) >= _V2_MIN_TOKENS
+    # Materialize stage 1 ONCE: lbl is referenced by the DSIR token
+    # stream, the DSIR join-back base, and the selection join — without
+    # this, each reference replays the whole span-removal subtree (the
+    # un-persisted plan scanned the text column 20x). At 100 TB the
+    # same boundary is a checkpoint: write the cleaned corpus to
+    # parquet between stages.
+    lbl = (
+        cleaned.join(
+            docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+            "doc_id",
+        )
+        .filter((F.col("n_words") - F.col("n_removed")) >= _V2_MIN_TOKENS)
+        .persist()
     )
     w = dsir_log_weights(lbl, "doc_id", "cleaned_text", "is_en", buckets=_V2_B)
     sel = (
