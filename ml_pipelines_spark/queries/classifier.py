@@ -131,8 +131,15 @@ def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # footprint is a tiny fraction of the raw text it replaces.
     feats = quality_features(t(spark, sf_dir, "documents")).persist()
     cols = [f"x{j}" for j in range(_NF)]
-    weights, n = train_logreg(feats, cols, "y", iters=_ITERS, lr=_LR)
-    acc = score_accuracy(feats, cols, "y", weights)
+    try:
+        weights, n = train_logreg(feats, cols, "y", iters=_ITERS, lr=_LR)
+        acc = score_accuracy(feats, cols, "y", weights)
+    finally:
+        # weights/accuracy are driver-side literals by now; the returned
+        # plan is built from them alone, so the cache is done — release
+        # it instead of leaking blocks into the shared session (ADVICE
+        # r5: across a 96-query bench these evict other queries' caches).
+        feats.unpersist()
     rows = [(term, w) for term, w in zip(_TERMS, weights)]
     rows += [("accuracy", acc), ("n_docs", float(n))]
     out = spark.createDataFrame(rows, ["term", "value"])
@@ -171,9 +178,16 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = quality_features(t(spark, sf_dir, "documents")).persist()
     cols = [f"x{j}" for j in range(_NF)]
-    weights, _ = train_logreg(
-        feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
-    )
+    try:
+        weights, _ = train_logreg(
+            feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
+        )
+    finally:
+        # The 8 GD passes are done and the weights are literals; score
+        # from a FRESH feature frame so the returned plan never depends
+        # on the released cache (ADVICE r5 leak fix).
+        feats.unpersist()
+    feats = quality_features(t(spark, sf_dir, "documents"))
     m = _margin(weights, [F.col(c) for c in cols])
     return feats.select(
         "doc_id",

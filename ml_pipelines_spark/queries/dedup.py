@@ -350,20 +350,38 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 COMPONENTS_T = 0.5
 
+# Shared pair CTE for the graph queries (components / keep-docs /
+# pagerank). Mirrors jaccard_pairs' DEFAULT_MAX_DOC_FREQ stop-shingle
+# cap (same construction as the ngram_jaccard_pairs oracle) so the twin
+# stays exact at ANY scale factor — without the cap in the oracle,
+# parity held only while no shingle exceeded the cap at the test SF
+# (ADVICE r5). At the gate's sf0.01 the filter is a no-op, preserving
+# prior driver evidence.
+_CAPPED_PAIRS = f"""
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM ex GROUP BY shingle),
+    kept AS (
+        SELECT e.doc_id, list(e.shingle) AS s
+        FROM ex e JOIN dfq USING (shingle)
+        WHERE dfq.dfreq <= {{cap}}
+        GROUP BY e.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {COMPONENTS_T}
+    )"""
+
 
 @query(
     "near_dup_components",
     "WITH RECURSIVE "
     + _SHINGLES_CTE.format(table="documents")
-    + f"""
-    , pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.s) > 0 AND len(b.s) > 0
-          AND len(list_intersect(a.s, b.s))
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-              >= {COMPONENTS_T}
-    ),
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + """,
     edges AS (
         SELECT id_a AS s, id_b AS d FROM pairs
         UNION
@@ -470,15 +488,9 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_keep_docs",
     "WITH RECURSIVE "
     + _SHINGLES_CTE.format(table="documents")
-    + f"""
-    , pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.s) > 0 AND len(b.s) > 0
-          AND len(list_intersect(a.s, b.s))
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-              >= {COMPONENTS_T}
-    ),
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + """,
     edges AS (
         SELECT id_a AS s, id_b AS d FROM pairs
         UNION
@@ -695,15 +707,9 @@ def remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 5
 _PR_PAIRS = (
     _SHINGLES_CTE.format(table="documents")
-    + f"""
-    , pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.s) > 0 AND len(b.s) > 0
-          AND len(list_intersect(a.s, b.s))
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-              >= {COMPONENTS_T}
-    ),
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + """,
     edges AS MATERIALIZED (
         SELECT id_a AS s, id_b AS d FROM pairs
         UNION
@@ -852,16 +858,21 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize stage 1 ONCE: lbl is referenced by the DSIR token
     # stream, the DSIR join-back base, and the selection join — without
     # this, each reference replays the whole span-removal subtree (the
-    # un-persisted plan scanned the text column 20x). At 100 TB the
-    # same boundary is a checkpoint: write the cleaned corpus to
-    # parquet between stages.
+    # un-persisted plan scanned the text column 20x). An eager
+    # localCheckpoint rather than persist(): the returned plan still
+    # needs the materialized frame, so there is no point to unpersist
+    # at, and CacheManager entries are never GC-reclaimed — checkpoint
+    # blocks are dropped by the ContextCleaner once the plan is
+    # unreachable (ADVICE r5 leak fix). At 100 TB the same boundary is
+    # a real checkpoint: write the cleaned corpus to parquet between
+    # stages.
     lbl = (
         cleaned.join(
             docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
             "doc_id",
         )
         .filter((F.col("n_words") - F.col("n_removed")) >= _V2_MIN_TOKENS)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w = dsir_log_weights(lbl, "doc_id", "cleaned_text", "is_en", buckets=_V2_B)
     sel = (

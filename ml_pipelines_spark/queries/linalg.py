@@ -25,7 +25,11 @@ _DIM = 64
 _ITERS = 8
 
 
-def _pca_sql() -> str:
+def _pca_ctes() -> list[str]:
+    """Shared fit CTEs (quantized Gram/mean sums, covariance, power
+    iteration) — both final SELECTs are assembled from this list, the
+    same structure classifier._logreg_ctes uses (no string-slicing of a
+    rendered query; ADVICE r5)."""
     ctes = [
         "e AS MATERIALIZED (SELECT embedding FROM embeddings)",
         "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM e)",
@@ -83,12 +87,16 @@ def _pca_sql() -> str:
             f"v{it + 1} AS MATERIALIZED ("
             f"SELECT i, u.val / l.l AS val FROM u{it} u, l{it} l)"
         )
+    return ctes
+
+
+def _pca_sql() -> str:
     final = (
         f"SELECT CAST(i AS INT) AS component, round(val, 6) AS loading"
         f" FROM v{_ITERS}"
         f" UNION ALL SELECT -1, round(l, 6) FROM l{_ITERS - 1}"
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n" + final
+    return "WITH " + ",\n    ".join(_pca_ctes()) + "\n" + final
 
 
 @query("pca_top_component", _pca_sql())
@@ -119,10 +127,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-projects every row.
 # ---------------------------------------------------------------------------
 def _project_sql() -> str:
-    fit = _pca_sql()
-    ctes = fit[len("WITH ") : fit.rindex("SELECT CAST(i AS INT)")].rstrip().rstrip(
-        "\n"
-    )
+    ctes = ",\n    ".join(_pca_ctes())
     return f"""
     WITH {ctes},
     vl AS MATERIALIZED (SELECT list(val ORDER BY i) AS v FROM v{_ITERS}),

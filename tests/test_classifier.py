@@ -3,6 +3,8 @@ on a separable corpus, and the quantized-sum partitioning invariance."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ml_pipelines_spark.operators.classifier import (
@@ -10,6 +12,13 @@ from ml_pipelines_spark.operators.classifier import (
     score_accuracy,
     train_logreg,
 )
+
+
+def _round_half_away(v: float) -> int:
+    # F.round (HALF_UP) and DuckDB round() both break ties AWAY from zero;
+    # Python's round() is banker's (half-to-even) and would diverge on a
+    # gradient term landing exactly on a .5 quantum.
+    return int(math.copysign(math.floor(abs(v) + 0.5), v))
 
 
 def _numpy_train(X, y, iters, lr):
@@ -20,7 +29,7 @@ def _numpy_train(X, y, iters, lr):
         # Same quantized-integer fold as the Spark plan and the SQL twin.
         s = np.array(
             [
-                int(sum(int(round(v)) for v in (p - y) * X[:, j] * GRAD_SCALE))
+                int(sum(_round_half_away(v) for v in (p - y) * X[:, j] * GRAD_SCALE))
                 for j in range(X.shape[1])
             ]
         )
