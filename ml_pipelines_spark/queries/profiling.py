@@ -231,3 +231,76 @@ def approx_median_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("approx_in_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier flags via MAD (median absolute deviation) — the
+# median/MAD pair survives the exact contamination that wrecks
+# mean/stddev z-scores (one 10^9-char document shifts a mean but not a
+# median), which is why robust-z is the curation default for length
+# screens. Two aggregation passes (median, then MAD of deviations) with
+# the per-source statistics broadcast back — the per-group state is 2
+# doubles per source, never a global window. Exact percentile on both
+# engines (Spark percentile == DuckDB quantile_cont). Output: every doc
+# whose |robust z| > 2.5, i.e. |x - med| > 2.5 * 1.4826 * MAD.
+# ---------------------------------------------------------------------------
+_MAD_C = 1.4826  # consistency constant: MAD * c estimates sigma under normality
+_MAD_Z = 2.5
+
+
+@query(
+    "mad_outlier_docs",
+    f"""
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.doc_id, d.source, d.n_chars, m.med,
+               abs(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (
+        SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source,
+           CAST(dev.n_chars AS BIGINT) AS n_chars,
+           floor(dev.med * 10.0 + 0.5) / 10.0 AS med_chars,
+           floor((CASE WHEN mad.mad = 0 THEN 0.0
+                       ELSE (dev.n_chars - dev.med)
+                            / ({_MAD_C} * mad.mad) END) * 10000.0 + 0.5)
+               / 10000.0 AS robust_z
+    FROM dev JOIN mad USING (source)
+    WHERE mad.mad > 0
+      AND abs(dev.n_chars - dev.med) > {_MAD_Z} * {_MAD_C} * mad.mad
+    """,
+)
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = docs.select("doc_id", "source", "n_chars").join(
+        F.broadcast(med), "source"
+    ).withColumn("adev", F.abs(F.col("n_chars") - F.col("med")))
+    mad = dev.groupBy("source").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    rz = F.when(F.col("mad") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_chars") - F.col("med")) / (_MAD_C * F.col("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n_chars") - F.col("med"))
+               > _MAD_Z * _MAD_C * F.col("mad"))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.floor(F.col("med") * 10.0 + 0.5) / 10.0).alias("med_chars"),
+            (F.floor(rz * 10000.0 + 0.5) / 10000.0).alias("robust_z"),
+        )
+    )

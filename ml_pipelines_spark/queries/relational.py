@@ -1100,3 +1100,223 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analogue — returned-item lost revenue per customer. The
+# plan-shape lesson is LATE DIMENSION ATTACH: aggregate the fact join
+# down to one row per custkey FIRST, then join the customer/nation
+# attributes onto the <= |customers| aggregate — c_name never rides the
+# 100 TB fact shuffle. Top-20 lands in TakeOrderedAndProject (heap,
+# never a global sort). Ordering key is rounded revenue + custkey so the
+# cross-engine rank is stable under float summation order.
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 analogue — bilateral shipping volume between two nations by
+# ship year. Both nation filters are pushed into broadcast-built
+# supplier/customer key sets BEFORE the fact shuffle, so lineitem rows
+# from the other 23 nations never enter the orders join; the only
+# exchange is orders⋈lineitem on orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # Nation-filtered key dimensions, built broadcast-side.
+    s2 = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c2 = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(c2), orders.o_custkey == c2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over order baskets — support /
+# confidence / lift for brand pairs co-purchased in one order. The pair
+# join is WITHIN-BASKET (self-join on orderkey): fan-out is bounded by
+# basket size squared (~4 items/order), never corpus-quadratic, and the
+# candidate space is capped by the brand dictionary (25² pairs) — the
+# same bounded-key-domain argument as the dict joins. Top-30 by lift via
+# TakeOrderedAndProject over the <= |brands|² aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "basket_brand_rules",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    supp AS (SELECT p_brand, COUNT(*) AS s FROM ob GROUP BY p_brand),
+    pc AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS pair_count
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT pc.brand_a, pc.brand_b, pc.pair_count,
+           ROUND(CAST(pc.pair_count AS DOUBLE) / sa.s, 6) AS confidence,
+           ROUND(CAST(pc.pair_count AS DOUBLE) * n.n_orders
+                 / (sa.s * sb.s), 6) AS lift
+    FROM pc
+    JOIN supp sa ON pc.brand_a = sa.p_brand
+    JOIN supp sb ON pc.brand_b = sb.p_brand
+    CROSS JOIN n
+    WHERE pc.pair_count >= 3
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 30
+    """,
+)
+def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 3)
+    )
+    supp = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    n = ob.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )  # 1-row frame, broadcast below — never a collected scalar
+    sa = supp.select(
+        F.col("p_brand").alias("brand_a"), F.col("s").alias("sa")
+    )
+    sb = supp.select(
+        F.col("p_brand").alias("brand_b"), F.col("s").alias("sb")
+    )
+    return (
+        pc.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .join(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_count",
+            F.round(F.col("pair_count").cast("double") / F.col("sa"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_count").cast("double") * F.col("n_orders")
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(30)
+    )

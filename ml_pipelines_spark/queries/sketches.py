@@ -214,3 +214,88 @@ def count_min_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch: keep the k
+# smallest distinct md5 hash values per group; the distinct-count
+# estimate is (k-1)/h_k with hashes normalized to [0,1). The third
+# portable sketch family (HLL = registers, CMS = counters, KMV = order
+# statistics). KMV's superpower at 100 TB is SET ALGEBRA: intersecting
+# two bottom-k sets estimates Jaccard/overlap between sources, which
+# registers can't do. The build is a distinct + two-phase bottom-k (the
+# ranked_topk shape — per-partition prune to <= k rows first, the global
+# per-group window sees <= k*P rows); the whole sketch is md5-determined
+# so DuckDB re-derives every kept hash and the estimate is a full
+# cross-engine value oracle. k=8 so the sketch saturates even at the
+# pytest smoke scale (15 distinct users/type at sf0.001).
+# ---------------------------------------------------------------------------
+_KMV_K = 8
+_KMV_DENOM = float(16 ** 15)  # 15 hex chars -> uniform in [0, 1)
+
+
+@query(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    kth AS (
+        SELECT event_type, MAX(hv) AS hk, COUNT(*) AS n_kept
+        FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    x AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT k.event_type,
+           ROUND(CASE WHEN k.n_kept < {_KMV_K} THEN CAST(k.n_kept AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) / (k.hk / {_KMV_DENOM}) END,
+                 4) AS kmv_est,
+           x.exact_users
+    FROM kth k JOIN x USING (event_type)
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    # Two-phase bottom-k: each partition keeps <= k candidates per type,
+    # then the per-type window ranks <= k*P survivors — never the full
+    # distinct set through one task.
+    local = Window.partitionBy(F.spark_partition_id(), "event_type").orderBy(
+        "hv"
+    )
+    pruned = (
+        h.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= _KMV_K)
+        .drop("__lr")
+    )
+    per_type = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        pruned.withColumn("rn", F.row_number().over(per_type))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((_KMV_K - 1) / (F.col("hk") / F.lit(_KMV_DENOM)))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return kth.select(
+        "event_type", F.round(est, 4).alias("kmv_est")
+    ).join(exact, "event_type")

@@ -629,3 +629,97 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tus").cast("long").alias("start_us"),
         (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the per-type daily value series (alpha = 0.3,
+# pandas ewm(adjust=False) recursion s_i = a·x_i + (1-a)·s_{i-1},
+# s_0 = x_0). The recursion is rewritten CLOSED-FORM over a running
+# window sum — s_i = (1-a)^i · (x_0 + a·Σ_{j=1..i} x_j·(1-a)^{-j}) — so
+# no iterative state, no UDF: one daily aggregate, one per-type window.
+# Windows partition by event_type over ~30 daily rows (never a global
+# window); the day series per key is bounded by the calendar, not data
+# volume. (1-a)^{-j} grows ~44000× over 30 days — harmless in float64
+# at daily granularity; re-anchor per month if the series were years.
+# ---------------------------------------------------------------------------
+_EWMA_A = 0.3
+
+
+@query(
+    "ewma_daily_value",
+    f"""
+    WITH daily AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                   / 1000000.0 / COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+                   AS i,
+               FIRST_VALUE(x) OVER (PARTITION BY event_type ORDER BY day)
+                   AS x0
+        FROM daily
+    ),
+    idx AS (
+        SELECT event_type, day, x, i, x0,
+               SUM(x * power(1 - {_EWMA_A}, -i))
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS wsum
+        FROM ranked
+    )
+    SELECT event_type, day,
+           floor(x * 10000.0 + 0.5) / 10000.0 AS daily_avg,
+           floor(power(1 - {_EWMA_A}, i)
+                 * (x0 + {_EWMA_A} * (wsum - x0)) * 10000.0 + 0.5)
+               / 10000.0 AS ewma
+    FROM idx
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+                )
+                / 1000000.0
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wsum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    i = F.row_number().over(w) - 1
+    a = _EWMA_A
+    idx = daily.select(
+        "event_type",
+        "day",
+        "x",
+        i.alias("i"),
+        F.first("x").over(w).alias("x0"),
+        F.sum(F.col("x") * F.pow(F.lit(1 - a), -i)).over(wsum).alias("wsum"),
+    )
+    ewma = F.pow(F.lit(1 - a), F.col("i")) * (
+        F.col("x0") + a * (F.col("wsum") - F.col("x0"))
+    )
+    # floor(x*1e4+0.5)/1e4 instead of ROUND: a quantized daily mean can
+    # land EXACTLY on a .00005 decimal tie, where Spark's BigDecimal
+    # HALF_UP and DuckDB's multiply-then-round disagree about the
+    # underlying double; the floor form is identical double arithmetic
+    # on both engines.
+    return idx.select(
+        "event_type",
+        "day",
+        (F.floor(F.col("x") * 10000.0 + 0.5) / 10000.0).alias("daily_avg"),
+        (F.floor(ewma * 10000.0 + 0.5) / 10000.0).alias("ewma"),
+    )
