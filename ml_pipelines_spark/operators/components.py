@@ -155,3 +155,83 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """One-row graph cohesion summary over an undirected edge set:
+    (n_nodes, n_edges, n_triangles, n_wedges, clustering_coeff).
+
+    Triangle counting uses DEGREE-ORDERED ORIENTATION (the standard
+    scale trick — Schank & Wagner's forward algorithm / Suri-Vassilvitskii
+    in its join form): each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, so every node's
+    out-degree is O(sqrt(m)) and the wedge self-join fan-out is bounded
+    even at hub nodes — a raw edge self-join is quadratic in the hottest
+    node's degree instead. Wedges at u (pairs of out-neighbors) are
+    closed by one more join against the canonical (min, max) edge set.
+    Every triangle is counted exactly once: at its (degree, id)-minimum
+    corner.
+
+    n_wedges counts all open 2-paths (sum of C(deg, 2) over nodes); the
+    global clustering coefficient is 3·triangles / wedges.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    # Canonical undirected edge set (lo, hi), deduped.
+    canon = e.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    sym = canon.select(F.col("lo").alias("n"), F.col("hi").alias("m")).unionByName(
+        canon.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
+    )
+    deg = sym.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    # Orient each edge from the (deg, id)-smaller endpoint outward.
+    dl = deg.select(F.col("n").alias("lo"), F.col("deg").alias("deg_lo"))
+    dh = deg.select(F.col("n").alias("hi"), F.col("deg").alias("deg_hi"))
+    ed = canon.join(dl, "lo").join(dh, "hi")
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    out = ed.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    )
+    o1 = out.select(F.col("u"), F.col("v").alias("v1"))
+    o2 = out.select(F.col("u"), F.col("v").alias("v2"))
+    wedges_uv = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    tri = wedges_uv.join(
+        canon,
+        (F.least("v1", "v2") == F.col("lo"))
+        & (F.greatest("v1", "v2") == F.col("hi")),
+        "left_semi",
+    )
+    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    edge_stats = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        counts.join(node_stats)
+        .join(edge_stats)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges") * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            )
+            .alias("clustering_coeff"),
+        )
+    )

@@ -173,3 +173,50 @@ def length_bucket_batches(
         .drop("__rank")
         .drop("__grp")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    token_col: str,
+    order_cols: list[str],
+    path: str,
+    budget: int,
+    num_groups: int = 64,
+    group_expr: Column | None = None,
+) -> DataFrame:
+    """Write ``df`` as token-budgeted training shards and return the
+    read-back manifest.
+
+    The shard assignment is ``segment_pack`` (deterministic md5/xxhash
+    group + running-token-sum bins); rows land in one parquet directory
+    per shard (``partitionBy(shard_id)``), which is exactly the layout a
+    training loader wants — a shard is one sequential read, shard order
+    is reproducible, and a re-run produces byte-identical partitioning.
+    The returned manifest (shard_id, n_docs, shard_tokens, first/last
+    order key) is computed from the FILES JUST WRITTEN, not from the
+    input plan, so it also round-trip-verifies the sink.
+
+    At 100 TB this is the terminal stage of the curation pipeline: the
+    write is one shuffle (the pack window) + one dynamic-partition
+    write; the manifest aggregation reads only shard_id + the two
+    manifest columns (column pruning leaves the text payload on disk).
+    """
+    assigned = segment_pack(
+        df,
+        token_col,
+        order_cols,
+        budget=budget,
+        num_groups=num_groups,
+        bin_col="shard_id",
+        group_expr=group_expr,
+    )
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    lead = order_cols[0]
+    return written.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("shard_tokens"),
+        F.min(lead).alias("first_doc"),
+        F.max(lead).alias("last_doc"),
+    )

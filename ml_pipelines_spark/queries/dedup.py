@@ -975,3 +975,55 @@ def entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph cohesion of the near-dup graph — triangle / wedge census and the
+# global clustering coefficient. High clustering says collisions are
+# genuine dup CLUSTERS (boilerplate families); low clustering with many
+# edges says the threshold is admitting chains of weak pairwise matches
+# — the metric that tells you whether transitive-closure dedup
+# (near_dup_components) is safe or will over-merge. The Spark side
+# counts triangles with degree-ordered orientation (out-degree bounded
+# by O(sqrt m), hub-safe — operators.components.triangle_stats); the
+# oracle counts them by the direct a<b<c three-way join. Both see the
+# same capped pair set.
+# ---------------------------------------------------------------------------
+@query(
+    "triangle_count_near_dup",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + """,
+    tri AS (
+        SELECT COUNT(*) AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    sym AS (
+        SELECT id_a AS n FROM pairs UNION ALL SELECT id_b FROM pairs
+    ),
+    deg AS (SELECT n, COUNT(*) AS deg FROM sym GROUP BY n),
+    ns AS (
+        SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    es AS (SELECT COUNT(*) AS n_edges FROM pairs)
+    SELECT ns.n_nodes, es.n_edges, tri.c AS n_triangles, ns.n_wedges,
+           CASE WHEN ns.n_wedges = 0 THEN 0.0
+                ELSE floor(3.0 * tri.c / ns.n_wedges * 1000000.0 + 0.5)
+                     / 1000000.0 END AS clustering_coeff
+    FROM tri, ns, es
+    """,
+)
+def triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import triangle_stats
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", threshold=COMPONENTS_T, shingle_k=3
+    )
+    return triangle_stats(pairs, "id_a", "id_b")

@@ -234,3 +234,79 @@ def sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_groups=_GROUPS,
         group_expr=_grp_col(),
     ).select("doc_id", "n_tokens", "bin_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-shard WRITE + manifest — the terminal sink of the curation
+# pipeline: documents land in token-budgeted parquet shards
+# (partitionBy(shard_id), one directory per shard = one sequential read
+# for the training loader), and the manifest is aggregated from the
+# FILES JUST WRITTEN, so the oracle check covers the physical round
+# trip, not just the assignment arithmetic. Shards use the same
+# portable md5 group + running-sum assignment as sequence_pack_docs;
+# the oracle recomputes the whole manifest from raw text. The manifest
+# is re-materialized via createDataFrame before the temp dir is
+# removed — a driver collect bounded by the SHARD count (total_tokens /
+# budget + num_groups rows), never by data volume.
+# ---------------------------------------------------------------------------
+@query(
+    "training_shard_manifest",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               (CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   AS n_tokens,
+               {_GRP_SQL} AS grp
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens, grp,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM d
+    ),
+    a AS (
+        SELECT doc_id, n_tokens,
+               grp * {1 << 40} + CAST(FLOOR(cum / {_BUDGET}) AS BIGINT)
+                   AS shard_id
+        FROM packed
+    )
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY shard_id
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.packing import write_training_shards
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens"), "text"
+    )
+    out = tempfile.mkdtemp(prefix="shards_")
+    try:
+        manifest = write_training_shards(
+            docs,
+            "n_tokens",
+            ["doc_id"],
+            path=f"{out}/shards",
+            budget=_BUDGET,
+            num_groups=_GROUPS,
+            group_expr=_grp_col(),
+        )
+        rows = manifest.collect()  # bounded by shard count
+        return spark.createDataFrame(rows, manifest.schema).select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "shard_tokens",
+            "first_doc",
+            "last_doc",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -18,6 +18,10 @@ def _quality_expr() -> str:
     from .text import quality_sql
 
     return quality_sql("text")
+
+
+from .text import quality_sql as quality_sql_  # noqa: E402
+from .text import token_count_sql as token_count_sql_  # noqa: E402
 from .relational import t
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
@@ -303,4 +307,53 @@ def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("med") * 10.0 + 0.5) / 10.0).alias("med_chars"),
             (F.floor(rz * 10000.0 + 0.5) / 10000.0).alias("robust_z"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) of the corpus on (token length, quality
+# score) — the documents for which no other document is at least as
+# long AND at least as good (strictly better on one axis). The curation
+# answer to "show me the best long documents" without fixing a
+# quality-vs-length weighting. Spark side: two-phase mapInPandas
+# frontier (per-partition O(n log n) prune, final pass over survivors
+# only — operators.skyline); oracle: the quadratic NOT EXISTS dominance
+# definition. Both criteria are bit-exact cross-engine expressions, so
+# dominance decisions agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_front_docs",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               {token_count_sql_('text')} AS n_tokens,
+               {quality_sql_('text')} AS quality
+        FROM documents
+    )
+    SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           floor(p.quality * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM d p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d q
+        WHERE q.n_tokens >= p.n_tokens AND q.quality >= p.quality
+          AND (q.n_tokens > p.n_tokens OR q.quality > p.quality)
+    )
+    """,
+)
+def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score, token_count
+    from ..operators.skyline import pareto_front_2d
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("double").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    front = pareto_front_2d(docs, "n_tokens", "quality")
+    return front.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.floor(F.col("quality") * 1000000.0 + 0.5) / 1000000.0).alias(
+            "quality"
+        ),
     )

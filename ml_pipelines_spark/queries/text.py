@@ -807,3 +807,92 @@ def unigram_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_tokens"),
         F.round(F.log(F.col("n")) - F.col("s") / F.col("n"), 5).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of per-source length distributions — the
+# cross-source comparability transform: each document's WITHIN-SOURCE
+# rank is mapped onto the GLOBAL token-length distribution, so a "long
+# doc for src3" and a "long doc for src9" land on the same normalized
+# scale even when the sources' raw length distributions differ wildly
+# (the standard bioinformatics/feature-prep construction). The global
+# distribution is carried as a 101-point exact-percentile GRID — a
+# one-row aggregate broadcast to every row, O(1) state, never a join
+# against the sorted global table — with linear interpolation between
+# grid points. Ranks use the explicit (rank-1)/max(n-1,1) form, which
+# both engines compute identically (and which is well-defined for
+# single-document sources, where percent_rank's 0/0 is engine-specific).
+# ---------------------------------------------------------------------------
+_QN_GRID = 100  # grid points 0..100 -> percentiles i/100
+
+
+@query(
+    "quantile_normalize_lengths",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source, {token_count_sql('text')} AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT quantile_cont(n_tokens,
+                   [x / {_QN_GRID}.0 FOR x IN generate_series(0, {_QN_GRID})])
+                   AS grid
+        FROM d
+    ),
+    rk AS (
+        SELECT doc_id, source, n_tokens,
+               (RANK() OVER (PARTITION BY source
+                             ORDER BY n_tokens, doc_id) - 1) AS r0,
+               GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1) AS nd
+        FROM d
+    ),
+    pos AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(r0 AS DOUBLE) / nd * {_QN_GRID} AS p
+        FROM rk
+    )
+    SELECT pos.doc_id, pos.source, pos.n_tokens,
+           floor(CAST(pos.p AS DOUBLE) / {_QN_GRID} * 1000000.0 + 0.5)
+               / 1000000.0 AS src_rank,
+           floor((g.grid[LEAST(CAST(floor(p) AS INT), {_QN_GRID}) + 1]
+                  + (p - floor(p))
+                    * (g.grid[LEAST(CAST(floor(p) AS INT) + 1, {_QN_GRID}) + 1]
+                       - g.grid[LEAST(CAST(floor(p) AS INT), {_QN_GRID}) + 1]))
+                 * 10000.0 + 0.5) / 10000.0 AS norm_tokens
+    FROM pos, g
+    """,
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    grid = docs.agg(
+        F.percentile(
+            "n_tokens",
+            F.array(*[F.lit(i / _QN_GRID) for i in range(_QN_GRID + 1)]),
+        ).alias("grid")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("source")
+    p = (
+        (F.rank().over(w) - 1).cast("double")
+        / F.greatest(F.count(F.lit(1)).over(wc) - 1, F.lit(1))
+        * _QN_GRID
+    )
+    ranked = docs.select("doc_id", "source", "n_tokens", p.alias("p"))
+    lo = F.least(F.floor("p").cast("int"), F.lit(_QN_GRID))
+    hi = F.least(lo + 1, F.lit(_QN_GRID))
+    glo = F.element_at(F.col("grid"), lo + 1)
+    ghi = F.element_at(F.col("grid"), hi + 1)
+    norm = glo + (F.col("p") - F.floor("p")) * (ghi - glo)
+    return ranked.join(F.broadcast(grid)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.floor(F.col("p") / _QN_GRID * 1000000.0 + 0.5) / 1000000.0).alias(
+            "src_rank"
+        ),
+        (F.floor(norm * 10000.0 + 0.5) / 10000.0).alias("norm_tokens"),
+    )
