@@ -146,6 +146,30 @@ HEADLINE = [
     "quality_classifier_scores",
     # PCA apply: projection + orthogonal residual for every embedding
     "pca_project_embeddings",
+    # --- round 6 additions ---
+    # KMV bottom-k distinct sketch (order-statistics family)
+    "kmv_distinct_users",
+    # TPC-H Q10/Q7 shapes: late dimension attach; pre-shuffle nation prune
+    "q10_returned_items",
+    "q7_volume_shipping",
+    # within-basket association rules (support/confidence/lift)
+    "basket_brand_rules",
+    # closed-form EWMA over a running window sum
+    "ewma_daily_value",
+    # median/MAD robust outlier flags
+    "mad_outlier_docs",
+    # degree-ordered triangle census of the near-dup graph
+    "triangle_count_near_dup",
+    # token-budgeted training-shard write + read-back manifest
+    "training_shard_manifest",
+    # per-source ranks onto the global percentile grid
+    "quantile_normalize_lengths",
+    # two-phase mapInPandas Pareto frontier
+    "pareto_front_docs",
+    # audio energy-fingerprint near-dup (banded collision + popcount)
+    "audio_fingerprint_near_dup",
+    # kNN label-noise report over LSH candidates
+    "knn_label_agreement",
 ]
 
 RUNS = 3

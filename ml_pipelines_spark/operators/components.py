@@ -180,10 +180,20 @@ def triangle_stats(
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).filter(F.col("a") != F.col("b"))
-    # Canonical undirected edge set (lo, hi), deduped.
-    canon = e.select(
-        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-    ).distinct()
+    # Canonical undirected edge set (lo, hi), deduped — MATERIALIZED
+    # once (eager localCheckpoint, blocks GC-reclaimed with the plan):
+    # the edge set feeds the degree pass, the orientation join, and the
+    # closure semi-join; un-checkpointed, Spark replays the whole
+    # upstream pair-generation subtree (for near-dup graphs, the
+    # shingle self-join) for each of those consumers. The edge list is
+    # tiny next to its producer, so the sync materialization is cheap.
+    canon = (
+        e.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sym = canon.select(F.col("lo").alias("n"), F.col("hi").alias("m")).unionByName(
         canon.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
     )

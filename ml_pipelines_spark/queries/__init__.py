@@ -61,85 +61,85 @@ from . import linalg  # noqa: E402,F401
 # tests/test_oracle_parity.py runs ALL registered queries against DuckDB
 # with the same hash compare every pytest run.
 #
-# Round-5 window: (a) the 24 queries that had never been driver-checked
-# entering this round (VERDICT r4 "What's missing" #1 — the late-round-4
-# analytics/statistics families, multimodal checksums, incremental dedup,
-# salted join, schema evolution, stream-dedup replay); (b) re-evidence
-# for code touched this round (approx-distinct rework, snapshot-diff plan
-# work, jaccard finite-cap default + oracle mirror, clustering module
-# cleanup, quality-SQL blank-text guard which rewrites the text/packing
-# twins, tokenizer-seam wiring) plus queries NEW this round; (c) the
-# flagship; (d) the r3-evidenced dedup/similarity/geometry/windows/
-# streaming/multimodal representatives whose last driver row is now two
-# rounds old. The r4-evidenced relational/splits/kmeans families rotate
-# out this round and come back in round 6 under rule 4.
+# Round-6 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: the three late-round-5
+#     registrations plus the rows-only sketch query, then the TWELVE
+#     queries new this round (KMV, TPC-H Q7/Q10 shapes, basket rules,
+#     EWMA, MAD outliers, triangle census, shard manifest, quantile
+#     normalization, Pareto skyline, audio fingerprint near-dup, kNN
+#     label agreement).
+# (b) rule 2 — re-evidence for code touched this round: the three
+#     near-dup-graph oracles + ngram_jaccard_pairs (shared capped-pairs
+#     CTE), logreg_quality_train (cache-release rework),
+#     pca_top_component (CTE-list assembly), curate_corpus_v2
+#     (localCheckpoint boundary).
+# (c) the flagship.
+# (d) rule 4 — oldest evidence first: the ten r1/r2-evidenced scalar/
+#     relational queries (4 rounds stale — oldest in the registry),
+#     then the r5 rule-2 carryover whose current code shape has no
+#     driver row yet (text_quality, pack_bins_ffd, sequence_pack_docs,
+#     curate_corpus, rbb_from_seg — mechanical twin edits in r5;
+#     snapshot_diff_orders — r5 plan rewrite), then r3-evidenced
+#     representatives family-balanced (windows, dedup, similarity,
+#     geometry, tracks). Remaining r3/r4 families return in round 7.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # (a) never driver-checked — round 5 job #1 (24)
-    "annotator_agreement_iou",
-    "approx_median_band",
-    "cohort_retention",
-    "dataset_card",
-    "dup_rate_by_source",
-    "event_transitions",
-    "funnel_conversion",
-    "hashed_doc_vectors",
-    "hourly_anomaly_flags",
-    "image_redact_checksum",
-    "image_resize_checksum",
-    "incremental_dedup_batches",
-    "kmeans_inertia",
-    "lang_source_chisq",
-    "length_bucket_batches",
-    "lineitem_correlations",
-    "ols_value_trend",
-    "salted_join_revenue",
-    "schema_evolution_read",
-    "source_mix_kl",
-    "stream_dedup_replay",
-    "unpivot_event_counts",
-    "video_frame_sample",
-    "winsorized_stats",
-    # (a') NEW registrations this round — first driver row (rule 1)
-    "cvat_image_tags",
-    "sequence_pack_bpe",
-    "token_budget_bpe",
-    "image_phash_near_dup",
-    "ann_pq_topk",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sessionize_events",
-    "top_dup_passages",
-    "unigram_entropy_docs",
-    "portable_hll_users",
-    "count_min_user_freq",
-    "fuzzy_name_pairs",
-    "weighted_sample_docs",
-    "cdc_apply_orders",
-    "band_join_balances",
-    "curate_images",
-    # (a'') registrations from the second half of round 5 — rule 1
-    # (these displaced the lower-priority (b) re-evidence and the (d)
-    # slot: rule 1 strictly outranks rules 2/4)
-    "remove_dup_passages",
-    "logreg_quality_train",
-    "dsir_importance_weights",
-    "pca_top_component",
+    # (a) rule 1: never driver-checked (4 from round 5, 12 new)
+    "pca_project_embeddings",
+    "quality_classifier_scores",
+    "entity_resolution_suppliers",
+    "approx_distinct_users_sketch",
+    "kmv_distinct_users",
+    "q10_returned_items",
+    "q7_volume_shipping",
+    "basket_brand_rules",
+    "ewma_daily_value",
+    "mad_outlier_docs",
+    "triangle_count_near_dup",
+    "training_shard_manifest",
+    "quantile_normalize_lengths",
+    "pareto_front_docs",
+    "audio_fingerprint_near_dup",
+    "knn_label_agreement",
+    # (b) rule 2: implementation or oracle changed this round
+    "near_dup_components",
+    "near_dup_keep_docs",
     "pagerank_near_dup",
-    "stream_enrich_replay",
-    "stream_interval_join_replay",
+    "ngram_jaccard_pairs",
+    "logreg_quality_train",
+    "pca_top_component",
     "curate_corpus_v2",
-    # (b) rule-2 re-evidence: fully displaced by rule-1 registrations
-    # this round. Everything code-touched keeps local parity
-    # (test_oracle_parity runs the identical compare) and returns round
-    # 6 under rule 4: snapshot_diff_orders (plan rewrite; r4 driver row
-    # green on identical output columns), the mechanical blank-guard
-    # twin edits (text_quality/pack_bins_ffd/sequence_pack_docs/
-    # curate_corpus), ngram_jaccard_pairs (its new default cap is a
-    # no-op at the gate's sf0.01), and approx_distinct_users (the
-    # sketch split left the gate query's invariant untouched).
     # (c) flagship
     "q1_pricing_summary",
+    # (d) rule 4: oldest driver evidence first — r1/r2-evidenced (10)
+    "array_restructure",
+    "count_per_group",
+    "distinct_keys",
+    "filename_normalize",
+    "filter_eq",
+    "filter_isin",
+    "json_extract",
+    "regex_extract",
+    "scalar_funcs",
+    "union_all",
+    # (d) r5 rule-2 carryover: code shape newer than last driver row
+    "text_quality",
+    "pack_bins_ffd",
+    "sequence_pack_docs",
+    "curate_corpus",
+    "rbb_from_seg",
+    "snapshot_diff_orders",
+    # (d) r3-evidenced, family-balanced
+    "window_lag",
+    "last_per_key",
+    "forward_fill",
+    "dedup_exact_docs",
+    "minhash_signature",
+    "simhash_near_dup",
+    "knn_bruteforce",
+    "ann_lsh_topk",
+    "seg_bbox",
+    "track_interpolation",
 ]
 
 

