@@ -170,6 +170,14 @@ HEADLINE = [
     "audio_fingerprint_near_dup",
     # kNN label-noise report over LSH candidates
     "knn_label_agreement",
+    # directed shingle-containment pairs (excerpt detection)
+    "containment_pairs_docs",
+    # semi-supervised label propagation over the LSH graph
+    "label_prop_communities",
+    # CUBE: the full power set of grouping combinations in one Expand
+    "cube_pricing",
+    # TPC-H Q8 shape: conditional-sum market share over integer cents
+    "q8_market_share",
 ]
 
 RUNS = 3

@@ -245,3 +245,65 @@ def triangle_stats(
             .alias("clustering_coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src: str = "s",
+    dst: str = "d",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation: seeded nodes keep their label;
+    every other node repeatedly takes the MAJORITY label of its labeled
+    neighbors (ties broken by the smallest label — integer votes, so no
+    float quantization is needed for cross-engine determinism; nodes
+    with no labeled neighbor keep their previous state).
+
+    ``edges`` must contain both directions of each undirected edge
+    (s → d means "s votes into d"); ``seeds`` is (id, label) with NULL
+    label for unseeded nodes. Each round is one join + one grouped count
+    + one per-node argmax window (partitioned by node — never global)
+    — the Pregel-lite shape shared with pagerank; lineage is truncated
+    per round so round N never replays rounds 1..N-1.
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    seeds0 = seeds.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("__seed")
+    )
+    cur = seeds0.select("id", F.col("__seed").alias("lbl"))
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("nl"))
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                cur.filter(F.col("lbl").isNotNull()).select(
+                    F.col("id").alias("s"), F.col("lbl").alias("nl")
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("id"), "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("nl").alias("best"))
+        )
+        cur = (
+            seeds0.join(cur, "id")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("__seed").isNotNull(), F.col("__seed"))
+                .otherwise(F.coalesce(F.col("best"), F.col("lbl")))
+                .alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur

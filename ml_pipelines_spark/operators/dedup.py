@@ -222,6 +222,75 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT pairs — |A∩B| / |A| for the
+    smaller-set side. Jaccard misses excerpt relationships by
+    construction (a 40-word quote inside a 400-word page has Jaccard
+    ~0.1 however perfect the overlap); containment is the dedup signal
+    for quotes, boilerplate inclusions, and truncated re-crawls. Same
+    single-shuffle shingle self-join and stop-shingle cap as
+    jaccard_pairs; only the score and the (small → big) orientation
+    differ. Output: (id_small, id_big, containment) with the smaller
+    shingle set (ties: lower id) as id_small, containment >= threshold.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "id_b",
+        )
+    )
+    a_small = (F.col("size_a") < F.col("size_b")) | (
+        (F.col("size_a") == F.col("size_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        scored.select(
+            F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_small"
+            ),
+            F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_big"
+            ),
+            (
+                F.col("inter") / F.least(F.col("size_a"), F.col("size_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -63,11 +63,11 @@ from . import linalg  # noqa: E402,F401
 #
 # Round-6 window, filled by the standing schedule:
 # (a) rule 1 — never driver-checked: the three late-round-5
-#     registrations plus the rows-only sketch query, then the TWELVE
-#     queries new this round (KMV, TPC-H Q7/Q10 shapes, basket rules,
+#     registrations plus the rows-only sketch query, then the SIXTEEN
+#     queries new this round (KMV, TPC-H Q7/Q8/Q10 shapes, basket rules,
 #     EWMA, MAD outliers, triangle census, shard manifest, quantile
 #     normalization, Pareto skyline, audio fingerprint near-dup, kNN
-#     label agreement).
+#     label agreement, shingle containment, label propagation, CUBE).
 # (b) rule 2 — re-evidence for code touched this round: the three
 #     near-dup-graph oracles + ngram_jaccard_pairs (shared capped-pairs
 #     CTE), logreg_quality_train (cache-release rework),
@@ -84,7 +84,7 @@ from . import linalg  # noqa: E402,F401
 #     geometry, tracks). Remaining r3/r4 families return in round 7.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # (a) rule 1: never driver-checked (4 from round 5, 12 new)
+    # (a) rule 1: never driver-checked (4 from round 5, 16 new)
     "pca_project_embeddings",
     "quality_classifier_scores",
     "entity_resolution_suppliers",
@@ -101,6 +101,10 @@ _CHECK_FIRST = [
     "pareto_front_docs",
     "audio_fingerprint_near_dup",
     "knn_label_agreement",
+    "containment_pairs_docs",
+    "label_prop_communities",
+    "cube_pricing",
+    "q8_market_share",
     # (b) rule 2: implementation or oracle changed this round
     "near_dup_components",
     "near_dup_keep_docs",
@@ -136,10 +140,6 @@ _CHECK_FIRST = [
     "dedup_exact_docs",
     "minhash_signature",
     "simhash_near_dup",
-    "knn_bruteforce",
-    "ann_lsh_topk",
-    "seg_bbox",
-    "track_interpolation",
 ]
 
 

@@ -1029,3 +1029,83 @@ def triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=COMPONENTS_T, shingle_k=3
     )
     return triangle_stats(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Shingle CONTAINMENT pairs — the excerpt/quote detector Jaccard
+# structurally misses (a perfect 40-word excerpt of a 400-word page has
+# Jaccard ~0.1 but containment 1.0). Deterministic excerpts are
+# injected (docs with doc_id % 7 == 0 re-appear under id+2e6 truncated
+# to their first max(5, 2n/5) words) so the directed small→big pair
+# path is demonstrably exercised. Same single-shuffle shingle self-join
+# + stop-shingle cap as jaccard_pairs (operators.dedup.containment_
+# pairs); the oracle rebuilds the excerpt corpus and scores every kept
+# pair by list intersection.
+# ---------------------------------------------------------------------------
+_CONTAIN_T = 0.9
+_EXC_WORDS = (
+    "list_slice(string_split_regex(trim(text), '\\s+'), 1, "
+    "greatest(5, CAST(floor(len(string_split_regex(trim(text), '\\s+'))"
+    " * 2.0 / 5.0) AS BIGINT)))"
+)
+
+
+@query(
+    "containment_pairs_docs",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               array_to_string({_EXC_WORDS}, ' ') AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    """
+    + _SHINGLES_CTE.format(table="corpus")
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM ex GROUP BY shingle),
+    kept AS (
+        SELECT e.doc_id, list(e.shingle) AS s
+        FROM ex e JOIN dfq USING (shingle)
+        WHERE dfq.dfreq <= {DEFAULT_MAX_DOC_FREQ}
+        GROUP BY e.doc_id
+    ),
+    scored AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(a.s) AS sa, len(b.s) AS sb,
+               len(list_intersect(a.s, b.s))
+                   / CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS c
+        FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+    )
+    SELECT CASE WHEN sa < sb OR (sa = sb AND id_a < id_b)
+                THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN sa < sb OR (sa = sb AND id_a < id_b)
+                THEN id_b ELSE id_a END AS id_big,
+           floor(c * 100000.0 + 0.5) / 100000.0 AS containment
+    FROM scored WHERE c >= {_CONTAIN_T}
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    k = F.greatest(
+        F.lit(5), F.floor(F.size(w) * 2.0 / 5.0).cast("int")
+    )
+    excerpts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(w, F.lit(1), k), " ").alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    pairs = containment_pairs(
+        corpus, "doc_id", "text", threshold=_CONTAIN_T, shingle_k=3
+    )
+    return pairs.select(
+        "id_small",
+        "id_big",
+        (F.floor(F.col("containment") * 100000.0 + 0.5) / 100000.0).alias(
+            "containment"
+        ),
+    )

@@ -1320,3 +1320,139 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all 2^n grouping combinations in ONE Expand + aggregate
+# (completing the multi-granularity family: rollup_pricing = prefixes,
+# grouping_sets_pricing = explicit sets, cube_pricing = the power set).
+# Same single-pass Expand shape: n rows fan to 4 grouping combinations
+# map-side, one shuffle total.
+# ---------------------------------------------------------------------------
+@query(
+    "cube_pricing",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n",
+            "total_price",
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 analogue — market share of one supplier nation inside a
+# region's customer market, by order year. The interesting part is the
+# RATIO OF CONDITIONAL SUMS over the same joined stream (numerator =
+# volume where supp_nation matches, denominator = all volume): one
+# pass, no second join tree. Volumes are quantized to integer cents
+# (floor(x*100+0.5)) before summing, so the share is a ratio of exact
+# BIGINTs — summation order cannot move it — and the only float op is
+# the final division.
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    """
+    WITH mkt AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                          + 0.5) AS BIGINT) AS vol_cents,
+               sn.n_name = 'NATION_1' AS is_target
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN region r   ON cn.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN is_target THEN vol_cents ELSE 0 END)
+                AS BIGINT) AS target_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+           floor(CAST(SUM(CASE WHEN is_target THEN vol_cents ELSE 0 END)
+                      AS DOUBLE)
+                 / SUM(vol_cents) * 1000000.0 + 0.5) / 1000000.0
+               AS market_share
+    FROM mkt GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    # Supplier side carries the target flag; customer side carries the
+    # region gate — both broadcast key sets, built before the fact
+    # shuffle (the q7 shape).
+    s2 = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", (F.col("n_name") == "NATION_1").alias("is_target"))
+    c2 = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    vol_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(c2), orders.o_custkey == c2.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            vol_cents.alias("vol_cents"),
+            "is_target",
+        )
+    )
+    target = F.sum(F.when(F.col("is_target"), F.col("vol_cents")).otherwise(0))
+    total = F.sum("vol_cents")
+    return joined.groupBy("order_year").agg(
+        target.cast("long").alias("target_cents"),
+        total.cast("long").alias("total_cents"),
+        (
+            F.floor(
+                target.cast("double") / total * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("market_share"),
+    )

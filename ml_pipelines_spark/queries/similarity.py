@@ -831,3 +831,101 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_suspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the LSH neighbor graph — the
+# "label 25% of the data, spread labels through embedding space"
+# workflow (weak supervision / pseudo-labeling). Seeds: vectors with
+# vec_id % 4 == 0 keep their true label; three majority-vote rounds
+# propagate labels along LSH candidate edges (votes are INTEGER counts,
+# ties to the smallest label — fully deterministic without
+# quantization; no-labeled-neighbor nodes keep their previous state).
+# The oracle replays every round in chained MATERIALIZED CTEs, so all
+# intermediate majorities are value-checked, not just the final state.
+# ---------------------------------------------------------------------------
+_LP_ITERS = 3
+
+
+def _lp_sql() -> str:
+    ctes = [
+        f"banded AS MATERIALIZED ({_TABLE_UNION})",
+        """edges AS MATERIALIZED (
+        SELECT DISTINCT a.id AS s, b.id AS d
+        FROM banded a JOIN banded b
+          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+        WHERE a.id <> b.id
+    )""",
+        """l0 AS MATERIALIZED (
+        SELECT vec_id AS id,
+               CASE WHEN vec_id % 4 = 0 THEN label END AS l
+        FROM embeddings
+    )""",
+    ]
+    for it in range(_LP_ITERS):
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (
+        SELECT e.d AS id, l.l AS nl, COUNT(*) AS c
+        FROM edges e JOIN l{it} l ON e.s = l.id
+        WHERE l.l IS NOT NULL GROUP BY e.d, l.l
+    )"""
+        )
+        ctes.append(
+            f"""b{it} AS MATERIALIZED (
+        SELECT id, nl FROM (
+            SELECT id, nl,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY c DESC, nl) AS rn
+            FROM c{it}
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""l{it + 1} AS MATERIALIZED (
+        SELECT p.id,
+               CASE WHEN p.id % 4 = 0 THEN p.l
+                    ELSE COALESCE(b.nl, p.l) END AS l
+        FROM l{it} p LEFT JOIN b{it} b USING (id)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id AS vec_id, CAST(COALESCE(l, -1) AS INT) AS label_out,
+           (id % 4 = 0) AS is_seed
+    FROM l{_LP_ITERS}
+    """
+    )
+
+
+@query("label_prop_communities", _lp_sql())
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import label_propagation
+    from ..operators.similarity import _table_keys_udf
+
+    emb = t(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(_table_keys_udf(TABLES)(F.col("embedding"))).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    edges = (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("s"), F.col("b.id").alias("d"))
+        .distinct()
+    )
+    seeds = emb.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("label"),
+    )
+    out = label_propagation(edges, seeds, iters=_LP_ITERS)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.coalesce(F.col("lbl"), F.lit(-1)).cast("int").alias("label_out"),
+        (F.col("id") % 4 == 0).alias("is_seed"),
+    )

@@ -155,3 +155,39 @@ def test_sessionize_single_exchange(spark, sf_dir):
 
     plan = _plan(QUERIES["sessionize_events"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q10_heap_topk_and_late_dimension_attach(spark, sf_dir):
+    # Top-20 must be a heap (TakeOrderedAndProject), and the customer /
+    # nation attribute joins must be broadcasts sitting ABOVE the
+    # aggregate — c_name must never ride the fact shuffle.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_nation_prune_before_fact_shuffle(spark, sf_dir):
+    # Both nation-filtered key sets join the fact as broadcasts; no
+    # cartesian from the bilateral OR condition.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_rules_no_cartesian(spark, sf_dir):
+    # The pair join is an equi-join on l_orderkey (within-basket);
+    # support/total joins are broadcasts of dictionary-sized frames.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["basket_brand_rules"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the 1-row n_orders frame rides a broadcast nested loop (it has no
+    # key) — any OTHER nested loop would be a bug, so pin the count.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

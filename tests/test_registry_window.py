@@ -40,6 +40,10 @@ def test_window_covers_round6_priorities():
         "pareto_front_docs",
         "audio_fingerprint_near_dup",
         "knn_label_agreement",
+        "containment_pairs_docs",
+        "label_prop_communities",
+        "cube_pricing",
+        "q8_market_share",
     ]
     touched_this_round = [
         "near_dup_components",
