@@ -178,6 +178,10 @@ HEADLINE = [
     "cube_pricing",
     # TPC-H Q8 shape: conditional-sum market share over integer cents
     "q8_market_share",
+    # native merging session-window state under 2-batch replay
+    "stream_session_replay",
+    # grid-bucketed nearest-site spatial join (9-cell broadcast)
+    "geo_nearest_city",
 ]
 
 RUNS = 3

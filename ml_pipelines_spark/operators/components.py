@@ -43,9 +43,15 @@ def connected_components(
     default 25 that would mean a component with diameter > 25 — for
     near-dup clustering, a sign the threshold is far too loose).
     """
-    sym = edges.select(
+    # Materialize the base pair list BEFORE symmetrizing: each union
+    # branch otherwise re-evaluates the whole upstream pair-generation
+    # subtree (for near-dup graphs, the shingle self-join) once.
+    base = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    ).unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    ).localCheckpoint(eager=True)
+    sym = base.unionByName(
+        base.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
     sym = sym.distinct().localCheckpoint(eager=True)
 
     labels = (
@@ -118,13 +124,14 @@ def pagerank(
     ranks are independent of partitioning and bit-reproducible by the
     SQL oracle. Returns (node, rank); ranks sum to ~1.
     """
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-        )
-        .distinct()
-    )
+    # Same base-materialization as connected_components: don't pay the
+    # pair-generation subtree once per union branch.
+    base = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    sym = base.unionByName(
+        base.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     ed = sym.join(deg, "s").localCheckpoint(eager=True)
 

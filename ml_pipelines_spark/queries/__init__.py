@@ -39,6 +39,7 @@ from . import evolution  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import classifier  # noqa: E402,F401
 from . import linalg  # noqa: E402,F401
+from . import geo  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -67,7 +68,8 @@ from . import linalg  # noqa: E402,F401
 #     queries new this round (KMV, TPC-H Q7/Q8/Q10 shapes, basket rules,
 #     EWMA, MAD outliers, triangle census, shard manifest, quantile
 #     normalization, Pareto skyline, audio fingerprint near-dup, kNN
-#     label agreement, shingle containment, label propagation, CUBE).
+#     label agreement, shingle containment, label propagation, CUBE,
+#     native session-window stream replay, grid-bucketed spatial join).
 # (b) rule 2 — re-evidence for code touched this round: the three
 #     near-dup-graph oracles + ngram_jaccard_pairs (shared capped-pairs
 #     CTE), logreg_quality_train (cache-release rework),
@@ -84,7 +86,7 @@ from . import linalg  # noqa: E402,F401
 #     geometry, tracks). Remaining r3/r4 families return in round 7.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # (a) rule 1: never driver-checked (4 from round 5, 16 new)
+    # (a) rule 1: never driver-checked (4 from round 5, 18 new)
     "pca_project_embeddings",
     "quality_classifier_scores",
     "entity_resolution_suppliers",
@@ -105,6 +107,8 @@ _CHECK_FIRST = [
     "label_prop_communities",
     "cube_pricing",
     "q8_market_share",
+    "stream_session_replay",
+    "geo_nearest_city",
     # (b) rule 2: implementation or oracle changed this round
     "near_dup_components",
     "near_dup_keep_docs",
@@ -138,8 +142,6 @@ _CHECK_FIRST = [
     "last_per_key",
     "forward_fill",
     "dedup_exact_docs",
-    "minhash_signature",
-    "simhash_near_dup",
 ]
 
 

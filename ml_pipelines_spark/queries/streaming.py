@@ -436,3 +436,106 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# REAL session-window stream in the gate: events replayed as two
+# time-split micro-batches through a watermarked session_window
+# aggregation (Spark's native merging session state, not the batch
+# lag/cumsum rewrite). Session windows reject update mode
+# (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), so the sink runs
+# COMPLETE: after the last trigger the memory table IS the final
+# session state, arrival-order-independent by construction. The
+# watermark out-lasts the fixture span so nothing drops, and the
+# oracle is the batch gap-sessionization: dropped state, a session
+# split across batches, or a bad merge all change (start, end, n)
+# triples.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_session_replay",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 6 HOUR
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import read_stream
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    d = tempfile.mkdtemp(prefix="mlps_ssr_")
+    name = f"ssr_{uuid.uuid4().hex}"
+    try:
+        # Two micro-batches split on event time (first half, second
+        # half) — sessions spanning the split exercise cross-batch
+        # state merging.
+        split = "2024-01-16 00:00:00"
+        ev.filter(F.col("ts") < split).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        ev.filter(F.col("ts") >= split).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+        sess = (
+            stream.withWatermark("ts", "40 days")
+            .groupBy("user_id", F.session_window("ts", "6 hours"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.table(name).select(
+            "user_id",
+            F.date_format("session_window.start", _TS_FMT_US).alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", _TS_FMT_US).alias(
+                "session_end"
+            ),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass

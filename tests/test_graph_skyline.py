@@ -118,3 +118,50 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     max_tok = max(t for _, t in rows)
     for r in manifest:
         assert r["shard_tokens"] < 100 + max_tok
+
+
+def test_grid_nearest_matches_bruteforce(spark):
+    import random
+
+    from ml_pipelines_spark.operators.geo import (
+        LON_SCALE,
+        grid_nearest,
+    )
+
+    rng = random.Random(5)
+    pts = [
+        (i, rng.uniform(-55, 55), rng.uniform(-170, 170)) for i in range(200)
+    ]
+    sites = [
+        (j, rng.uniform(-55, 55), rng.uniform(-170, 170)) for j in range(15)
+    ]
+    pdf = spark.createDataFrame(pts, ["point_id", "lat", "lon"]).repartition(4)
+    sdf = spark.createDataFrame(sites, ["site_id", "lat", "lon"])
+    got = {
+        r["point_id"]: (r["site_id"], r["d2"])
+        for r in grid_nearest(pdf, sdf, max_dist_deg=5.0).collect()
+    }
+
+    def d2(p, s):
+        return (p[1] - s[1]) ** 2 + ((p[2] - s[2]) * LON_SCALE) ** 2
+
+    for p in pts:
+        best = sorted(
+            ((d2(p, s), s[0]) for s in sites if d2(p, s) <= 25.0)
+        )
+        if not best:
+            assert p[0] not in got
+        else:
+            assert p[0] in got, p
+            assert got[p[0]][0] == best[0][1]
+            assert abs(got[p[0]][1] - best[0][0]) < 1e-9
+
+
+def test_grid_nearest_rejects_oversized_radius(spark):
+    import pytest as _pytest
+
+    from ml_pipelines_spark.operators.geo import grid_nearest
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], ["point_id", "lat", "lon"])
+    with _pytest.raises(ValueError):
+        grid_nearest(df, df.withColumnRenamed("point_id", "site_id"), 7.5)

@@ -44,6 +44,8 @@ def test_window_covers_round6_priorities():
         "label_prop_communities",
         "cube_pricing",
         "q8_market_share",
+        "stream_session_replay",
+        "geo_nearest_city",
     ]
     touched_this_round = [
         "near_dup_components",
