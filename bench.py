@@ -182,13 +182,93 @@ HEADLINE = [
     "stream_session_replay",
     # grid-bucketed nearest-site spatial join (9-cell broadcast)
     "geo_nearest_city",
+    # RFM quintile segmentation (integer-cents monetary order)
+    "rfm_segments",
+    # gaps-and-islands consecutive-day streaks
+    "activity_streaks",
+    # score-decile calibration table for the quality classifier
+    "classifier_calibration",
+    # Neyman-allocation stratified sample (variance-weighted budget)
+    "neyman_allocation_sample",
+    # TPC-H decision-support completion (Q9/Q13/Q16/Q17/Q18/Q19/Q21/Q22)
+    "q9_profit_nation_year",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_late_sole_supplier",
+    "q22_idle_balance",
+    # RANGE-frame (interval) rolling window over sparse daily series
+    "range_frame_weekly",
+    # Zipf-slope corpus fit per source (quantized-moment OLS)
+    "zipf_slope_by_source",
 ]
 
 RUNS = 3
 
+# The driver records only the tail of bench stdout (~2000 chars) and
+# parses the JSON line from it; round 5's 96-query line exceeded that
+# and was recorded UNPARSED (BENCH_r05.json: parsed=null, tail cut
+# mid-line). The stdout line therefore carries a bounded per-query
+# subset — the round-1 baseline-comparable 42 first (the set BASELINE.md
+# ratios are computed against), then the most expensive remaining
+# queries until the serialized line reaches _LINE_BUDGET. The COMPLETE
+# per-query map for every headline query (and the same total) is
+# written to BENCH_FULL.json at the repo root.
+_LINE_BUDGET = 1800
+
+# Round-1 recorded set from BASELINE.md "Round 1 measured numbers" —
+# the stable cross-round comparison basis.
+_BASELINE_R1 = [
+    "q1_pricing_summary", "star_join_revenue", "semi_join",
+    "group_collect_sorted", "monthly_rollup", "json_extract",
+    "topk_per_group", "window_lag", "dedup_exact_docs",
+    "minhash_near_dup", "simhash_docs", "embedding_near_dup",
+    "knn_bruteforce", "text_quality", "tfidf_top_terms",
+    "curate_corpus", "tumbling_window", "session_window", "seg_bbox",
+    "rbb_from_seg", "coco_records", "yolo_export_lines",
+    "image_meta_decode", "track_interpolation",
+    "hash_split_materialize", "pivot_event_counts", "asof_join_events",
+    "range_join_events", "rollup_pricing", "bloom_semi_join_revenue",
+    "sequence_pack_docs", "ann_quantized_topk", "gopher_quality_flags",
+    "decontaminate_train", "mixture_temperature_sample",
+    "epoch_repeat_docs", "token_budget_per_source",
+    "training_order_docs", "validate_lineitem", "snapshot_diff_orders",
+    "profile_orders", "lm_perplexity_docs",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _stdout_subset(timings: dict[str, float], sf: float) -> dict[str, float]:
+    """Largest prefix of (baseline-42, then priciest rest) whose JSON
+    line fits the driver's stdout tail budget."""
+    order = [n for n in _BASELINE_R1 if n in timings]
+    rest = sorted(
+        (n for n in timings if n not in set(order)),
+        key=lambda n: -timings[n],
+    )
+    order += rest
+    subset: dict[str, float] = {}
+    for name in order:
+        trial = dict(subset)
+        trial[name] = timings[name]
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": trial,
+                "sf": sf,
+            }
+        )
+        if len(line) > _LINE_BUDGET:
+            break
+        subset = trial
+    return subset
 
 
 def main() -> None:
@@ -216,13 +296,26 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": _stdout_subset(timings, sf),
                 "sf": sf,
             }
         )

@@ -40,6 +40,7 @@ from . import sketches  # noqa: E402,F401
 from . import classifier  # noqa: E402,F401
 from . import linalg  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -69,7 +70,18 @@ from . import geo  # noqa: E402,F401
 #     EWMA, MAD outliers, triangle census, shard manifest, quantile
 #     normalization, Pareto skyline, audio fingerprint near-dup, kNN
 #     label agreement, shingle containment, label propagation, CUBE,
-#     native session-window stream replay, grid-bucketed spatial join).
+#     native session-window stream replay, grid-bucketed spatial join,
+#     RFM segmentation, gaps-and-islands activity streaks, classifier
+#     calibration, Neyman-allocation stratified sampling, the TPC-H
+#     Q9/Q13/Q16/Q17/Q18/Q19/Q21/Q22 completion, the RANGE-frame
+#     rolling window, and the Zipf-slope corpus fit). Rule 1 fills 36 of
+#     50 slots this round, so rule 4 carries only six of the oldest
+#     r1/r2 scalar queries; the r5 code-shape carryover and the
+#     r3-evidenced families return in round 7 with top priority
+#     (carryover first: text_quality, pack_bins_ffd, sequence_pack_docs,
+#     curate_corpus, rbb_from_seg, snapshot_diff_orders, then
+#     json_extract / regex_extract / scalar_funcs / union_all, then the
+#     r3 streaming/multimodal/mixture/packing families).
 # (b) rule 2 — re-evidence for code touched this round: the three
 #     near-dup-graph oracles + ngram_jaccard_pairs (shared capped-pairs
 #     CTE), logreg_quality_train (cache-release rework),
@@ -86,7 +98,7 @@ from . import geo  # noqa: E402,F401
 #     geometry, tracks). Remaining r3/r4 families return in round 7.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # (a) rule 1: never driver-checked (4 from round 5, 18 new)
+    # (a) rule 1: never driver-checked (4 from round 5, 22 new)
     "pca_project_embeddings",
     "quality_classifier_scores",
     "entity_resolution_suppliers",
@@ -109,6 +121,20 @@ _CHECK_FIRST = [
     "q8_market_share",
     "stream_session_replay",
     "geo_nearest_city",
+    "rfm_segments",
+    "activity_streaks",
+    "classifier_calibration",
+    "neyman_allocation_sample",
+    "q9_profit_nation_year",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_late_sole_supplier",
+    "q22_idle_balance",
+    "range_frame_weekly",
+    "zipf_slope_by_source",
     # (b) rule 2: implementation or oracle changed this round
     "near_dup_components",
     "near_dup_keep_docs",
@@ -119,29 +145,14 @@ _CHECK_FIRST = [
     "curate_corpus_v2",
     # (c) flagship
     "q1_pricing_summary",
-    # (d) rule 4: oldest driver evidence first — r1/r2-evidenced (10)
+    # (d) rule 4: oldest driver evidence first — r1/r2-evidenced (6;
+    # the other four and the r5 carryover lead round 7's rule 4)
     "array_restructure",
     "count_per_group",
     "distinct_keys",
     "filename_normalize",
     "filter_eq",
     "filter_isin",
-    "json_extract",
-    "regex_extract",
-    "scalar_funcs",
-    "union_all",
-    # (d) r5 rule-2 carryover: code shape newer than last driver row
-    "text_quality",
-    "pack_bins_ffd",
-    "sequence_pack_docs",
-    "curate_corpus",
-    "rbb_from_seg",
-    "snapshot_diff_orders",
-    # (d) r3-evidenced, family-balanced
-    "window_lag",
-    "last_per_key",
-    "forward_fill",
-    "dedup_exact_docs",
 ]
 
 

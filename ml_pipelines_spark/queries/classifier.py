@@ -198,3 +198,94 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sigmoid(m), 6).alias("score"),
         (m >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration table for the quality classifier — the model-EVALUATION
+# companion of the train/apply pair: decile bins of the (6dp-rounded)
+# score vs the observed positive rate, plus exact confusion counts at
+# the 0.5 threshold per bin. Binning and micro-sums both use the
+# ROUNDED score: rounding to the same 6dp decimal yields the same
+# float64 on both engines, so bin membership can't flip on a last-ulp
+# exp() difference, and the per-bin mean is a ratio of exact BIGINTs.
+# The oracle re-trains the 8 steps (shared _logreg_ctes) and re-derives
+# every bin.
+# ---------------------------------------------------------------------------
+def _calibration_sql() -> str:
+    ctes = _logreg_ctes(_SCORE_ITERS, _SCORE_LR)
+    ctes.append(
+        f"""sc AS (
+        SELECT f.y,
+               round(1.0/(1.0 + exp(-({_margin_sql('w')}))), 6) AS s
+        FROM f, w{_SCORE_ITERS} w
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT LEAST(CAST(floor(s * 10.0) AS INT), 9) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_micro,
+           floor(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS pos_rate,
+           floor(CAST(SUM(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0 AS mean_score
+    FROM sc GROUP BY bin
+    """
+    )
+
+
+@query("classifier_calibration", _calibration_sql())
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import _margin, sigmoid
+
+    from .registry import swap_cache
+
+    # Shares the cached feature frame with quality_classifier_scores
+    # (same key + token): in a suite run the features materialize once.
+    feats = swap_cache(
+        "quality_classifier_scores.feats",
+        sf_dir,
+        quality_features(t(spark, sf_dir, "documents")),
+    )
+    cols = [f"x{j}" for j in range(_NF)]
+    weights, _ = train_logreg(
+        feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
+    )
+    s = F.round(sigmoid(_margin(weights, [F.col(c) for c in cols])), 6)
+    sc = feats.select("y", s.alias("s"))
+    micro = F.floor(F.col("s") * 1000000.0 + 0.5).cast("long")
+    return (
+        sc.groupBy(
+            F.least(F.floor(F.col("s") * 10.0).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(micro).cast("long").alias("score_micro"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "score_micro",
+            (
+                F.floor(
+                    F.col("n_pos").cast("double") / F.col("n") * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("pos_rate"),
+            (
+                F.floor(F.col("score_micro").cast("double") / F.col("n") + 0.5)
+                / 1000000.0
+            ).alias("mean_score"),
+        )
+    )

@@ -255,3 +255,101 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return weighted_sample_topk(docs, "doc_id", "n_chars", k=_WS_K)
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) allocation stratified sample — survey-statistics
+# sampling: each stratum's share of the fixed budget is proportional to
+# N_h·S_h (size × within-stratum std-dev of the target metric), so
+# high-variance strata are oversampled relative to proportional
+# allocation. Every number is engine-portable: the variance comes from
+# exact integer sums (Σx, Σx²), sqrt is IEEE-correctly-rounded (the one
+# libm function that IS bit-deterministic), the per-stratum weights are
+# quantized to a 1e-6 grid BEFORE the cross-strata total (so the
+# allocation never depends on float summation order), and selection is
+# the md5-rank prefix within each stratum.
+# ---------------------------------------------------------------------------
+_NEY_BUDGET = 40
+
+
+@query(
+    "neyman_allocation_sample",
+    f"""
+    WITH stats AS (
+        SELECT source, COUNT(*) AS nh,
+               SUM(n_chars) AS sx,
+               SUM(n_chars * n_chars) AS sxx
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, nh,
+               CAST(floor(nh * CASE WHEN nh < 2 THEN 0.0
+                    ELSE sqrt((sxx - CAST(sx AS DOUBLE) * sx / nh)
+                              / (nh - 1)) END * 1000000.0 + 0.5) AS BIGINT)
+                   AS w_micro
+        FROM stats
+    ),
+    tot AS (SELECT SUM(w_micro) AS wt FROM w),
+    alloc AS (
+        SELECT w.source,
+               LEAST(CAST(floor({_NEY_BUDGET} * CAST(w.w_micro AS DOUBLE)
+                                / tot.wt + 0.5) AS BIGINT), w.nh) AS n_take
+        FROM w, tot
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5('ney' || CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, a.n_take
+    FROM ranked r JOIN alloc a ON r.source = a.source
+    WHERE r.rn <= a.n_take
+    """,
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    s_h = F.when(F.col("nh") < 2, F.lit(0.0)).otherwise(
+        F.sqrt(
+            (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("nh"))
+            / (F.col("nh") - 1)
+        )
+    )
+    w = stats.select(
+        "source",
+        "nh",
+        F.floor(F.col("nh") * s_h * 1000000.0 + 0.5).cast("long").alias(
+            "w_micro"
+        ),
+    )
+    tot = w.agg(F.sum("w_micro").alias("wt"))
+    alloc = w.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.floor(
+                _NEY_BUDGET * F.col("w_micro").cast("double") / F.col("wt")
+                + 0.5
+            ).cast("long"),
+            F.col("nh").cast("long"),
+        ).alias("n_take"),
+    )
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("ney"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(rw).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rn") <= F.col("n_take"))
+        .select("doc_id", "source", "n_take")
+    )

@@ -896,3 +896,86 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(norm * 10000.0 + 0.5) / 10000.0).alias("norm_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per source — corpus-statistics fit: OLS slope of ln(freq)
+# on ln(rank) over each source's top-100 terms (natural text ≈ −1;
+# boilerplate-heavy or synthetic sources drift off it, which makes this
+# a data-quality signal next to gopher_quality_flags). Determinism: the
+# rank order ties break on token; ln() is evaluated per VALUE and
+# quantized to integer micro-units BEFORE any sum, so the OLS moments
+# are exact integers (the 1e-6 factors cancel in the slope ratio) and
+# no cross-engine float-summation-order risk exists. The per-source
+# window partitions on source — never a global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "zipf_slope_by_source",
+    """
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, token, COUNT(*) AS freq FROM tok GROUP BY source, token
+    ),
+    ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, token) AS rank
+        FROM tf
+        QUALIFY rank <= 100
+    ),
+    q AS (
+        SELECT source,
+               CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS y
+        FROM ranked
+    )
+    SELECT source, COUNT(*) AS n_terms,
+           round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+                 / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE),
+                 6) AS zipf_slope
+    FROM q GROUP BY source
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(T.tokens(F.trim(F.lower(F.col("text"))))).alias("token"),
+    )
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("token")
+    )
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+    )
+    q = ranked.select(
+        "source",
+        F.floor(F.log(F.col("rank").cast("double")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1))
+    num = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast(
+        "double"
+    )
+    den = (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast(
+        "double"
+    )
+    return q.groupBy("source").agg(
+        n.alias("n_terms"), F.round(num / den, 6).alias("zipf_slope")
+    )

@@ -723,3 +723,195 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("x") * 10000.0 + 0.5) / 10000.0).alias("daily_avg"),
         (F.floor(ewma * 10000.0 + 0.5) / 10000.0).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-scoring reshape: per user,
+# Recency (days since last purchase vs the corpus anchor), Frequency
+# (purchase count), Monetary (revenue in integer CENTS — quantized
+# per-row before summing so the quintile order is exact cross-engine),
+# each scored into quintiles with NTILE(5) over a fully deterministic
+# (metric, user_id) order, then a rule segment label. One aggregation +
+# three dictionary-sized window passes over the per-user frame (bounded
+# by |users|, not |events|).
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_segments",
+    """
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts), (SELECT mx FROM anchor)) AS rec_days,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, rec_days, freq, cents,
+               NTILE(5) OVER (ORDER BY rec_days DESC, user_id) AS r_score,
+               NTILE(5) OVER (ORDER BY freq, user_id) AS f_score,
+               NTILE(5) OVER (ORDER BY cents, user_id) AS m_score
+        FROM per_user
+    )
+    SELECT user_id, CAST(rec_days AS BIGINT) AS rec_days, freq, cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("mx"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    # NTILE over |users| rows: the frame is already one row per user —
+    # dictionary-sized relative to the event stream. At true 100 TB user
+    # counts, swap for the rank-arithmetic form over a two-phase sort.
+    r = Window.orderBy(F.col("rec_days").desc(), "user_id")
+    f = Window.orderBy("freq", "user_id")
+    m = Window.orderBy("cents", "user_id")
+    scored = per_user.select(
+        "*",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id", "rec_days", "freq", "cents",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands — per-user streaks of consecutive ACTIVE DAYS (the
+# canonical islands construction: island key = day − dense rank, pure
+# integer date arithmetic, exact on both engines). Output is the streak
+# summary a retention dashboard wants: islands, longest/current streak
+# material, total active days. One distinct + one per-user window + one
+# two-level aggregate, all shuffling on user_id.
+# ---------------------------------------------------------------------------
+@query(
+    "activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, day,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, date_diff('day', DATE '1970-01-01', day) - rn AS grp,
+               COUNT(*) AS streak
+        FROM ranked
+        GROUP BY user_id, date_diff('day', DATE '1970-01-01', day) - rn
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    ranked = days.select(
+        "user_id", "day", F.row_number().over(w).alias("rn")
+    )
+    islands = ranked.groupBy(
+        "user_id",
+        (F.unix_date("day") - F.col("rn")).alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("streak"))
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak").cast("long").alias("longest_streak"),
+        F.sum("streak").cast("long").alias("active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame rolling window — trailing 7-DAY spend per user over a
+# SPARSE daily series. The frame is RANGE BETWEEN 6 PRECEDING AND
+# CURRENT ROW over an integer epoch-day ordering key: unlike the ROWS
+# frame rolling_avg_value uses, missing days genuinely shrink the
+# window (a ROWS 7 frame would silently reach back weeks for an
+# inactive user — the classic rolling-metric bug). Values quantize to
+# cents per row before the daily sum, so every windowed sum is an exact
+# BIGINT. Daily pre-aggregation bounds the window input to
+# |user × active-day|, and the window reuses the groupBy's user_id
+# exchange (one shuffle total).
+# ---------------------------------------------------------------------------
+@query(
+    "range_frame_weekly",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+        FROM events
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(cents) OVER (
+               PARTITION BY user_id
+               ORDER BY date_diff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0 AS spend_7d
+    FROM daily
+    """,
+)
+def range_frame_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.sum("cents").over(w).cast("long") / 100.0).alias("spend_7d"),
+    )

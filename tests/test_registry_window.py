@@ -46,6 +46,20 @@ def test_window_covers_round6_priorities():
         "q8_market_share",
         "stream_session_replay",
         "geo_nearest_city",
+        "rfm_segments",
+        "activity_streaks",
+        "classifier_calibration",
+        "neyman_allocation_sample",
+        "q9_profit_nation_year",
+        "q13_order_count_distribution",
+        "q16_supplier_variety",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q21_late_sole_supplier",
+        "q22_idle_balance",
+        "range_frame_weekly",
+        "zipf_slope_by_source",
     ]
     touched_this_round = [
         "near_dup_components",
@@ -56,6 +70,8 @@ def test_window_covers_round6_priorities():
         "pca_top_component",
         "curate_corpus_v2",
     ]
+    # Rule 1 fills 36 slots this round, so rule 4 carries only six of
+    # the ten stale r1/r2 queries; the rest lead round 7's rule 4.
     oldest_evidence = [
         "array_restructure",
         "count_per_group",
@@ -63,10 +79,6 @@ def test_window_covers_round6_priorities():
         "filename_normalize",
         "filter_eq",
         "filter_isin",
-        "json_extract",
-        "regex_extract",
-        "scalar_funcs",
-        "union_all",
     ]
     must_be_checked = (
         never_checked_entering_r6
