@@ -489,6 +489,13 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
     d = tempfile.mkdtemp(prefix="mlps_ssr_")
     name = f"ssr_{uuid.uuid4().hex}"
+    # Merging-session state-store work is commits x partitions x
+    # triggers; at replay volume that fixed cost dominates, so pin the
+    # stateful shuffle to 4 partitions for this query (same knob as
+    # stream_interval_join_replay — RAISE it for a real high-volume
+    # stream).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # Two micro-batches split on event time (first half, second
         # half) — sessions spanning the split exercise cross-batch
@@ -534,6 +541,7 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(d, ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
