@@ -123,23 +123,34 @@ def quality_features(df: DataFrame) -> DataFrame:
     )
 
 
+def _shared_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One cached (y, x0..x3) frame for the classifier family (train /
+    scores / calibration): 30+8+8 GD passes and three scoring passes all
+    re-scan it — the standard cache-the-training-set GD shape (MLlib
+    GradientDescent requires the same). 5 doubles/row, so the cached
+    footprint is a tiny fraction of the raw text it replaces; swap_cache
+    bounds the session to one live copy (ADVICE r5 leak fix). The
+    coalesce(8) sizes the per-ITERATION job to the tiny feature frame —
+    each GD pass is a full Spark job whose task overhead at 32
+    partitions exceeds the compute; at 100 TB features are millions of
+    rows per partition and the coalesce is dropped, not retuned (an
+    iteration's cost is then the scan, as the module docstring says).
+    """
+    from .registry import swap_cache
+
+    return swap_cache(
+        "quality_classifier_scores.feats",
+        sf_dir,
+        quality_features(t(spark, sf_dir, "documents")).coalesce(8),
+    )
+
+
 @query("logreg_quality_train", _logreg_sql())
 def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the (y, x0..x3) frame: 30 GD passes + the accuracy pass
-    # re-scan it — the standard cache-the-training-set GD shape (MLlib
-    # GradientDescent requires the same). 5 doubles/row, so the cached
-    # footprint is a tiny fraction of the raw text it replaces.
-    feats = quality_features(t(spark, sf_dir, "documents")).persist()
+    feats = _shared_feats(spark, sf_dir)
     cols = [f"x{j}" for j in range(_NF)]
-    try:
-        weights, n = train_logreg(feats, cols, "y", iters=_ITERS, lr=_LR)
-        acc = score_accuracy(feats, cols, "y", weights)
-    finally:
-        # weights/accuracy are driver-side literals by now; the returned
-        # plan is built from them alone, so the cache is done — release
-        # it instead of leaking blocks into the shared session (ADVICE
-        # r5: across a 96-query bench these evict other queries' caches).
-        feats.unpersist()
+    weights, n = train_logreg(feats, cols, "y", iters=_ITERS, lr=_LR)
+    acc = score_accuracy(feats, cols, "y", weights)
     rows = [(term, w) for term, w in zip(_TERMS, weights)]
     rows += [("accuracy", acc), ("n_docs", float(n))]
     out = spark.createDataFrame(rows, ["term", "value"])
@@ -176,18 +187,11 @@ def _scores_sql() -> str:
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.classifier import _margin, sigmoid
 
-    from .registry import swap_cache
-
     # The returned scoring plan reads the same cached features the 8 GD
-    # passes trained on; swap_cache releases the previous invocation's
-    # entry so the session holds one live copy (ADVICE r5 leak fix —
+    # passes trained on (shared across the whole classifier family —
     # re-deriving features from raw text for the scoring pass was tried
     # and cost ~50% of the query's wall time).
-    feats = swap_cache(
-        "quality_classifier_scores.feats",
-        sf_dir,
-        quality_features(t(spark, sf_dir, "documents")),
-    )
+    feats = _shared_feats(spark, sf_dir)
     cols = [f"x{j}" for j in range(_NF)]
     weights, _ = train_logreg(
         feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
@@ -242,15 +246,9 @@ def _calibration_sql() -> str:
 def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.classifier import _margin, sigmoid
 
-    from .registry import swap_cache
-
-    # Shares the cached feature frame with quality_classifier_scores
-    # (same key + token): in a suite run the features materialize once.
-    feats = swap_cache(
-        "quality_classifier_scores.feats",
-        sf_dir,
-        quality_features(t(spark, sf_dir, "documents")),
-    )
+    # Shares the cached feature frame with the whole classifier family:
+    # in a suite run the features materialize once.
+    feats = _shared_feats(spark, sf_dir)
     cols = [f"x{j}" for j in range(_NF)]
     weights, _ = train_logreg(
         feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
