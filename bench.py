@@ -203,6 +203,10 @@ HEADLINE = [
     "range_frame_weekly",
     # Zipf-slope corpus fit per source (quantized-moment OLS)
     "zipf_slope_by_source",
+    # keep the BEST doc per near-dup component (shared edge cache)
+    "near_dup_keep_best",
+    # chunk-level language disagreement flags
+    "mixed_lang_docs",
 ]
 
 RUNS = 3

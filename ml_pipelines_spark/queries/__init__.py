@@ -81,7 +81,9 @@ from . import tpch  # noqa: E402,F401
 #     (carryover first: text_quality, pack_bins_ffd, sequence_pack_docs,
 #     curate_corpus, rbb_from_seg, snapshot_diff_orders, then
 #     json_extract / regex_extract / scalar_funcs / union_all, then the
-#     r3 streaming/multimodal/mixture/packing families).
+#     r3 streaming/multimodal/mixture/packing families). The two
+#     queries registered after the window was sealed this round
+#     (near_dup_keep_best, mixed_lang_docs) are also round-7 rule 1.
 # (b) rule 2 — re-evidence for code touched this round: the three
 #     near-dup-graph oracles + ngram_jaccard_pairs (shared capped-pairs
 #     CTE), logreg_quality_train (cache-release rework),

@@ -543,6 +543,74 @@ def near_dup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Canonical-document selection — keep the BEST doc per near-dup
+# component, not the smallest id: real curation keeps the longest /
+# highest-quality copy of a near-duplicate cluster (the short copy is
+# usually the truncated scrape). Quality key = (n_chars DESC, doc_id)
+# — an exact integer order, so the winner can never flip cross-engine.
+# Shares the cached near-dup edge list; singletons (docs in no pair)
+# are their own component and keep themselves. One per-component
+# window over ≤|docs| rows partitioned by component — never global.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_keep_best",
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + """,
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n),
+    lab AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component, n_chars
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab
+    )
+    WHERE rn = 1
+    """,
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.components import connected_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _near_dup_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    lab = docs.join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source duplication report — the curation dashboard number that
 # decides which sources get dedup attention: exact-fingerprint distinct
 # counts per source plus the share of docs whose fingerprint also

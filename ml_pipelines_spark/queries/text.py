@@ -979,3 +979,91 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("source").agg(
         n.alias("n_terms"), F.round(num / den, 6).alias("zipf_slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-language document detection — a document whose 40-token chunks
+# disagree on predicted language is usually a template page, a
+# boilerplate sandwich, or a bad concatenation; monolingual training
+# corpora want these flagged, and a whole-document lang-ID (lang_id
+# query) structurally can't see them. Chunks are array SLICES of one
+# tokenize (no re-scan per chunk); per-chunk prediction replays the
+# same marker-argmax CASE as lang_id, so the two queries share
+# semantics. Counts and distinct-counts are exact integers. The explode
+# fans out ~n_tokens/40 rows per doc ahead of one doc_id aggregation —
+# the shuffle carries chunk predictions (strings), never chunk text.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 40
+
+
+def _chunk_hits_sql(lang: str) -> str:
+    markers = "', '".join(T.LANG_MARKERS[lang])
+    return f"len(list_filter(c, x -> list_contains(['{markers}'], x)))"
+
+
+_CHITS = {lang: _chunk_hits_sql(lang) for lang in _LANGS}
+_CBEST = "greatest(" + ", ".join(_CHITS.values()) + ")"
+_CCASE = "CASE WHEN " + _CBEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {_CHITS[lang]} = {_CBEST} THEN '{lang}'" for lang in _LANGS
+) + " END"
+
+
+@query(
+    "mixed_lang_docs",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               w[(i * {_CHUNK_W} + 1):(i * {_CHUNK_W} + {_CHUNK_W})] AS c
+        FROM w, unnest(generate_series(
+                 0, CAST(ceil(len(w) / {_CHUNK_W}.0) AS INT) - 1)) AS t(i)
+    ),
+    pred AS (SELECT doc_id, {_CCASE} AS chunk_lang FROM ch)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_lang) AS n_langs,
+           COUNT(DISTINCT chunk_lang) > 1 AS mixed
+    FROM pred GROUP BY doc_id
+    """,
+)
+def mixed_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("w")
+    )
+    chunks = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("w") / F.lit(float(_CHUNK_W))).cast("int") - 1,
+            )
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.slice("w", F.col("i") * _CHUNK_W + 1, _CHUNK_W).alias("c"),
+    )
+    def _hits(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in T.LANG_MARKERS[lang]])
+        return F.size(
+            F.filter(F.col("c"), lambda x: F.array_contains(arr, x))
+        )
+
+    hit_cols = {lang: _hits(lang) for lang in _LANGS}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in _LANGS:
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return (
+        chunks.select("doc_id", pred.alias("chunk_lang"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_lang").alias("n_langs"),
+            (F.countDistinct("chunk_lang") > 1).alias("mixed"),
+        )
+    )

@@ -191,3 +191,103 @@ def test_basket_rules_no_cartesian(spark, sf_dir):
     # the 1-row n_orders frame rides a broadcast nested loop (it has no
     # key) — any OTHER nested loop would be a bug, so pin the count.
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q9_star_all_dims_broadcast(spark, sf_dir):
+    # Part, supplier⋈nation, and (at test scale) orders all join the
+    # fact as broadcasts; the only hash exchange is the group-by. Never
+    # a cartesian.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q9_profit_nation_year"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    # The right-side-only priority filter must push below the LEFT
+    # OUTER join, not convert it to inner: zero-order customers are the
+    # point of the distribution.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q13_order_count_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    # The negative-balance supplier exclusion is a broadcast LEFT ANTI
+    # below the aggregate — the NOT IN subquery must not become a
+    # nested-loop or null-aware cartesian.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q16_supplier_variety"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_two_scans(spark, sf_dir):
+    # The per-part average needs its own lineitem pass; the probe side
+    # is the second. A third scan would mean the correlated subquery
+    # re-derived the aggregate per consumer.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q17_small_qty_revenue"](spark, sf_dir))
+    scans = len(re.findall(r"Scan parquet .*lineitem", plan))
+    assert scans == 2, f"expected 2 lineitem scans, got {scans}"
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_topk_is_heap(spark, sf_dir):
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q18_large_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q19_disjunction_single_scan(spark, sf_dir):
+    # The OR-of-ANDs evaluates in ONE broadcast join over ONE lineitem
+    # scan — never a union of three per-branch scans.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    scans = len(re.findall(r"Scan parquet .*lineitem", plan))
+    assert scans == 1, f"expected 1 lineitem scan, got {scans}"
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_as_windows_single_fact_scan(spark, sf_dir):
+    # The EXISTS / NOT-EXISTS pair collapses into per-order window sets:
+    # lineitem is scanned ONCE (the correlated-subquery form would scan
+    # it three times) and the sole top-25 is a heap.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q21_late_sole_supplier"](spark, sf_dir))
+    scans = len(re.findall(r"Scan parquet .*lineitem", plan))
+    assert scans == 1, f"expected 1 lineitem scan, got {scans}"
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_after_integer_threshold(spark, sf_dir):
+    # The global-average threshold is a 1-row broadcast (nested-loop on
+    # one row is fine); the no-recent-orders exclusion is a LEFT ANTI,
+    # never a cartesian against orders.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q22_idle_balance"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_frame_weekly_bounded_exchanges(spark, sf_dir):
+    # Daily pre-aggregation + RANGE window: at most two hash exchanges
+    # (the (user, day) aggregate and the user window) and no global
+    # (unpartitioned) window.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["range_frame_weekly"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "Exchange SinglePartition, ENSURE_REQUIREMENTS" not in plan
