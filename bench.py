@@ -207,6 +207,10 @@ HEADLINE = [
     "near_dup_keep_best",
     # chunk-level language disagreement flags
     "mixed_lang_docs",
+    # two-proportion z-test over hash-assigned experiment arms
+    "ab_test_zscores",
+    # label-centroid cosine matrix (annotation-confusion diagnostic)
+    "label_centroid_similarity",
 ]
 
 RUNS = 3

@@ -357,3 +357,115 @@ def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis — the two-proportion z-test every
+# experimentation pipeline computes: users are deterministically
+# hash-assigned to arms (md5 parity — the same stable-bucketing
+# primitive the split operators use), conversion = any purchase event,
+# z = (pA − pB) / sqrt(p̂(1−p̂)(1/nA + 1/nB)). Every input to the float
+# expression is an exact integer (user counts, conversion counts), the
+# expression is structurally identical on both engines, and sqrt is
+# IEEE-exact — so the z-score is bit-deterministic with no
+# summation-order exposure. One shuffle (the per-user groupBy); the arm
+# assignment and the final 1-row reduction ride it.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_zscores",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5('ab1' ||
+                        CAST(user_id AS VARCHAR)), 1, 7)) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               converted
+        FROM per_user
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                 AS BIGINT) AS c_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                 AS BIGINT) AS c_b
+        FROM armed
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS p_b,
+           CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                     OR c_a + c_b = n_a + n_b THEN 0.0
+                ELSE round((CAST(c_a AS DOUBLE) / n_a
+                            - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+    FROM s
+    """,
+)
+def ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    armed = per_user.select(arm.alias("arm"), "converted")
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == 0)
+        | (F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b"))
+    )
+    return s.select(
+        "n_a", "n_b", "c_a", "c_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.when(degenerate, F.lit(0.0)).otherwise(F.round(z, 6)).alias("z"),
+    )

@@ -929,3 +929,80 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("lbl"), F.lit(-1)).cast("int").alias("label_out"),
         (F.col("id") % 4 == 0).alias("is_seed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix — the embedding-space label-quality
+# diagnostic: cosine similarity between every pair of label centroids
+# (near-identical centroids = candidate label merge or annotation
+# confusion; the k×k output is the confusion-risk heat map). Centroid
+# components quantize to integer micro-units AFTER the mean (the same
+# 6dp tolerance class as embedding_centroids' green oracle), so every
+# dot product and norm is an exact BIGINT sum and the cosine is a
+# deterministic function of exact integers. The per-(label, dim) mean
+# is one shuffle over |vectors|·dim flattened values; the pair join
+# runs over k·dim rows — dictionary-sized, broadcast, never touching
+# the vector table again.
+# ---------------------------------------------------------------------------
+@query(
+    "label_centroid_similarity",
+    """
+    WITH flat AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, pos,
+               CAST(floor(AVG(v) * 1000000.0 + 0.5) AS BIGINT) AS mq
+        FROM flat GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(CAST(SUM(a.mq * b.mq) AS DOUBLE)
+                 / (sqrt(CAST(SUM(a.mq * a.mq) AS DOUBLE))
+                    * sqrt(CAST(SUM(b.mq * b.mq) AS DOUBLE))), 6) AS cosine
+    FROM means a
+    JOIN means b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    means = flat.groupBy("label", "pos").agg(
+        F.floor(F.avg("v") * 1000000.0 + 0.5).cast("long").alias("mq")
+    )
+    a = means.alias("a")
+    b = means.alias("b")
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.label") < F.col("b.label")),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("a.mq") * F.col("b.mq")).cast("double")
+                / (
+                    F.sqrt(
+                        F.sum(F.col("a.mq") * F.col("a.mq")).cast("double")
+                    )
+                    * F.sqrt(
+                        F.sum(F.col("b.mq") * F.col("b.mq")).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cosine")
+        )
+    )
