@@ -211,6 +211,10 @@ HEADLINE = [
     "ab_test_zscores",
     # label-centroid cosine matrix (annotation-confusion diagnostic)
     "label_centroid_similarity",
+    # last-touch attribution via running-max window (no self-join)
+    "attribution_last_touch",
+    # full-frame decode + lag-window scene-cut flags
+    "video_scene_cuts",
 ]
 
 RUNS = 3
@@ -302,6 +306,13 @@ def main() -> None:
         # queries occasionally push a recompile into a timed run;
         # min measures steady-state throughput, robust to that.
         timings[name] = round(min(samples), 3)
+        # Release cached blocks between queries: across a 130-query
+        # suite the warm-boundary caches accumulate and late queries
+        # measure memory pressure instead of plan cost (observed:
+        # semantic_dedup_pairs 2.3s fresh-session vs 4.7s late-bench).
+        # Within-query cache reuse is unaffected — the warm run
+        # re-materializes its own boundary before the timed runs.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     full = {

@@ -448,3 +448,69 @@ def curate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt="img",
         ).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection — the temporal twin of video_frame_sample:
+# decode EVERY frame of each FVID clip (every_k=1 through the same
+# mapInPandas fan-out), checksum each frame's pixels, then flag a cut
+# wherever the frame-energy delta |s_j − s_{j−1}| exceeds a threshold
+# via a per-video lag window (the kernel → relational composition a
+# real scene detector uses, with frame-difference energy as the
+# stand-in metric; a real codec slots into the same decode seam). The
+# oracle re-derives every frame energy from the synth_pixels closed
+# form and replays the lag — deltas and flags are exact integers.
+# ---------------------------------------------------------------------------
+_CUT_T = 1000
+
+
+@query(
+    "video_scene_cuts",
+    f"""
+    WITH frames AS (
+        SELECT vec_id, unnest(generate_series(0, 3 + vec_id % 3)) AS j
+        FROM embeddings
+    ),
+    energy AS (
+        SELECT vec_id, j,
+               CAST(list_aggregate(
+                   list_transform(
+                       generate_series(0, (8 + (vec_id + j) % 5)
+                                          * (6 + j % 3) - 1),
+                       i -> (31 * i + 7 * (10 * vec_id + j)) % 251),
+                   'sum') AS BIGINT) AS s
+        FROM frames
+    ),
+    lagged AS (
+        SELECT vec_id, j AS frame_idx,
+               s - LAG(s) OVER (PARTITION BY vec_id ORDER BY j) AS d
+        FROM energy
+    )
+    SELECT vec_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(abs(d) AS BIGINT) AS energy_delta,
+           abs(d) > {_CUT_T} AS is_cut
+    FROM lagged WHERE d IS NOT NULL
+    """,
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.images import pixel_checksum, sample_frames
+
+    vids = synth_videos_df(spark, sf_dir)
+    frames = sample_frames(vids, every_k=1, video_col="video_bytes")
+    energy = pixel_checksum(frames, "image_bytes").select(
+        "vec_id", "frame_idx", F.col("pix_sum").alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy("frame_idx")
+    lagged = energy.select(
+        "vec_id",
+        "frame_idx",
+        (F.col("s") - F.lag("s").over(w)).alias("d"),
+    )
+    return lagged.filter(F.col("d").isNotNull()).select(
+        "vec_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.abs(F.col("d")).cast("long").alias("energy_delta"),
+        (F.abs(F.col("d")) > _CUT_T).alias("is_cut"),
+    )

@@ -993,7 +993,7 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fans out ~n_tokens/40 rows per doc ahead of one doc_id aggregation —
 # the shuffle carries chunk predictions (strings), never chunk text.
 # ---------------------------------------------------------------------------
-_CHUNK_W = 40
+_LANG_CHUNK_W = 40
 
 
 def _chunk_hits_sql(lang: str) -> str:
@@ -1017,9 +1017,9 @@ _CCASE = "CASE WHEN " + _CBEST + " = 0 THEN 'und' " + " ".join(
     ),
     ch AS (
         SELECT doc_id,
-               w[(i * {_CHUNK_W} + 1):(i * {_CHUNK_W} + {_CHUNK_W})] AS c
+               w[(i * {_LANG_CHUNK_W} + 1):(i * {_LANG_CHUNK_W} + {_LANG_CHUNK_W})] AS c
         FROM w, unnest(generate_series(
-                 0, CAST(ceil(len(w) / {_CHUNK_W}.0) AS INT) - 1)) AS t(i)
+                 0, CAST(ceil(len(w) / {_LANG_CHUNK_W}.0) AS INT) - 1)) AS t(i)
     ),
     pred AS (SELECT doc_id, {_CCASE} AS chunk_lang FROM ch)
     SELECT doc_id,
@@ -1039,13 +1039,13 @@ def mixed_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.ceil(F.size("w") / F.lit(float(_CHUNK_W))).cast("int") - 1,
+                F.ceil(F.size("w") / F.lit(float(_LANG_CHUNK_W))).cast("int") - 1,
             )
         ).alias("i"),
         "w",
     ).select(
         "doc_id",
-        F.slice("w", F.col("i") * _CHUNK_W + 1, _CHUNK_W).alias("c"),
+        F.slice("w", F.col("i") * _LANG_CHUNK_W + 1, _LANG_CHUNK_W).alias("c"),
     )
     def _hits(lang: str) -> F.Column:
         arr = F.array(*[F.lit(m) for m in T.LANG_MARKERS[lang]])

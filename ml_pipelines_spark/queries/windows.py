@@ -915,3 +915,76 @@ def range_frame_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         (F.sum("cents").over(w).cast("long") / 100.0).alias("spend_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — for every purchase, find the user's most
+# recent PRIOR click and attribute the revenue if it landed within the
+# 24-hour window (the classic marketing-attribution join, expressed as
+# a running MAX over the ordered event stream instead of a self-join:
+# the per-user window rides one user_id exchange, and because events
+# are time-ordered the running max of click timestamps IS the last
+# click). The ROWS frame ends at 1 PRECEDING so a purchase can never
+# attribute to a simultaneous click; (ts, event_id) ordering makes the
+# frame deterministic under timestamp ties. Revenue quantizes to cents
+# per row.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_type, value,
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_ts
+        FROM events
+    )
+    SELECT CASE WHEN last_click_ts IS NOT NULL
+                     AND ts - last_click_ts <= INTERVAL 24 HOUR
+                THEN 'attributed' ELSE 'organic' END AS bucket,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY bucket
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("last_click_ts"),
+    )
+    bucket = F.when(
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.col("ts")
+            <= F.col("last_click_ts") + F.expr("INTERVAL 24 HOURS")
+        ),
+        "attributed",
+    ).otherwise("organic")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+                ).cast("long")
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
