@@ -86,7 +86,19 @@ def swap_cache(key: str, token: str, df: DataFrame) -> DataFrame:
     """
     ent = _CACHE_SLOTS.get(key)
     if ent is not None and ent[0] == token:
-        return ent[1]
+        cached = ent[1]
+        try:
+            # An external spark.catalog.clearCache() (the bench does
+            # this between queries to stop cross-query block
+            # accumulation) DE-REGISTERS the entry from the
+            # CacheManager — the frame would silently re-execute its
+            # full subtree on every action. Re-persist lazily so the
+            # next action re-materializes once and reuse works again.
+            if not cached.storageLevel.useMemory:
+                cached.persist()
+        except Exception:
+            pass  # session teardown paths
+        return cached
     if ent is not None:
         try:
             ent[1].unpersist()
