@@ -306,13 +306,12 @@ def main() -> None:
         # queries occasionally push a recompile into a timed run;
         # min measures steady-state throughput, robust to that.
         timings[name] = round(min(samples), 3)
-        # Release cached blocks between queries: across a 130-query
-        # suite the warm-boundary caches accumulate and late queries
-        # measure memory pressure instead of plan cost (observed:
-        # semantic_dedup_pairs 2.3s fresh-session vs 4.7s late-bench).
-        # Within-query cache reuse is unaffected — the warm run
-        # re-materializes its own boundary before the timed runs.
-        spark.catalog.clearCache()
+        # NOTE: a between-query spark.catalog.clearCache() was tried to
+        # stop cross-query cache accumulation and REGRESSED the suite
+        # ~20%: the block deletion is asynchronous and churns the block
+        # manager during the NEXT query's timed runs. The warm-boundary
+        # slots are bounded (one live entry per key, queries/registry
+        # swap_cache), so accumulation is capped without it.
 
     total = round(sum(timings.values()), 3)
     full = {
