@@ -195,6 +195,13 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["clip_id", "fp"])
 
     fps = clips.mapInPandas(fingerprint, schema=fp_schema)
+    # Materialize the fingerprints once: the banded union has two
+    # branches and the self-join consumes both sides, so without a
+    # boundary the synth→encode→decode→fingerprint Python kernel (the
+    # dominant cost) replays up to 4×. Blocks are ContextCleaner-
+    # reclaimed with the plan; at 100 TB this is a written fingerprint
+    # table, exactly like the image-phash path's.
+    fps = fps.localCheckpoint(eager=True)
     banded = fps.select(
         "clip_id", F.lit(0).alias("band_idx"),
         (F.col("fp") % 256).alias("band_val"), "fp",
