@@ -215,6 +215,8 @@ HEADLINE = [
     "attribution_last_touch",
     # full-frame decode + lag-window scene-cut flags
     "video_scene_cuts",
+    # grouped aggregate vs global-scalar threshold (TPC-H Q11 shape)
+    "q11_important_stock",
 ]
 
 RUNS = 3

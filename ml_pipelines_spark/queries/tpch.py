@@ -2,11 +2,12 @@
 
 Together with the existing Q1/Q3/Q5/Q7/Q8/Q10 analogues this closes the
 classic decision-support plan-shape inventory over the testdata schema
-(which lacks partsupp and the commit/receipt dates, so Q2/Q4/Q11/Q12/
+(which lacks partsupp and the commit/receipt dates, so Q2/Q4/Q12/
 Q14/Q15/Q20 either already exist as other queries' shapes — Q4's EXISTS
 is ``semi_join``, Q14's conditional share is ``q8_market_share`` — or
-are adapted here: Q9 prices cost from ``p_retailprice``, Q21 defines
-"late" as shipping >90 days after the order date).
+are adapted here: Q9 prices cost from ``p_retailprice``, Q11 values
+stock from lineitem revenue, Q21 defines "late" as shipping >90 days
+after the order date).
 
 Each query exercises a DISTINCT optimizer pattern the judge's 100 TB
 audit cares about:
@@ -510,4 +511,48 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             (F.sum("cents").cast("long") / 100.0).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 analogue — "important stock": parts whose accumulated line value
+# exceeds a FRACTION of the global total (no partsupp, so value is
+# lineitem revenue per part). The plan-shape lesson is a grouped
+# aggregate filtered against a GLOBAL scalar aggregate of itself: the
+# per-part frame computes once, the 1-row total broadcasts back onto
+# it, and the threshold compares exact integers — v · 10000 > t is the
+# integer form of v > t/10000, so no division and no float boundary.
+# Top-50 by value lands in TakeOrderedAndProject with a partkey
+# tie-break.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey, CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS v
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM per_part)
+    SELECT l_partkey, v / 100.0 AS part_value
+    FROM per_part, tot
+    WHERE v * 10000 > t
+    ORDER BY v DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", _rev_cents().alias("cents")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("v")
+    )
+    tot = per_part.agg(F.sum("v").cast("long").alias("t"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(F.col("v") * 10000 > F.col("t"))
+        .select("l_partkey", (F.col("v") / 100.0).alias("part_value"), "v")
+        .orderBy(F.col("v").desc(), "l_partkey")
+        .limit(50)
+        .drop("v")
     )
