@@ -74,30 +74,27 @@ from . import tpch  # noqa: E402,F401
 #     RFM segmentation, gaps-and-islands activity streaks, classifier
 #     calibration, Neyman-allocation stratified sampling, the TPC-H
 #     Q9/Q13/Q16/Q17/Q18/Q19/Q21/Q22 completion, the RANGE-frame
-#     rolling window, and the Zipf-slope corpus fit). Rule 1 fills 36 of
-#     50 slots this round, so rule 4 carries only six of the oldest
-#     r1/r2 scalar queries; the r5 code-shape carryover and the
-#     r3-evidenced families return in round 7 with top priority
-#     (carryover first: text_quality, pack_bins_ffd, sequence_pack_docs,
-#     curate_corpus, rbb_from_seg, snapshot_diff_orders, then
-#     json_extract / regex_extract / scalar_funcs / union_all, then the
-#     r3 streaming/multimodal/mixture/packing families). The two
-#     queries registered after the window was sealed this round
-#     (near_dup_keep_best, mixed_lang_docs) are also round-7 rule 1.
+#     rolling window, and the Zipf-slope corpus fit; plus the six
+#     registered after the window was first sealed — best-copy dedup,
+#     mixed-language flags, A/B z-test, label-centroid similarity,
+#     last-touch attribution, video scene cuts). Rule 1 fills 42 of 50
+#     slots this round — never-checked outranks stale-but-green
+#     evidence, so NO rule-4 slots this round; round 7's rule 4 leads
+#     with q11_important_stock (the one remaining never-checked), the
+#     ten r1/r2-evidenced scalar queries, the r5 code-shape carryover
+#     (text_quality, pack_bins_ffd, sequence_pack_docs, curate_corpus,
+#     rbb_from_seg, snapshot_diff_orders), then the r3
+#     streaming/multimodal/mixture/packing families.
 # (b) rule 2 — re-evidence for code touched this round: the three
 #     near-dup-graph oracles + ngram_jaccard_pairs (shared capped-pairs
 #     CTE), logreg_quality_train (cache-release rework),
 #     pca_top_component (CTE-list assembly), curate_corpus_v2
 #     (localCheckpoint boundary).
 # (c) the flagship.
-# (d) rule 4 — oldest evidence first: the ten r1/r2-evidenced scalar/
-#     relational queries (4 rounds stale — oldest in the registry),
-#     then the r5 rule-2 carryover whose current code shape has no
-#     driver row yet (text_quality, pack_bins_ffd, sequence_pack_docs,
-#     curate_corpus, rbb_from_seg — mechanical twin edits in r5;
-#     snapshot_diff_orders — r5 plan rewrite), then r3-evidenced
-#     representatives family-balanced (windows, dedup, similarity,
-#     geometry, tracks). Remaining r3/r4 families return in round 7.
+# (d) rule 4 — NO slots this round: rule 1 alone fills 42 of the 49
+#     non-flagship slots and never-checked evidence outranks
+#     stale-but-green r1/r2 rows. Round 7's rule 4 order is pinned in
+#     the (a) note above.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
     # (a) rule 1: never driver-checked (4 from round 5, 22 new)
@@ -147,14 +144,17 @@ _CHECK_FIRST = [
     "curate_corpus_v2",
     # (c) flagship
     "q1_pricing_summary",
-    # (d) rule 4: oldest driver evidence first — r1/r2-evidenced (6;
-    # the other four and the r5 carryover lead round 7's rule 4)
-    "array_restructure",
-    "count_per_group",
-    "distinct_keys",
-    "filename_normalize",
-    "filter_eq",
-    "filter_isin",
+    # (a-late) rule 1 continued: queries registered after the window
+    # was first sealed this round — never-checked outranks rule 4's
+    # stale-but-green r1/r2 entries, so these take the last six slots;
+    # q11_important_stock (the single remaining never-checked query)
+    # plus the ten r1/r2-evidenced and the r5 carryover lead round 7.
+    "near_dup_keep_best",
+    "mixed_lang_docs",
+    "ab_test_zscores",
+    "label_centroid_similarity",
+    "attribution_last_touch",
+    "video_scene_cuts",
 ]
 
 

@@ -70,22 +70,24 @@ def test_window_covers_round6_priorities():
         "pca_top_component",
         "curate_corpus_v2",
     ]
-    # Rule 1 fills 36 slots this round, so rule 4 carries only six of
-    # the ten stale r1/r2 queries; the rest lead round 7's rule 4.
-    oldest_evidence = [
-        "array_restructure",
-        "count_per_group",
-        "distinct_keys",
-        "filename_normalize",
-        "filter_eq",
-        "filter_isin",
+    # Rule 1 fills 42 slots this round (including the six queries
+    # registered after the window was first sealed), so rule 4 carries
+    # nothing; the stale r1/r2 queries lead round 7's rule 4 together
+    # with q11_important_stock.
+    late_registrations = [
+        "near_dup_keep_best",
+        "mixed_lang_docs",
+        "ab_test_zscores",
+        "label_centroid_similarity",
+        "attribution_last_touch",
+        "video_scene_cuts",
     ]
     must_be_checked = (
         never_checked_entering_r6
         + new_this_round
         + touched_this_round
         + ["q1_pricing_summary"]
-        + oldest_evidence
+        + late_registrations
     )
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]
