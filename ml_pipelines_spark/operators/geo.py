@@ -47,8 +47,12 @@ def grid_nearest(
     smaller site id). Both inputs need lat/lon columns.
 
     ``max_dist_deg`` must be <= CELL_DEG: the 3×3 neighborhood then
-    provably covers every admissible pair (any point within r <= cell
-    size of a site is in the site's own or an adjacent cell).
+    provably covers every admissible pair — because BOTH cell axes are
+    bucketed in the metric's own coordinates (lat raw, lon pre-scaled by
+    LON_SCALE), an admissible pair differs by <= max_dist_deg <= CELL_DEG
+    in each bucketed axis, i.e. by at most one cell. Bucketing lon in raw
+    degrees would break the proof: the metric admits raw lon deltas up to
+    max_dist_deg / LON_SCALE, which at LON_SCALE=0.5 is two cells.
     """
     if max_dist_deg > CELL_DEG:
         raise ValueError("radius must fit the 3x3 neighborhood")
@@ -57,7 +61,7 @@ def grid_nearest(
         "lat",
         "lon",
         F.floor(F.col("lat") / CELL_DEG).cast("long").alias("cx"),
-        F.floor(F.col("lon") / CELL_DEG).cast("long").alias("cy"),
+        F.floor(F.col("lon") * LON_SCALE / CELL_DEG).cast("long").alias("cy"),
     )
     # Replicate each site into its 9 neighbor cells (explode is
     # map-side, the ×9 lands only on the small broadcast side).
@@ -68,7 +72,9 @@ def grid_nearest(
             F.col("lat").alias("slat"),
             F.col("lon").alias("slon"),
             F.floor(F.col("lat") / CELL_DEG).cast("long").alias("scx"),
-            F.floor(F.col("lon") / CELL_DEG).cast("long").alias("scy"),
+            F.floor(F.col("lon") * LON_SCALE / CELL_DEG)
+            .cast("long")
+            .alias("scy"),
         )
         .withColumn("dx", offs)
         .withColumn("dy", offs)

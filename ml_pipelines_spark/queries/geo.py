@@ -59,8 +59,9 @@ def _coord_col(tag: str, key, span: int, shift: int):
         FROM pts p JOIN cities c
           ON floor(p.lat / {CELL_DEG}) BETWEEN floor(c.lat / {CELL_DEG}) - 1
                                            AND floor(c.lat / {CELL_DEG}) + 1
-         AND floor(p.lon / {CELL_DEG}) BETWEEN floor(c.lon / {CELL_DEG}) - 1
-                                           AND floor(c.lon / {CELL_DEG}) + 1
+         AND floor(p.lon * {LON_SCALE} / {CELL_DEG})
+             BETWEEN floor(c.lon * {LON_SCALE} / {CELL_DEG}) - 1
+                 AND floor(c.lon * {LON_SCALE} / {CELL_DEG}) + 1
         WHERE (p.lat - c.lat) * (p.lat - c.lat)
               + ((p.lon - c.lon) * {LON_SCALE}) * ((p.lon - c.lon) * {LON_SCALE})
               <= {_RADIUS * _RADIUS}

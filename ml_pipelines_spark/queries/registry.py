@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +72,7 @@ def query(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each new invocation releases the previous invocation's cache.
 # ---------------------------------------------------------------------------
 _CACHE_SLOTS: dict[str, tuple[str, DataFrame]] = {}
+_CACHE_LOCK = threading.Lock()
 
 
 def swap_cache(key: str, token: str, df: DataFrame) -> DataFrame:
@@ -83,26 +85,37 @@ def swap_cache(key: str, token: str, df: DataFrame) -> DataFrame:
     materialized checkpoint would, instead of dropping and rebuilding
     it. A different token releases the old entry first — the slot never
     holds more than one copy.
+
+    The slot token is additionally scoped by the owning session's
+    applicationId (ADVICE r6): a stopped-and-recreated session with the
+    same sf_dir must NOT be handed a cached frame bound to the dead
+    session — the id differs, so the slot rebuilds. Mutation is
+    lock-guarded for concurrent query threads.
     """
-    ent = _CACHE_SLOTS.get(key)
-    if ent is not None and ent[0] == token:
-        cached = ent[1]
-        try:
-            # An external spark.catalog.clearCache() (the bench does
-            # this between queries to stop cross-query block
-            # accumulation) DE-REGISTERS the entry from the
-            # CacheManager — the frame would silently re-execute its
-            # full subtree on every action. Re-persist lazily so the
-            # next action re-materializes once and reuse works again.
-            if not cached.storageLevel.useMemory:
-                cached.persist()
-        except Exception:
-            pass  # session teardown paths
-        return cached
-    if ent is not None:
-        try:
-            ent[1].unpersist()
-        except Exception:
-            pass  # session may be gone in teardown paths
-    _CACHE_SLOTS[key] = (token, df.persist())
-    return _CACHE_SLOTS[key][1]
+    try:
+        token = f"{token}@{df.sparkSession.sparkContext.applicationId}"
+    except Exception:
+        pass  # teardown paths: fall back to the raw token
+    with _CACHE_LOCK:
+        ent = _CACHE_SLOTS.get(key)
+        if ent is not None and ent[0] == token:
+            cached = ent[1]
+            try:
+                # An external spark.catalog.clearCache() (the bench does
+                # this between queries to stop cross-query block
+                # accumulation) DE-REGISTERS the entry from the
+                # CacheManager — the frame would silently re-execute its
+                # full subtree on every action. Re-persist lazily so the
+                # next action re-materializes once and reuse works again.
+                if not cached.storageLevel.useMemory:
+                    cached.persist()
+            except Exception:
+                pass  # session teardown paths
+            return cached
+        if ent is not None:
+            try:
+                ent[1].unpersist()
+            except Exception:
+                pass  # session may be gone in teardown paths
+        _CACHE_SLOTS[key] = (token, df.persist())
+        return _CACHE_SLOTS[key][1]

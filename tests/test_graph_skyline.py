@@ -120,7 +120,11 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         assert r["shard_tokens"] < 100 + max_tok
 
 
-def test_grid_nearest_matches_bruteforce(spark):
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 5])
+def test_grid_nearest_matches_bruteforce(spark, seed):
     import random
 
     from ml_pipelines_spark.operators.geo import (
@@ -128,13 +132,23 @@ def test_grid_nearest_matches_bruteforce(spark):
         grid_nearest,
     )
 
-    rng = random.Random(5)
+    rng = random.Random(seed)
     pts = [
         (i, rng.uniform(-55, 55), rng.uniform(-170, 170)) for i in range(200)
+    ]
+    # Planted 2-raw-lon-cell cases: raw delta-lon in (5, 10] is
+    # admissible under the scaled metric (0.5*dlon <= 5) but, with the
+    # site near the top of its raw 5-degree cell, the point lands TWO
+    # raw cells away — exactly the pairs raw-lon bucketing misses.
+    pts += [
+        (200, 10.0, 4.9 + 9.7),    # site cell 0 -> point cell 2
+        (201, -30.0, 50.1 - 9.8),  # site cell 10 -> point cell 8
+        (202, 0.5, -0.2 + 9.6),    # site cell -1 -> point cell 1
     ]
     sites = [
         (j, rng.uniform(-55, 55), rng.uniform(-170, 170)) for j in range(15)
     ]
+    sites += [(100, 10.0, 4.9), (101, -30.0, 50.1), (102, 0.5, -0.2)]
     pdf = spark.createDataFrame(pts, ["point_id", "lat", "lon"]).repartition(4)
     sdf = spark.createDataFrame(sites, ["site_id", "lat", "lon"])
     got = {
