@@ -41,6 +41,8 @@ from . import classifier  # noqa: E402,F401
 from . import linalg  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
+from . import search  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50

@@ -1,0 +1,247 @@
+"""Search / information-retrieval queries — BM25 ranking over the
+documents table and reciprocal-rank-fusion hybrid retrieval (BM25 ∪
+embedding cosine), the modern training-data retrieval stack.
+
+Shape notes for scale: the BM25 leg is ONE narrow scan — per-document
+term frequencies for the (tiny, literal) query term set are computed as
+codegen array expressions, never an explode+groupBy over the full token
+stream — plus a one-row global statistics aggregate broadcast back. The
+semantic leg is the existing brute-force cosine two-phase top-k. The
+fusion join runs over two ≤50-row rank lists. Per-document scores are
+FIXED-ORDER sums over the literal term list, so no float summation-order
+risk exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as T
+from ..operators.similarity import knn_bruteforce
+from .registry import query
+from .relational import t
+from .similarity import QUERY_VEC, _QLIT, _QNORM, _sql_dot, _sql_self_dot
+
+QUERY_TERMS = ["vector", "merge", "stream"]
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+N_FUSE = 50  # depth of each rank list entering the fusion
+
+
+def _tf_col(term: str) -> Column:
+    toks = T.tokens(F.trim(F.lower(F.col("text"))))
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def _tf_sql(term: str) -> str:
+    return (
+        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"x -> x = '{term}'))"
+    )
+
+
+def _score_sql() -> str:
+    parts = []
+    for i, _term in enumerate(QUERY_TERMS):
+        idf = f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        tfn = (
+            f"(tf{i} * {K1 + 1.0}) / "
+            f"(tf{i} + {K1} * (1.0 - {B} + {B} * dl * n_docs / sum_dl))"
+        )
+        parts.append(f"{idf} * {tfn}")
+    # fixed left-to-right order — identical on both engines
+    return " + ".join(f"({p})" for p in parts)
+
+
+_BM25_CTES = f"""
+    docstats AS (
+        SELECT doc_id,
+               (CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                   AS dl,
+               {', '.join(f"{_tf_sql(term)} AS tf{i}" for i, term in enumerate(QUERY_TERMS))}
+        FROM documents
+    ),
+    corpus AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+               {', '.join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(QUERY_TERMS)))}
+        FROM docstats
+    ),
+    bm25 AS (
+        SELECT doc_id, ({_score_sql()}) AS score
+        FROM docstats CROSS JOIN corpus
+        WHERE {' + '.join(f'tf{i}' for i in range(len(QUERY_TERMS)))} > 0
+    )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for documents matching ≥1 query term."""
+    docs = t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("dl"),
+        *[
+            _tf_col(term).alias(f"tf{i}")
+            for i, term in enumerate(QUERY_TERMS)
+        ],
+    )
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(
+                f"df{i}"
+            )
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(QUERY_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        tfn = (tf * (K1 + 1.0)) / (
+            tf
+            + K1
+            * (
+                1.0
+                - B
+                + B
+                * F.col("dl").cast("double")
+                * n
+                / F.col("sum_dl").cast("double")
+            )
+        )
+        term_score = idf * tfn
+        score = term_score if score is None else score + term_score
+    matched = sum(
+        (F.col(f"tf{i}") for i in range(1, len(QUERY_TERMS))),
+        F.col("tf0"),
+    )
+    return (
+        stats.join(F.broadcast(corpus))
+        .filter(matched > 0)
+        .select("doc_id", score.alias("score"))
+    )
+
+
+@query(
+    "bm25_top_docs",
+    f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25
+    )
+    SELECT doc_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scores(spark, sf_dir)
+    # two-phase top-k: per-partition prune, then rank the k·P survivors
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= 20)
+        .drop("__lr")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical BM25 and embedding-cosine rankings fused by
+# reciprocal rank — rrf = 1/(60+r_lex) + 1/(60+r_sem), a doc missing
+# from one list contributes nothing for that leg. vec_id and doc_id
+# share a domain in the testdata (the embedding of document i), which
+# is exactly the production layout of a dual-indexed corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "rrf_hybrid_search",
+    f"""
+    WITH {_BM25_CTES},
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM bm25
+        QUALIFY r_lex <= {N_FUSE}
+    ),
+    sem_scored AS (
+        SELECT vec_id,
+               {_sql_dot('embedding', _QLIT)}
+               / (sqrt({_sql_self_dot('embedding')}) * {_QNORM}) AS cosine
+        FROM embeddings
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+        FROM sem_scored
+        QUALIFY r_sem <= {N_FUSE}
+    ),
+    fused AS (
+        SELECT doc_id,
+               COALESCE(1.0 / ({RRF_K} + r_lex), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + r_sem), 0.0) AS rrf,
+               r_lex, r_sem
+        FROM lex FULL OUTER JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, ROUND(rrf, 9) AS rrf,
+           CAST(r_lex AS INT) AS r_lex, CAST(r_sem AS INT) AS r_sem,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+               AS rank
+    FROM fused
+    QUALIFY rank <= 20
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scores(spark, sf_dir)
+    # two-phase: per-partition prune to N_FUSE before the global window
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= N_FUSE)
+        .withColumn("r_lex", F.row_number().over(lex_w))
+        .filter(F.col("r_lex") <= N_FUSE)
+        .select("doc_id", "r_lex")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    sem = knn_bruteforce(emb, QUERY_VEC, k=N_FUSE).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+        "r_lex",
+        "r_sem",
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            F.round("rrf", 9).alias("rrf"),
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_sem").cast("int").alias("r_sem"),
+            "rank",
+        )
+    )

@@ -1,0 +1,201 @@
+"""Time-series queries over the events table — interval sweep-line
+concurrency and seasonal-naive forecast backtesting.
+
+Both are exact-integer pipelines end to end (counts, deltas, epoch
+days), so the cross-engine oracles compare real values with no float
+tolerance anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import query
+from .relational import t
+
+_SESSION_MIN = 30  # interval length per event, minutes
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — the classic interval sweep line, distributed.
+# Each event opens a 30-minute interval; the sweep emits (+1 at start,
+# -1 at end), orders by (time, delta, event_id) — ends strictly before
+# starts at the same instant, so back-to-back intervals never double
+# count — and the per-day peak is the max running sum.
+#
+# The running sum is NOT one global single-partition window (the
+# scale-killer): it is the textbook two-phase scan — a within-day
+# running sum partitioned by day, plus each day's carried-in offset
+# (exclusive prefix over the per-day delta totals, a dimension of a few
+# hundred rows that broadcasts back). At 100 TB the big shuffle keys on
+# day; the cross-day carry costs one tiny window over the day dimension.
+# ---------------------------------------------------------------------------
+@query(
+    "peak_concurrency",
+    f"""
+    WITH deltas AS (
+        SELECT ts AS t, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL {_SESSION_MIN} MINUTE AS t, -1 AS delta,
+               event_id
+        FROM events
+    ),
+    running AS (
+        SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+               SUM(delta) OVER (ORDER BY t, delta, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc,
+               delta
+        FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts
+    FROM running GROUP BY day
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    deltas = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            (F.col("ts") + F.expr(f"INTERVAL {_SESSION_MIN} MINUTES"))
+            .alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    deltas = deltas.withColumn(
+        "day", F.to_date(F.date_trunc("day", "t"))
+    )
+    # Phase 1: running sum WITHIN each day (shuffle keys on day only).
+    win_day = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = deltas.withColumn("run_in_day", F.sum("delta").over(win_day))
+    # Phase 2: exclusive prefix of per-day totals — a dimension-sized
+    # window (one row per calendar day) broadcast back onto phase 1.
+    day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    offsets = day_tot.select(
+        "day",
+        (F.sum("day_delta").over(Window.orderBy("day")) - F.col("day_delta"))
+        .alias("carry_in"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("run_in_day") + F.col("carry_in"))
+            .cast("long")
+            .alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_starts"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrency",
+            "n_starts",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest — forecast(day) = count(day − 7),
+# benchmarked against naive-1 (count(day − 1)) over the final 28
+# observed days. Joins on (type, day−k) rather than LAG so missing
+# calendar days don't silently shift the season; an absent prior day
+# forecasts 0 (count data). Everything after the one heavy groupBy
+# (events → daily counts) runs on a type×day dimension of a few
+# thousand rows; MAEs are ratios of exact BIGINT sums.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_naive_forecast",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(d) AS max_d FROM daily),
+    eval_days AS (
+        SELECT a.event_type, a.d, a.n,
+               COALESCE(s.n, 0) AS f_seasonal,
+               COALESCE(p.n, 0) AS f_naive
+        FROM daily a
+        LEFT JOIN daily s ON s.event_type = a.event_type AND s.d = a.d - 7
+        LEFT JOIN daily p ON p.event_type = a.event_type AND p.d = a.d - 1
+        CROSS JOIN mx
+        WHERE a.d > mx.max_d - 28
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(n - f_seasonal)) AS BIGINT) AS abs_err_seasonal,
+           CAST(SUM(ABS(n - f_naive)) AS BIGINT) AS abs_err_naive,
+           ROUND(SUM(ABS(n - f_seasonal)) / COUNT(*), 5) AS mae_seasonal,
+           ROUND(SUM(ABS(n - f_naive)) / COUNT(*), 5) AS mae_naive
+    FROM eval_days GROUP BY event_type
+    """,
+)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    max_d = daily.agg(F.max("d").alias("max_d"))
+    season = daily.select(
+        F.col("event_type").alias("s_type"),
+        (F.col("d") + 7).alias("s_d"),
+        F.col("n").alias("f_seasonal"),
+    )
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("d") + 1).alias("p_d"),
+        F.col("n").alias("f_naive"),
+    )
+    joined = (
+        daily.join(F.broadcast(max_d))
+        .filter(F.col("d") > F.col("max_d") - 28)
+        .join(
+            season,
+            (F.col("event_type") == F.col("s_type"))
+            & (F.col("d") == F.col("s_d")),
+            "left",
+        )
+        .join(
+            prev,
+            (F.col("event_type") == F.col("p_type"))
+            & (F.col("d") == F.col("p_d")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "n",
+            F.coalesce("f_seasonal", F.lit(0)).alias("fs"),
+            F.coalesce("f_naive", F.lit(0)).alias("fn"),
+        )
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("n") - F.col("fs")))
+        .cast("long")
+        .alias("abs_err_seasonal"),
+        F.sum(F.abs(F.col("n") - F.col("fn")))
+        .cast("long")
+        .alias("abs_err_naive"),
+        F.round(
+            F.sum(F.abs(F.col("n") - F.col("fs"))) / F.count(F.lit(1)), 5
+        ).alias("mae_seasonal"),
+        F.round(
+            F.sum(F.abs(F.col("n") - F.col("fn"))) / F.count(F.lit(1)), 5
+        ).alias("mae_naive"),
+    )
