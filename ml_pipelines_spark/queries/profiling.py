@@ -469,3 +469,62 @@ def ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("p_b"),
         F.when(degenerate, F.lit(0.0)).otherwise(F.round(z, 6)).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the diagnostic you run BEFORE sizing a 100 TB
+# shuffle: per-key count distribution (max, exact p50/p99, top-1 share,
+# max/avg ratio) for the three join keys that matter in this schema.
+# Each column costs one partial-agg groupBy over its table plus a
+# one-row summary; the three one-row summaries union. Percentiles use
+# the same linear-interpolation semantics on both engines
+# (F.percentile == quantile_cont, proven by exact_percentiles).
+# ---------------------------------------------------------------------------
+def _skew_sql(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}.{col}' AS key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_cnt,
+               ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top1_share,
+               ROUND(quantile_cont(c, 0.5), 2) AS p50_cnt,
+               ROUND(quantile_cont(c, 0.99), 2) AS p99_cnt,
+               ROUND(MAX(c) * COUNT(*) * 1.0 / SUM(c), 4) AS skew_ratio
+        FROM (SELECT {col}, COUNT(*) AS c FROM {table} GROUP BY {col})
+    """
+
+
+def _skew_report(df, table: str, col: str):
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.lit(f"{table}.{col}").alias("key"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top1_share"),
+        F.round(F.percentile("c", F.lit(0.5)), 2).alias("p50_cnt"),
+        F.round(F.percentile("c", F.lit(0.99)), 2).alias("p99_cnt"),
+        F.round(
+            F.max("c") * F.count(F.lit(1)) * 1.0 / F.sum("c"), 4
+        ).alias("skew_ratio"),
+    )
+
+
+@query(
+    "skew_report_keys",
+    f"""
+    {_skew_sql('orders', 'o_custkey')}
+    UNION ALL
+    {_skew_sql('lineitem', 'l_partkey')}
+    UNION ALL
+    {_skew_sql('lineitem', 'l_suppkey')}
+    """,
+)
+def skew_report_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        _skew_report(orders, "orders", "o_custkey")
+        .unionAll(_skew_report(li, "lineitem", "l_partkey"))
+        .unionAll(_skew_report(li, "lineitem", "l_suppkey"))
+    )

@@ -353,3 +353,49 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("n_take"))
         .select("doc_id", "source", "n_take")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — cross-validation folds from the same
+# engine-portable md5 bucketing as hash_split_assign (deterministic,
+# retry-safe, no RNG state), summarized per (fold, lang) so fold
+# balance within every stratum is the value being checked. The fold
+# label is a pure expression of the key: assigning 100 TB of documents
+# is a map-only pass.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_kfold_assign",
+    """
+    SELECT fold, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               CAST(('0x' || substr(md5('kfold:' || CAST(doc_id AS VARCHAR)),
+                                    1, 4))::BIGINT % 5 AS INT) AS fold
+        FROM documents
+    )
+    GROUP BY fold, lang
+    """,
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kfold:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).cast("int")
+    return (
+        docs.select("lang", "n_chars", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

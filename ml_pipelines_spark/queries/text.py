@@ -1067,3 +1067,131 @@ def mixed_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("chunk_lang") > 1).alias("mixed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — pointwise mutual information over adjacent token
+# pairs: pmi = ln c_xy + 2·ln N_uni − ln N_bi − ln c_x − ln c_y, every
+# term the ln of an exact integer count and summed in a FIXED order, so
+# both engines walk identical float64 arithmetic. One explode for
+# unigrams, one for bigrams (built as a codegen transform over token
+# positions — no self-join); the unigram dictionary is broadcast back
+# onto the pair counts. Top-30 by (rounded pmi, pair) with a support
+# floor so rare co-occurrences don't dominate.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 10
+
+
+@query(
+    "pmi_bigrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS tk
+        FROM documents WHERE len(trim(text)) > 0
+    ),
+    uni AS (
+        SELECT unnest(tk) AS w FROM toks
+    ),
+    uni_counts AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n_uni AS (SELECT SUM(c) AS n FROM uni_counts),
+    bi AS (
+        SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks
+    ),
+    bi_pairs AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2, COUNT(*) AS c_xy
+        FROM bi GROUP BY 1, 2
+    ),
+    n_bi AS (SELECT SUM(c_xy) AS n FROM bi_pairs),
+    scored AS (
+        SELECT w1, w2, c_xy,
+               ln(CAST(c_xy AS DOUBLE)) + ln(CAST(n_uni.n AS DOUBLE))
+               + ln(CAST(n_uni.n AS DOUBLE)) - ln(CAST(n_bi.n AS DOUBLE))
+               - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE)) AS pmi
+        FROM bi_pairs
+        JOIN uni_counts u1 ON u1.w = w1
+        JOIN uni_counts u2 ON u2.w = w2
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        WHERE c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           ROUND(pmi, 6) AS pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pmi, 6) DESC, w1, w2)
+                AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 30
+    """,
+)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tk = T.tokens(F.trim(F.lower(F.col("text"))))
+    toks = docs.select(tk.alias("tk"))
+    uni_counts = toks.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_uni = uni_counts.agg(F.sum("c").alias("n_u"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i).alias("w1"),
+                        F.element_at(F.col("tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    n_bi_df = (
+        toks.select((F.size("tk") - 1).alias("nb"))
+        .filter(F.col("nb") > 0)
+        .agg(F.sum("nb").alias("n_b"))
+    )
+    u1 = uni_counts.select(
+        F.col("w").alias("w1"), F.col("c").alias("c_x")
+    )
+    u2 = uni_counts.select(
+        F.col("w").alias("w2"), F.col("c").alias("c_y")
+    )
+    ln = F.log
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi_df))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                ln(d("c_xy"))
+                + ln(d("n_u"))
+                + ln(d("n_u"))
+                - ln(d("n_b"))
+                - ln(d("c_x"))
+                - ln(d("c_y"))
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.round("pmi", 6).desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round("pmi", 6).alias("pmi"),
+            "rank",
+        )
+    )
