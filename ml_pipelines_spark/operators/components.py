@@ -314,3 +314,47 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return cur
+
+
+def kcore(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    k: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every vertex with
+    degree < k, remove its edges, repeat ``rounds`` times; returns
+    (node, degree) for the surviving subgraph. A fixed round count keeps
+    the trajectory replayable by a SQL twin; once the peel converges the
+    remaining rounds are no-ops, so ``rounds`` only needs to exceed the
+    peel depth (bounded by the longest chain hanging off the core, not
+    the graph size). Each round is one degree groupBy plus two semi
+    joins, truncated with localCheckpoint so round N+1 doesn't replay
+    rounds 1..N.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionAll(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = sym
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        edges = (
+            edges.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("s").alias("node"), "degree")
+    )

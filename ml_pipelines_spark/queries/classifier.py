@@ -287,3 +287,210 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes distilling the rule-based language annotator —
+# the generative companion to logreg_quality_train's discriminative
+# distillation: the marker-list lang_id heuristic labels every document,
+# NB learns to reproduce it from hashed unigrams alone (the markers land
+# in specific hash buckets; nothing else separates the classes, so the
+# achievable accuracy measures exactly how much of the rule survives the
+# feature hash). Train on doc_id % 5 <> 0, report the held-out confusion
+# matrix. The model is one conditional-count groupBy (label × 256 hash
+# buckets, densified so zero-count cells score their smoothing mass);
+# scoring joins the broadcast model onto the held-out token stream.
+# Every log-probability is QUANTIZED to integer micro-units before any
+# sum, so per-document scores are exact BIGINTs and the argmax can't
+# flip on float summation order; ties break to the smaller label.
+# ---------------------------------------------------------------------------
+_NB_B = 256
+
+from .text import _CASE as _LANG_CASE  # noqa: E402
+
+
+@query(
+    "naive_bayes_langid",
+    f"""
+    WITH labeled AS (
+        SELECT doc_id, text, ({{label_case}}) AS label FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, label,
+               CAST(('0x' || substr(md5('nb:' || w), 1, 4)) AS BIGINT)
+                   % {_NB_B} AS bucket
+        FROM (
+            SELECT doc_id, label,
+                   unnest(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS w
+            FROM labeled
+        )
+    ),
+    train_tok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+    labels AS (SELECT DISTINCT label FROM labeled WHERE doc_id % 5 <> 0),
+    counts AS (
+        SELECT label, bucket, COUNT(*) AS c
+        FROM train_tok GROUP BY label, bucket
+    ),
+    label_tot AS (
+        SELECT label, SUM(c) AS tot FROM counts GROUP BY label
+    ),
+    model AS (
+        SELECT l.label, b.bucket,
+               CAST(floor((ln(COALESCE(c.c, 0) + 1.0)
+                           - ln(t.tot + {_NB_B}.0)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS qlp
+        FROM labels l
+        CROSS JOIN (SELECT unnest(generate_series(0, {_NB_B - 1}))
+                    AS bucket) b
+        LEFT JOIN counts c ON c.label = l.label AND c.bucket = b.bucket
+        JOIN label_tot t ON t.label = l.label
+    ),
+    prior AS (
+        SELECT ld.label,
+               CAST(floor((ln(COUNT(*) + 1.0)
+                           - ln(nt.n + kl.k + 0.0)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS qprior
+        FROM labeled ld
+        CROSS JOIN (SELECT COUNT(*) AS n FROM labeled
+                    WHERE doc_id % 5 <> 0) nt
+        CROSS JOIN (SELECT COUNT(*) AS k FROM labels) kl
+        WHERE ld.doc_id % 5 <> 0
+        GROUP BY ld.label, nt.n, kl.k
+    ),
+    test_docs AS (
+        SELECT doc_id, label AS actual FROM labeled WHERE doc_id % 5 = 0
+    ),
+    tok_scores AS (
+        SELECT tk.doc_id, m.label, SUM(m.qlp) AS s
+        FROM tok tk JOIN model m ON m.bucket = tk.bucket
+        WHERE tk.doc_id % 5 = 0
+        GROUP BY tk.doc_id, m.label
+    ),
+    doc_scores AS (
+        SELECT td.doc_id, td.actual, p.label,
+               p.qprior + COALESCE(ts.s, 0) AS score
+        FROM test_docs td
+        CROSS JOIN prior p
+        LEFT JOIN tok_scores ts
+               ON ts.doc_id = td.doc_id AND ts.label = p.label
+    ),
+    pred AS (
+        SELECT doc_id, actual, label AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM doc_scores
+    )
+    SELECT actual, predicted, COUNT(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY actual, predicted
+    """.format(label_case=_LANG_CASE),
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions import text as TT
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", TT.lang_id(F.col("text")).alias("label")
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    tok = docs.select(
+        "doc_id",
+        "label",
+        F.explode(toks).alias("w"),
+    ).select(
+        "doc_id",
+        "label",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("nb:"), F.col("w"))), 1, 4),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_NB_B),
+        ).alias("bucket"),
+    )
+    train_tok = tok.filter(F.col("doc_id") % 5 != 0)
+    labels = (
+        docs.filter(F.col("doc_id") % 5 != 0).select("label").distinct()
+    )
+    counts = train_tok.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    label_tot = counts.groupBy("label").agg(F.sum("c").alias("tot"))
+    buckets = spark.range(_NB_B).select(F.col("id").alias("bucket"))
+    q = lambda col: F.floor(col * 1000000.0 + 0.5).cast("long")  # noqa: E731
+    model = (
+        labels.crossJoin(buckets)
+        .join(counts, ["label", "bucket"], "left")
+        .join(label_tot, "label")
+        .select(
+            "label",
+            "bucket",
+            q(
+                F.log(F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                - F.log(F.col("tot") + float(_NB_B))
+            ).alias("qlp"),
+        )
+    )
+    n_train = docs.filter(F.col("doc_id") % 5 != 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k_labels = labels.agg(F.count(F.lit(1)).alias("k"))
+    prior = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .join(F.broadcast(n_train))
+        .join(F.broadcast(k_labels))
+        .select(
+            "label",
+            q(
+                F.log(F.col("nl") + 1.0)
+                - F.log(F.col("n") + F.col("k") + 0.0)
+            ).alias("qprior"),
+        )
+    )
+    test_docs = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("label").alias("actual")
+    )
+    tok_scores = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .join(
+            F.broadcast(
+                model.select(F.col("label").alias("m_label"), "bucket", "qlp")
+            ),
+            "bucket",
+        )
+        .groupBy("doc_id", "m_label")
+        .agg(F.sum("qlp").alias("s"))
+    )
+    doc_scores = (
+        test_docs.crossJoin(
+            F.broadcast(prior.select(F.col("label").alias("m_label"), "qprior"))
+        )
+        .join(tok_scores, ["doc_id", "m_label"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            F.col("m_label").alias("label"),
+            (F.col("qprior") + F.coalesce(F.col("s"), F.lit(0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "label"
+    )
+    pred = (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("label").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -1191,3 +1191,64 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph — the "dense boilerplate
+# cluster" detector: a 2-core keeps only documents that sit in cycles/
+# cliques of near-duplication (chains and isolated pairs peel away).
+# Shares the cached near-dup edge list with the other graph queries.
+# The oracle replays every peel round in MATERIALIZED CTEs — a
+# structurally different formulation that must land on the same
+# surviving subgraph and degrees.
+# ---------------------------------------------------------------------------
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_rounds_sql(rounds: int, k: int) -> str:
+    parts = [
+        """
+    edges0 AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    keep{r} AS MATERIALIZED (
+        SELECT s FROM (
+            SELECT s, COUNT(*) AS deg FROM edges{r - 1} GROUP BY s
+        ) WHERE deg >= {k}
+    ),
+    edges{r} AS MATERIALIZED (
+        SELECT e.s, e.d FROM edges{r - 1} e
+        JOIN keep{r} a ON e.s = a.s
+        JOIN keep{r} b ON e.d = b.s
+    )"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "kcore_near_dup",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + ","
+    + _kcore_rounds_sql(_KCORE_ROUNDS, _KCORE_K)
+    + f"""
+    SELECT s AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM edges{_KCORE_ROUNDS} GROUP BY s
+    """,
+)
+def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import kcore
+
+    pairs = _near_dup_pairs(spark, sf_dir)
+    return kcore(
+        pairs, "id_a", "id_b", k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).select(F.col("node").alias("doc_id"), "degree")
