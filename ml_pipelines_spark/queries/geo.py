@@ -102,3 +102,107 @@ def geo_nearest_city(spark: SparkSession, sf_dir: str) -> DataFrame:
         "city_id",
         (F.floor(F.col("d2") * 1000000.0 + 0.5) / 1000000.0).alias("d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite): bucket points into fixed grid
+# cells, keep cells with >= MIN_PTS points, merge adjacent dense cells
+# (8-neighborhood) into clusters via connected components. The heavy
+# pass is ONE groupBy of points onto cell keys; everything after runs
+# on the dense-cell dimension (bounded by the grid, not the data), so
+# the adjacency self-join and the iterative merge cost nothing at
+# 100 TB. Oracle: recursive-CTE closure over the same adjacency — a
+# structurally different formulation of the merge.
+# ---------------------------------------------------------------------------
+_DB_CELL = 10.0
+_DB_MIN_PTS = 2
+
+
+@query(
+    "grid_density_clusters",
+    f"""
+    WITH RECURSIVE pts AS (
+        SELECT DISTINCT user_id,
+               {_coord_sql('lat', 'user_id', 120000, 60)} AS lat,
+               {_coord_sql('lon', 'user_id', 360000, 180)} AS lon
+        FROM events
+    ),
+    cells AS (
+        SELECT CAST(floor(lat / {_DB_CELL}) AS BIGINT) AS cx,
+               CAST(floor(lon / {_DB_CELL}) AS BIGINT) AS cy,
+               COUNT(*) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT (cx + 200) * 1000 + (cy + 200) AS id, cx, cy, n
+        FROM cells WHERE n >= {_DB_MIN_PTS}
+    ),
+    edges AS (
+        SELECT a.id AS s, b.id AS d
+        FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.id <> b.id
+    ),
+    reach(n, r) AS (
+        SELECT id, id FROM dense
+        UNION
+        SELECT reach.n, e.d FROM reach JOIN edges e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS id, MIN(r) AS cluster FROM reach GROUP BY n)
+    SELECT comp.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(dense.n) AS BIGINT) AS n_points
+    FROM comp JOIN dense USING (id)
+    GROUP BY comp.cluster
+    """,
+)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pts = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            _coord_col("lat", F.col("user_id"), 120000, 60).alias("lat"),
+            _coord_col("lon", F.col("user_id"), 360000, 180).alias("lon"),
+        )
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / _DB_CELL).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _DB_CELL).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = cells.filter(F.col("n") >= _DB_MIN_PTS).select(
+        ((F.col("cx") + 200) * 1000 + (F.col("cy") + 200)).alias("id"),
+        "cx",
+        "cy",
+        "n",
+    )
+    a = dense.select(F.col("id").alias("id_a"), "cx", "cy")
+    b = dense.select(
+        F.col("id").alias("id_b"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    # dense-cell dimension: broadcast both sides of the adjacency join
+    edges = (
+        a.join(
+            F.broadcast(b),
+            (F.abs(F.col("cx") - F.col("bx")) <= 1)
+            & (F.abs(F.col("cy") - F.col("by")) <= 1)
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, "id_a", "id_b").select(
+        F.col("node").alias("id"), "component"
+    )
+    clustered = dense.join(comp, "id", "left").select(
+        "id",
+        "n",
+        F.coalesce("component", "id").alias("cluster"),
+    )
+    return clustered.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+    )

@@ -299,3 +299,118 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kth.select(
         "event_type", F.round(est, 4).alias("kmv_est")
     ).join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day distinct users via HLL register MERGE — the pattern
+# that makes sketches worth their salt at scale: per-day register
+# tables (tiny, mergeable state) are combined across a sliding window
+# WITHOUT re-touching the event stream. Merge-by-max is implemented as
+# a scatter: each (day, bucket, m_j) register row contributes to the 7
+# window endpoints it covers (a bounded ×7 fan-out of a
+# days×256-row table), then one groupBy takes the max per (end_day,
+# bucket) — no sparse-day RANGE-frame pitfalls, no window at all.
+# Restricting output to OBSERVED days keeps both engines on the same
+# row set. Estimates use the identical alpha/linear-counting form as
+# portable_hll_users; n_events rides along as an exact cross-engine
+# anchor for each day.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_distinct_users_hll",
+    f"""
+    WITH h AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                   AS bucket,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 15))::BIGINT
+                   AS w
+        FROM events
+    ),
+    r AS (
+        SELECT d, bucket,
+               MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - len(bin(w)) END) AS m_j
+        FROM h GROUP BY d, bucket
+    ),
+    scattered AS (
+        SELECT unnest(generate_series(d, d + 6)) AS end_d, bucket, m_j
+        FROM r
+    ),
+    merged AS (
+        SELECT end_d, bucket, MAX(m_j) AS m_j
+        FROM scattered GROUP BY end_d, bucket
+    ),
+    obs AS (SELECT d AS end_d, COUNT(*) AS n_events FROM h GROUP BY d),
+    p AS (
+        SELECT m.end_d, COUNT(*) AS v,
+               SUM(power(2.0, -m.m_j)) AS s_present
+        FROM merged m JOIN obs USING (end_d)
+        GROUP BY m.end_d
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(p.end_d AS INTEGER), '%Y-%m-%d')
+               AS day,
+           CAST(p.v AS BIGINT) AS v,
+           ROUND(CASE WHEN (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M}
+                           * {_HLL_M} / (p.s_present + ({_HLL_M} - p.v))
+                           <= 2.5 * {_HLL_M} AND p.v < {_HLL_M}
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                         / ({_HLL_M} - p.v))
+                      ELSE (0.7213 / (1 + 1.079 / {_HLL_M})) * {_HLL_M}
+                           * {_HLL_M} / (p.s_present + ({_HLL_M} - p.v))
+                      END, 4) AS rolling_users_est,
+           CAST(obs.n_events AS BIGINT) AS n_events
+    FROM p JOIN obs USING (end_d)
+    """,
+)
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(61)).otherwise(61 - F.length(F.bin(w)))
+    base = ev.select(
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("d"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+    regs = base.groupBy("d", "bucket").agg(F.max("rho").alias("m_j"))
+    scattered = regs.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("end_d"),
+        "bucket",
+        "m_j",
+    )
+    merged = scattered.groupBy("end_d", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    obs = base.groupBy(F.col("d").alias("end_d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    per = (
+        merged.join(F.broadcast(obs.select("end_d")), "end_d")
+        .groupBy("end_d")
+        .agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s_present"),
+        )
+    )
+    m = float(_HLL_M)
+    raw = (
+        (0.7213 / (1 + 1.079 / _HLL_M)) * m * m
+        / (F.col("s_present") + (m - F.col("v")))
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v") < _HLL_M),
+        m * F.log(F.lit(m) / (m - F.col("v"))),
+    ).otherwise(raw)
+    return (
+        per.join(F.broadcast(obs), "end_d")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("end_d").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.col("v").cast("long").alias("v"),
+            F.round(est, 4).alias("rolling_users_est"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
