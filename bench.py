@@ -217,6 +217,31 @@ HEADLINE = [
     "video_scene_cuts",
     # grouped aggregate vs global-scalar threshold (TPC-H Q11 shape)
     "q11_important_stock",
+    # --- round 7 additions ---
+    # interval sweep line as a two-phase distributed scan
+    "peak_concurrency",
+    # seasonal-naive vs naive-1 MAE backtest on day-aligned joins
+    "seasonal_naive_forecast",
+    # BM25 over a literal term set (codegen tf arrays + corpus broadcast)
+    "bm25_top_docs",
+    # reciprocal-rank fusion of BM25 and embedding-cosine rankings
+    "rrf_hybrid_search",
+    # PMI collocations (fixed-order ln sums of exact counts)
+    "pmi_bigrams",
+    # per-key count-distribution diagnostics for the hot join keys
+    "skew_report_keys",
+    # md5 5-fold assignment summarized per (fold, lang)
+    "stratified_kfold_assign",
+    # k-core peel of the near-dup graph (shared edge cache)
+    "kcore_near_dup",
+    # within-basket item-item cosine/lift neighborhood build
+    "item_item_cosine",
+    # naive-Bayes distillation of the rule-based lang_id annotator
+    "naive_bayes_langid",
+    # trailing-7-day distinct via HLL register scatter-merge
+    "rolling_distinct_users_hll",
+    # DBSCAN-lite dense-cell clustering on the grid dimension
+    "grid_density_clusters",
 ]
 
 RUNS = 3

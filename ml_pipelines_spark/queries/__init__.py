@@ -66,6 +66,30 @@ from . import recsys  # noqa: E402,F401
 # tests/test_oracle_parity.py runs ALL registered queries against DuckDB
 # with the same hash compare every pytest run.
 #
+# Round-7 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: q11_important_stock (registered
+#     after the round-6 window sealed) plus the TWELVE queries new this
+#     round (sweep-line peak concurrency, seasonal-naive backtest, BM25,
+#     RRF hybrid search, PMI collocations, join-key skew report,
+#     stratified k-fold, k-core, item-item CF cosine, naive-Bayes
+#     annotator distillation, rolling HLL merge, grid-density
+#     clustering).
+# (b) rule 2 — code touched this round: geo_nearest_city (the
+#     longitude-cell coverage fix changed operator AND oracle);
+#     pagerank_near_dup re-evidences the swap_cache session-scoping
+#     change through the shared cached edge list.
+# (c) the flagship.
+# (d) rule 4 — 34 slots, oldest evidence first: the ten r2-evidenced
+#     scalar/relational queries, then the r3 streaming/multimodal/
+#     mixture/packing families and the r3 dedup/similarity remainder.
+#     Still waiting (round 8 leads): the r3 window/geometry/udaf/asof
+#     block (window_lag, last_per_key, interp_gap_fill, forward_fill,
+#     rolling_avg_value, seg_bbox, aabb_poly, yolo_norm, rbb_from_seg,
+#     track_interpolation, grouped_quantile_udaf, asof_join_events,
+#     range_join_events, sequence_pack_docs, pack_bins_ffd,
+#     validate_lineitem, profile_orders, top_sources), then the r4
+#     relational/splits/kmeans families.
+#
 # Round-6 window, filled by the standing schedule:
 # (a) rule 1 — never driver-checked: the three late-round-5
 #     registrations plus the rows-only sketch query, then the SIXTEEN
@@ -100,64 +124,62 @@ from . import recsys  # noqa: E402,F401
 #     the (a) note above.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    # (a) rule 1: never driver-checked (4 from round 5, 22 new)
-    "pca_project_embeddings",
-    "quality_classifier_scores",
-    "entity_resolution_suppliers",
-    "approx_distinct_users_sketch",
-    "kmv_distinct_users",
-    "q10_returned_items",
-    "q7_volume_shipping",
-    "basket_brand_rules",
-    "ewma_daily_value",
-    "mad_outlier_docs",
-    "triangle_count_near_dup",
-    "training_shard_manifest",
-    "quantile_normalize_lengths",
-    "pareto_front_docs",
-    "audio_fingerprint_near_dup",
-    "knn_label_agreement",
-    "containment_pairs_docs",
-    "label_prop_communities",
-    "cube_pricing",
-    "q8_market_share",
-    "stream_session_replay",
-    "geo_nearest_city",
-    "rfm_segments",
-    "activity_streaks",
-    "classifier_calibration",
-    "neyman_allocation_sample",
-    "q9_profit_nation_year",
-    "q13_order_count_distribution",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_late_sole_supplier",
-    "q22_idle_balance",
-    "range_frame_weekly",
-    "zipf_slope_by_source",
+    # (a) rule 1: never driver-checked (1 carryover + 12 new this round)
+    "q11_important_stock",
+    "peak_concurrency",
+    "seasonal_naive_forecast",
+    "bm25_top_docs",
+    "rrf_hybrid_search",
+    "pmi_bigrams",
+    "skew_report_keys",
+    "stratified_kfold_assign",
+    "kcore_near_dup",
+    "item_item_cosine",
+    "naive_bayes_langid",
+    "rolling_distinct_users_hll",
+    "grid_density_clusters",
     # (b) rule 2: implementation or oracle changed this round
-    "near_dup_components",
-    "near_dup_keep_docs",
+    "geo_nearest_city",
     "pagerank_near_dup",
-    "ngram_jaccard_pairs",
-    "logreg_quality_train",
-    "pca_top_component",
-    "curate_corpus_v2",
     # (c) flagship
     "q1_pricing_summary",
-    # (a-late) rule 1 continued: queries registered after the window
-    # was first sealed this round — never-checked outranks rule 4's
-    # stale-but-green r1/r2 entries, so these take the last six slots;
-    # q11_important_stock (the single remaining never-checked query)
-    # plus the ten r1/r2-evidenced and the r5 carryover lead round 7.
-    "near_dup_keep_best",
-    "mixed_lang_docs",
-    "ab_test_zscores",
-    "label_centroid_similarity",
-    "attribution_last_touch",
-    "video_scene_cuts",
+    # (d) rule 4: oldest driver evidence first — the ten r2-evidenced
+    "filter_isin",
+    "filter_eq",
+    "distinct_keys",
+    "count_per_group",
+    "regex_extract",
+    "filename_normalize",
+    "json_extract",
+    "scalar_funcs",
+    "array_restructure",
+    "union_all",
+    # (d) rule 4 continued: r3 streaming/multimodal/mixture/packing
+    "session_window",
+    "tumbling_window",
+    "sliding_window",
+    "image_meta_decode",
+    "image_exif_normalize",
+    "audio_frame_features",
+    "epoch_repeat_docs",
+    "token_budget_per_source",
+    "training_order_docs",
+    "mixture_temperature_sample",
+    "lm_perplexity_docs",
+    "chunk_documents",
+    "pii_redact_docs",
+    "decontaminate_train",
+    # (d) rule 4 continued: r3 dedup/similarity remainder
+    "dedup_exact_docs",
+    "minhash_signature",
+    "simhash_docs",
+    "simhash_near_dup",
+    "knn_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "embedding_centroids",
+    "ann_quantized_topk",
 ]
 
 
