@@ -358,3 +358,45 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .select(F.col("s").alias("node"), "degree")
     )
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    sources: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any source vertex,
+    explored for a fixed ``rounds`` hops (nodes further than that are
+    absent from the output — the bounded-radius semantics a SQL twin
+    can replay). ``sources`` is a one-column frame of seed vertex ids.
+
+    Each round relaxes the frontier through one edge join and re-mins —
+    Pregel-lite like pagerank/label_propagation, with the per-round
+    frame truncated (localCheckpoint) so round t+1 doesn't replay
+    rounds 1..t. The distance frame never exceeds |V| rows.
+    """
+    src = sources.toDF("n").distinct()
+    sym = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionAll(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # seeds outside the edge set still have distance 0 to themselves
+    dist = src.select("n", F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        hop = (
+            dist.join(sym, dist["n"] == sym["s"])
+            .select(F.col("d").alias("n"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(hop)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("n").alias("node"), "dist")

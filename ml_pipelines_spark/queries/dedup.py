@@ -1252,3 +1252,57 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(
         pairs, "id_a", "id_b", k=_KCORE_K, rounds=_KCORE_ROUNDS
     ).select(F.col("node").alias("doc_id"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS distances over the near-dup graph — "how many hops
+# of near-duplication separate a document from a known-bad seed set"
+# (the contamination-radius question). Seeds are the graph vertices
+# with doc_id % 10 == 0; exploration is a fixed 6 hops so the oracle's
+# recursive walk replays the same bounded radius. Shares the cached
+# edge list with the other five graph queries.
+# ---------------------------------------------------------------------------
+_BFS_ROUNDS = 6
+
+
+@query(
+    "bfs_hops_near_dup",
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _CAPPED_PAIRS.format(cap=DEFAULT_MAX_DOC_FREQ)
+    + f""",
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    seeds AS (SELECT n FROM nodes WHERE n % 10 = 0),
+    walk(n, dist) AS (
+        SELECT n, 0 FROM seeds
+        UNION
+        SELECT e.d, walk.dist + 1
+        FROM walk JOIN edges e ON e.s = walk.n
+        WHERE walk.dist < {_BFS_ROUNDS}
+    )
+    SELECT n AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
+    FROM walk GROUP BY n
+    """,
+)
+def bfs_hops_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import bfs_distances
+
+    pairs = _near_dup_pairs(spark, sf_dir)
+    nodes = (
+        pairs.select(F.col("id_a").alias("n"))
+        .unionAll(pairs.select(F.col("id_b").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("n") % 10 == 0)
+    return bfs_distances(
+        pairs, seeds, "id_a", "id_b", rounds=_BFS_ROUNDS
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("dist").cast("long").alias("hops"),
+    )

@@ -155,11 +155,10 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orders (v1: keys %5<>0; v2: %7<>0 with price+1 on %3; v3: %11<>0 with
 # status->'X' on %2). Value-checks run segmentation, gap-closure
 # (delete/reappear), valid_from/valid_to chaining, and is_current.
+# The CTE block is shared with temporal_join_scd2 below.
 # ---------------------------------------------------------------------------
-@query(
-    "scd2_orders_history",
-    """
-    WITH s1 AS (
+_SCD2_CTES = """
+    s1 AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders WHERE o_orderkey % 5 <> 0
     ),
@@ -195,18 +194,32 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, SUM(new_run) OVER (PARTITION BY o_orderkey ORDER BY version
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         FROM seq
-    )
-    SELECT o_orderkey,
-           MIN(o_orderstatus) AS o_orderstatus,
-           ROUND(MIN(o_totalprice), 2) AS o_totalprice,
-           CAST(MIN(version) AS INT) AS valid_from,
-           CAST(CASE WHEN MAX(version) < 3 THEN MAX(version) + 1 END AS INT)
-               AS valid_to,
-           MAX(version) = 3 AS is_current
-    FROM runs GROUP BY o_orderkey, run
+    ),
+    hist AS (
+        SELECT o_orderkey,
+               MIN(o_orderstatus) AS o_orderstatus,
+               MIN(o_totalprice) AS o_totalprice,
+               CAST(MIN(version) AS INT) AS valid_from,
+               CAST(CASE WHEN MAX(version) < 3 THEN MAX(version) + 1 END
+                    AS INT) AS valid_to,
+               MAX(version) = 3 AS is_current
+        FROM runs GROUP BY o_orderkey, run
+    )"""
+
+
+@query(
+    "scd2_orders_history",
+    "WITH"
+    + _SCD2_CTES
+    + """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           valid_from, valid_to, is_current
+    FROM hist
     """,
 )
-def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_history_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared three-generation SCD2 history (see _SCD2_CTES)."""
     from ..operators.diff import scd2_build
 
     orders = t(spark, sf_dir, "orders").select(
@@ -226,11 +239,15 @@ def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("o_totalprice", bump)
     )
-    hist = scd2_build(
+    return scd2_build(
         [(1, s1), (2, s2), (3, s3)],
         keys=["o_orderkey"],
         tracked_cols=["o_orderstatus", "o_totalprice"],
     )
+
+
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _scd2_history_df(spark, sf_dir)
     return hist.select(
         "o_orderkey",
         "o_orderstatus",
@@ -295,3 +312,73 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) dimension join — the query SCD2 history
+# exists FOR: each fact carries a transaction version (here a
+# deterministic l_linenumber-derived version) and must join the
+# dimension attributes that were valid AT THAT VERSION, not the current
+# ones. Validity intervals per key are disjoint, so the join is a plain
+# hash equi-join on the key with the interval predicate evaluated
+# in-stage — each fact matches at most one history row; facts whose
+# order was absent at their version (deleted / not yet present) surface
+# under 'MISSING' instead of silently dropping. Revenue is summed in
+# exact integer cents.
+# ---------------------------------------------------------------------------
+@query(
+    "temporal_join_scd2",
+    "WITH"
+    + _SCD2_CTES
+    + """,
+    facts AS (
+        SELECT l_orderkey, (l_linenumber % 3) + 1 AS v,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    joined AS (
+        SELECT COALESCE(h.o_orderstatus, 'MISSING') AS status_at_version,
+               f.cents
+        FROM facts f
+        LEFT JOIN hist h
+          ON h.o_orderkey = f.l_orderkey
+         AND h.valid_from <= f.v
+         AND (h.valid_to IS NULL OR f.v < h.valid_to)
+    )
+    SELECT status_at_version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM joined GROUP BY status_at_version
+    """,
+)
+def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _scd2_history_df(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "valid_from", "valid_to"
+    )
+    facts = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_linenumber") % 3 + 1).alias("v"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + 0.5
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    joined = facts.join(
+        hist,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("valid_from") <= F.col("v"))
+        & (F.col("valid_to").isNull() | (F.col("v") < F.col("valid_to"))),
+        "left",
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("MISSING")).alias(
+            "status_at_version"
+        ),
+        "cents",
+    )
+    return joined.groupBy("status_at_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
