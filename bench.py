@@ -242,6 +242,12 @@ HEADLINE = [
     "rolling_distinct_users_hll",
     # DBSCAN-lite dense-cell clustering on the grid dimension
     "grid_density_clusters",
+    # bounded-radius multi-source BFS over the near-dup graph
+    "bfs_hops_near_dup",
+    # point-in-time SCD2 dimension join (exact-cents revenue by version)
+    "temporal_join_scd2",
+    # deterministic Poisson bootstrap CI (B partials in one pass)
+    "bootstrap_ci_mean",
 ]
 
 RUNS = 3

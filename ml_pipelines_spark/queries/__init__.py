@@ -176,10 +176,18 @@ _CHECK_FIRST = [
     "simhash_near_dup",
     "knn_bruteforce",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "embedding_centroids",
-    "ann_quantized_topk",
+    # (a/b-late) registered after the round-7 window was first sealed —
+    # rule 1 (bfs_hops_near_dup, temporal_join_scd2, bootstrap_ci_mean)
+    # and rule 2 (scd2_orders_history: its oracle was re-composed around
+    # the shared _SCD2_CTES block and its body refactored through
+    # _scd2_history_df). These displace the four oldest rule-4 tail
+    # entries (ann_ivf_topk, embedding_near_dup, embedding_centroids,
+    # ann_quantized_topk), which lead round 8's rule 4 together with the
+    # r3 window/geometry/udaf/asof block.
+    "bfs_hops_near_dup",
+    "temporal_join_scd2",
+    "bootstrap_ci_mean",
+    "scd2_orders_history",
 ]
 
 

@@ -528,3 +528,112 @@ def skew_report_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_skew_report(li, "lineitem", "l_partkey"))
         .unionAll(_skew_report(li, "lineitem", "l_suppkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed bootstrap CI — Poisson(1) bootstrap of the mean order
+# value: each of B=32 resamples draws every row's multiplicity from a
+# DETERMINISTIC md5 uniform pushed through the Poisson inverse CDF
+# (literal thresholds), so both engines materialize identical
+# resamples — no RNG state, retry-safe, and the resample means are
+# ratios of exact integer cents. The fan-out is explode(1..B) with
+# map-side partial aggregation into B groups; the CI is an exact
+# percentile over the B-row mean table. This is the bootstrap shape
+# that works at 100 TB: B scans' worth of partials in one pass, never
+# B shuffles of the data.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+# Poisson(1) CDF thresholds for multiplicities 0..7
+_POIS_CDF = [
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+]
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {thr!r} THEN {k}"
+        for k, thr in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+@query(
+    "bootstrap_ci_mean",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    fanned AS (
+        SELECT b.b, base.o_orderkey, base.cents,
+               ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
+                                   || CAST(base.o_orderkey AS VARCHAR)),
+                               1, 6))::BIGINT / 16777216.0 AS u
+        FROM base
+        CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
+    ),
+    resamples AS (
+        SELECT b, SUM({_pois_case_sql('u')} * cents) AS w_cents,
+               SUM({_pois_case_sql('u')}) AS w_n
+        FROM fanned GROUP BY b
+    ),
+    means AS (
+        SELECT b, w_cents / (w_n * 100.0) AS mean_value FROM resamples
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           ROUND(AVG(mean_value), 4) AS boot_mean,
+           ROUND(quantile_cont(mean_value, 0.05), 4) AS ci_lo,
+           ROUND(quantile_cont(mean_value, 0.95), 4) AS ci_hi
+    FROM means
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    fanned = base.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "o_orderkey",
+        "cents",
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0,
+    )
+    mult = F.lit(8)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        mult = F.when(F.col("u") < _POIS_CDF[k], F.lit(k)).otherwise(mult)
+    resamples = fanned.select("b", "cents", mult.alias("m")).groupBy(
+        "b"
+    ).agg(
+        F.sum(F.col("m") * F.col("cents")).alias("w_cents"),
+        F.sum("m").alias("w_n"),
+    )
+    means = resamples.select(
+        (F.col("w_cents") / (F.col("w_n") * 100.0)).alias("mean_value")
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.round(F.avg("mean_value"), 4).alias("boot_mean"),
+        F.round(F.percentile("mean_value", F.lit(0.05)), 4).alias("ci_lo"),
+        F.round(F.percentile("mean_value", F.lit(0.95)), 4).alias("ci_hi"),
+    )

@@ -15,79 +15,53 @@ def test_check_first_is_the_window():
     assert len(_CHECK_FIRST) == 50
 
 
-def test_window_covers_round6_priorities():
-    # Round-6 window contract: rule 1 (never driver-checked — the three
-    # late-round-5 registrations, the rows-only sketch, and every query
-    # new this round), rule 2 (code/oracle touched this round), the
-    # flagship, and the oldest-evidence rule-4 block led by the ten
-    # r1/r2-evidenced queries whose driver rows are four rounds stale.
-    never_checked_entering_r6 = [
-        "pca_project_embeddings",
-        "quality_classifier_scores",
-        "entity_resolution_suppliers",
-        "approx_distinct_users_sketch",
-    ]
-    new_this_round = [
-        "kmv_distinct_users",
-        "q10_returned_items",
-        "q7_volume_shipping",
-        "basket_brand_rules",
-        "ewma_daily_value",
-        "mad_outlier_docs",
-        "triangle_count_near_dup",
-        "training_shard_manifest",
-        "quantile_normalize_lengths",
-        "pareto_front_docs",
-        "audio_fingerprint_near_dup",
-        "knn_label_agreement",
-        "containment_pairs_docs",
-        "label_prop_communities",
-        "cube_pricing",
-        "q8_market_share",
-        "stream_session_replay",
-        "geo_nearest_city",
-        "rfm_segments",
-        "activity_streaks",
-        "classifier_calibration",
-        "neyman_allocation_sample",
-        "q9_profit_nation_year",
-        "q13_order_count_distribution",
-        "q16_supplier_variety",
-        "q17_small_qty_revenue",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q21_late_sole_supplier",
-        "q22_idle_balance",
-        "range_frame_weekly",
-        "zipf_slope_by_source",
+def test_window_covers_round7_priorities():
+    # Round-7 window contract: rule 1 (never driver-checked — the one
+    # round-6 late registration plus every query new this round), rule 2
+    # (code/oracle touched this round: the geo coverage fix, the
+    # swap_cache session-scoping representative, and the SCD2 oracle
+    # re-composition), the flagship, and the oldest-evidence rule-4
+    # block (the ten r2-evidenced queries plus r3 families).
+    never_checked = [
+        "q11_important_stock",
+        "peak_concurrency",
+        "seasonal_naive_forecast",
+        "bm25_top_docs",
+        "rrf_hybrid_search",
+        "pmi_bigrams",
+        "skew_report_keys",
+        "stratified_kfold_assign",
+        "kcore_near_dup",
+        "item_item_cosine",
+        "naive_bayes_langid",
+        "rolling_distinct_users_hll",
+        "grid_density_clusters",
+        "bfs_hops_near_dup",
+        "temporal_join_scd2",
+        "bootstrap_ci_mean",
     ]
     touched_this_round = [
-        "near_dup_components",
-        "near_dup_keep_docs",
+        "geo_nearest_city",
         "pagerank_near_dup",
-        "ngram_jaccard_pairs",
-        "logreg_quality_train",
-        "pca_top_component",
-        "curate_corpus_v2",
+        "scd2_orders_history",
     ]
-    # Rule 1 fills 42 slots this round (including the six queries
-    # registered after the window was first sealed), so rule 4 carries
-    # nothing; the stale r1/r2 queries lead round 7's rule 4 together
-    # with q11_important_stock.
-    late_registrations = [
-        "near_dup_keep_best",
-        "mixed_lang_docs",
-        "ab_test_zscores",
-        "label_centroid_similarity",
-        "attribution_last_touch",
-        "video_scene_cuts",
+    oldest_evidence = [
+        "filter_isin",
+        "filter_eq",
+        "distinct_keys",
+        "count_per_group",
+        "regex_extract",
+        "filename_normalize",
+        "json_extract",
+        "scalar_funcs",
+        "array_restructure",
+        "union_all",
     ]
     must_be_checked = (
-        never_checked_entering_r6
-        + new_this_round
+        never_checked
         + touched_this_round
         + ["q1_pricing_summary"]
-        + late_registrations
+        + oldest_evidence
     )
     window = set(list(QUERIES)[:50])
     missing = [n for n in must_be_checked if n not in window]
