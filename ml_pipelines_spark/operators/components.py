@@ -39,9 +39,15 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of the node's component.
 
-    Raises if the fixpoint isn't reached in ``max_iter`` rounds (at the
-    default 25 that would mean a component with diameter > 25 — for
-    near-dup clustering, a sign the threshold is far too loose).
+    Each round combines one neighbor relaxation with one POINTER-JUMP
+    (label := label of label), so convergence is O(log diameter) rather
+    than O(diameter) — a path graph of 10^6 nodes settles in ~20 rounds
+    instead of 10^6. The jump is one extra join against the label table
+    itself, the same exchange size as the relaxation.
+
+    Raises if the fixpoint isn't reached in ``max_iter`` rounds — with
+    shortcutting that would mean a component of diameter beyond ~2^25,
+    i.e. a pathological input, not a big one.
     """
     # Materialize the base pair list BEFORE symmetrizing: each union
     # branch otherwise re-evaluates the whole upstream pair-generation
@@ -66,12 +72,25 @@ def connected_components(
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        relaxed = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: labels are node ids, so follow one hop through
+        # the label table itself (label := min(label, label-of-label))
+        lbl_map = relaxed.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            relaxed.join(
+                lbl_map, relaxed["label"] == lbl_map["l_node"], "left"
+            )
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("l_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
