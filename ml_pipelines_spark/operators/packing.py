@@ -210,7 +210,14 @@ def write_training_shards(
         bin_col="shard_id",
         group_expr=group_expr,
     )
-    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    # One task (and hence one file) per shard: without this, every
+    # upstream partition writes a sliver into every shard directory
+    # (partitions × shards small files). Shards are token-budgeted by
+    # construction, so a shard is always a bounded single file — exactly
+    # the sequential-read layout the training loader wants.
+    assigned.repartition("shard_id").write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(path)
     spark = df.sparkSession
     written = spark.read.parquet(path)
     lead = order_cols[0]

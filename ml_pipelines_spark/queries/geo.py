@@ -157,8 +157,6 @@ _DB_MIN_PTS = 2
     """,
 )
 def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import connected_components
-
     pts = (
         t(spark, sf_dir, "events")
         .select("user_id")
@@ -178,30 +176,36 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cy",
         "n",
     )
-    a = dense.select(F.col("id").alias("id_a"), "cx", "cy")
-    b = dense.select(
-        F.col("id").alias("id_b"),
-        F.col("cx").alias("bx"),
-        F.col("cy").alias("by"),
+    # The dense-cell table is bounded by the GRID (<= (120/cell) ×
+    # (360/cell) rows — 432 at these constants), not by the data, so the
+    # 8-neighborhood merge is a driver-side union-find over a
+    # geometry-bounded dimension — the same collect class as a k-row
+    # k-means center collect. The heavy, data-sized pass stays the one
+    # points→cells groupBy above; an iterative distributed CC here spent
+    # ~10 Spark jobs merging a few hundred rows.
+    rows = dense.select("id", "cx", "cy").collect()
+    bycell = {(r["cx"], r["cy"]): r["id"] for r in rows}
+    parent = {i: i for i in bycell.values()}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy), i in bycell.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j = bycell.get((cx + dx, cy + dy))
+                if j is not None:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+    label = {i: find(i) for i in parent}
+    mapping = spark.createDataFrame(
+        [(i, c) for i, c in label.items()], "id long, cluster long"
     )
-    # dense-cell dimension: broadcast both sides of the adjacency join
-    edges = (
-        a.join(
-            F.broadcast(b),
-            (F.abs(F.col("cx") - F.col("bx")) <= 1)
-            & (F.abs(F.col("cy") - F.col("by")) <= 1)
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(edges, "id_a", "id_b").select(
-        F.col("node").alias("id"), "component"
-    )
-    clustered = dense.join(comp, "id", "left").select(
-        "id",
-        "n",
-        F.coalesce("component", "id").alias("cluster"),
-    )
+    clustered = dense.join(F.broadcast(mapping), "id")
     return clustered.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("n").cast("long").alias("n_points"),

@@ -533,10 +533,15 @@ def skew_report_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Distributed bootstrap CI — Poisson(1) bootstrap of the mean order
 # value: each of B=32 resamples draws every row's multiplicity from a
-# DETERMINISTIC md5 uniform pushed through the Poisson inverse CDF
+# DETERMINISTIC uniform pushed through the Poisson inverse CDF
 # (literal thresholds), so both engines materialize identical
 # resamples — no RNG state, retry-safe, and the resample means are
-# ratios of exact integer cents. The fan-out is explode(1..B) with
+# ratios of exact integer cents. Uniforms: ONE md5 per row (48-bit h)
+# fanned into B lattice draws u_b = (h·(2b+1) + 7919b) mod 2^24 — an
+# odd multiplier is a bijection mod 2^24, so every per-b marginal is
+# exactly uniform over the hash values; draws for the same row are
+# correlated across b (multiplicative lattice), a documented tradeoff
+# that makes the fan-out ~9x cheaper than one md5 per (row, b). The fan-out is explode(1..B) with
 # map-side partial aggregation into B groups; the CI is an exact
 # percentile over the B-row mean table. This is the bootstrap shape
 # that works at 100 TB: B scans' worth of partials in one pass, never
@@ -566,12 +571,17 @@ def _pois_case_sql(u: str) -> str:
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         FROM orders
     ),
-    fanned AS (
-        SELECT b.b, base.o_orderkey, base.cents,
-               ('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':'
-                                   || CAST(base.o_orderkey AS VARCHAR)),
-                               1, 6))::BIGINT / 16777216.0 AS u
+    hashed AS (
+        SELECT o_orderkey, cents,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                   ::BIGINT AS h
         FROM base
+    ),
+    fanned AS (
+        SELECT b.b, hashed.cents,
+               ((hashed.h * (2 * b.b + 1) + 7919 * b.b) % 16777216)
+                   / 16777216.0 AS u
+        FROM hashed
         CROSS JOIN (SELECT unnest(generate_series(1, {_BOOT_B})) AS b) b
     ),
     resamples AS (
@@ -596,27 +606,26 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    fanned = base.select(
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
-        "o_orderkey",
+    hashed = base.select(
         "cents",
-    ).withColumn(
-        "u",
         F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                6,
-            ),
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
             16,
             10,
-        ).cast("long")
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    fanned = hashed.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "cents",
+        "h",
+    ).withColumn(
+        "u",
+        F.pmod(
+            F.col("h") * (2 * F.col("b") + 1) + 7919 * F.col("b"),
+            F.lit(16777216),
+        )
         / 16777216.0,
     )
     mult = F.lit(8)
