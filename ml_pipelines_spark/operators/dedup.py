@@ -324,6 +324,57 @@ def minhash_lsh_pairs(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0")
+    candidates = minhash_lsh_candidates(
+        df, id_col, text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k,
+    )
+    # Exact verify on candidates only: semi-join the *documents* down to
+    # colliding ids, then re-shingle just those — shingling runs over the
+    # collided fraction, not the corpus, and the big (id, shingle)
+    # explode is never shuffled whole.
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    docs_c = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).join(cand_ids, "id", "left_semi")
+    sh_c = shingle_sets(docs_c, "id", "__text", shingle_k)
+    inter = (
+        sh_c.alias("sa")
+        .join(candidates, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sh_c.alias("sb"),
+            (F.col("sb.id") == F.col("id_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # threshold > 0, so zero-intersection candidates can never qualify —
+    # the inner intersection join IS the final pair set.
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a, id_b, size_a, size_b) BEFORE
+    exact verification — the raw collision set, persisted. Exposed
+    separately so recall/precision of the banding itself can be
+    measured against exact ground truth (dedup_recall_eval); the plan
+    is stages 1-2 of ``minhash_lsh_pairs``'s docstring."""
     rows_per_band = num_perm // bands
     sh = shingle_sets(df, id_col, text_col, shingle_k)
     # sizes + signature in one shuffle: min((a_i·h + b_i) mod p) per
@@ -370,38 +421,7 @@ def minhash_lsh_pairs(
         # signature → self-join pipeline per branch.
         .persist()
     )
-    # Exact verify on candidates only: semi-join the *documents* down to
-    # colliding ids, then re-shingle just those — shingling runs over the
-    # collided fraction, not the corpus, and the big (id, shingle)
-    # explode is never shuffled whole.
-    cand_ids = candidates.select(
-        F.explode(F.array("id_a", "id_b")).alias("id")
-    ).distinct()
-    docs_c = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
-    ).join(cand_ids, "id", "left_semi")
-    sh_c = shingle_sets(docs_c, "id", "__text", shingle_k)
-    inter = (
-        sh_c.alias("sa")
-        .join(candidates, F.col("sa.id") == F.col("id_a"))
-        .join(
-            sh_c.alias("sb"),
-            (F.col("sb.id") == F.col("id_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    # threshold > 0, so zero-intersection candidates can never qualify —
-    # the inner intersection join IS the final pair set.
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return candidates
 
 
 # ---------------------------------------------------------------------------

@@ -1306,3 +1306,98 @@ def bfs_hops_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("dist").cast("long").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality evaluation — recall and precision of the banded-LSH
+# CANDIDATE stage against exact ground truth, as a query: n_true (exact
+# Jaccard >= T pairs, capped construction), n_cand (raw band
+# collisions, before verification), n_hit (their intersection), and
+# the derived recall/precision. This is the QA report every LSH
+# deployment owes its users: verification makes final precision 1.0 by
+# construction, so the numbers that matter are candidate recall (what
+# the banding can ever find) and candidate precision (how much exact
+# verification work the collisions buy). All ratios of exact BIGINTs.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_recall_eval",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + ", "
+    + _SIG_CTE
+    + f"""
+    , keyed AS (SELECT doc_id, {_BAND_KEYS} FROM sig),
+    banded AS ({_BAND_UNION}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM ex GROUP BY shingle),
+    kept AS (
+        SELECT e.doc_id, list(e.shingle) AS s
+        FROM ex e JOIN dfq USING (shingle)
+        WHERE dfq.dfreq <= {DEFAULT_MAX_DOC_FREQ}
+        GROUP BY e.doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {JACCARD_T}
+    ),
+    hit AS (
+        SELECT COUNT(*) AS n FROM cand
+        WHERE EXISTS (SELECT 1 FROM truth t
+                      WHERE t.id_a = cand.id_a AND t.id_b = cand.id_b)
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           hit.n AS n_hit,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0.0
+                 ELSE hit.n * 1.0 / (SELECT COUNT(*) FROM truth) END, 6)
+               AS cand_recall,
+           ROUND(CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN 0.0
+                 ELSE hit.n * 1.0 / (SELECT COUNT(*) FROM cand) END, 6)
+               AS cand_precision
+    FROM hit
+    """,
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_candidates
+
+    docs = t(spark, sf_dir, "documents")
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", threshold=JACCARD_T, shingle_k=3
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_k=3
+    ).select("id_a", "id_b")
+    hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.join(n_cand)
+        .join(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.when(F.col("n_true") == 0, 0.0).otherwise(
+                    F.col("n_hit") * 1.0 / F.col("n_true")
+                ),
+                6,
+            ).alias("cand_recall"),
+            F.round(
+                F.when(F.col("n_cand") == 0, 0.0).otherwise(
+                    F.col("n_hit") * 1.0 / F.col("n_cand")
+                ),
+                6,
+            ).alias("cand_precision"),
+        )
+    )

@@ -646,3 +646,61 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mean_value", F.lit(0.05)), 4).alias("ci_lo"),
         F.round(F.percentile("mean_value", F.lit(0.95)), 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — the ANALYZE-stats primitive: 10 bins of
+# (approximately) equal row count over o_totalprice, bounded by exact
+# decile edges (F.percentile == quantile_cont on both engines, proven
+# by exact_percentiles). Edges come from ONE percentile aggregate
+# broadcast back; bin assignment is a codegen comparison chain. The
+# per-bin count + exact-cents sum value-check that assignment and
+# boundary tie-handling (right-closed except the last bin) agree.
+# ---------------------------------------------------------------------------
+_HIST_BINS = 10
+
+
+@query(
+    "histogram_equi_depth",
+    f"""
+    WITH edges AS (
+        SELECT {', '.join(f"quantile_cont(o_totalprice, {i / _HIST_BINS}) AS e{i}" for i in range(1, _HIST_BINS))}
+        FROM orders
+    ),
+    binned AS (
+        SELECT CASE
+               {' '.join(f"WHEN o_totalprice <= e{i} THEN {i - 1}" for i in range(1, _HIST_BINS))}
+               ELSE {_HIST_BINS - 1} END AS bin,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders CROSS JOIN edges
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM binned GROUP BY bin
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(i / _HIST_BINS)).alias(
+                f"e{i}"
+            )
+            for i in range(1, _HIST_BINS)
+        ]
+    )
+    bin_col = F.lit(_HIST_BINS - 1)
+    for i in range(_HIST_BINS - 1, 0, -1):
+        bin_col = F.when(
+            F.col("o_totalprice") <= F.col(f"e{i}"), F.lit(i - 1)
+        ).otherwise(bin_col)
+    binned = orders.join(F.broadcast(edges)).select(
+        bin_col.alias("bin"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

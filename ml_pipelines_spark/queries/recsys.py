@@ -129,3 +129,135 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the co-purchase graph — rank item pairs that
+# were NEVER co-bought (no qualifying edge) by the Jaccard of their
+# co-purchase neighborhoods: the "customers who bought these also
+# bought..." candidate generator. Co-occurrence graphs are wedge-rich
+# (hub items), which is exactly why the candidate set comes from a
+# WEDGE join (two edges sharing a midpoint, Σ deg² bounded) and never
+# an all-pairs scan; degree counts broadcast back, known edges drop
+# via an anti join, scores are exact integer ratios.
+# (The near-dup document graph was tried first and is clique-shaped at
+# every threshold on this corpus — zero open wedges — so the predictor
+# lives here, where the structure actually exists.)
+# ---------------------------------------------------------------------------
+@query(
+    "link_prediction_copurchase",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    co AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MIN_CO}
+    ),
+    edges AS (
+        SELECT x AS s, y AS d FROM co
+        UNION ALL
+        SELECT y AS s, x AS d FROM co
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s),
+    wedges AS (
+        SELECT e1.d AS a, e2.d AS b, COUNT(*) AS cn
+        FROM edges e1 JOIN edges e2
+          ON e1.s = e2.s AND e1.d < e2.d
+        GROUP BY e1.d, e2.d
+    ),
+    cand AS (
+        SELECT w.a, w.b, w.cn, da.deg AS deg_a, db.deg AS deg_b
+        FROM wedges w
+        JOIN deg da ON da.s = w.a
+        JOIN deg db ON db.s = w.b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM co WHERE co.x = w.a AND co.y = w.b
+        )
+    )
+    SELECT a AS item_a, b AS item_b, CAST(cn AS BIGINT) AS common_nbrs,
+           ROUND(cn * 1.0 / (deg_a + deg_b - cn), 6) AS jaccard_nbr,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(cn * 1.0 / (deg_a + deg_b - cn), 6) DESC,
+                        a, b) AS INT) AS rank
+    FROM cand
+    QUALIFY rank <= 20
+    """,
+)
+def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b2 = baskets.select("l_orderkey", F.col("l_partkey").alias("y"))
+    co = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("x"))
+        .join(b2, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _MIN_CO)
+    )
+    edges = co.select(F.col("x").alias("s"), F.col("y").alias("d")).unionAll(
+        co.select(F.col("y").alias("s"), F.col("x").alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select("s", F.col("d").alias("a"))
+    e2 = edges.select("s", F.col("d").alias("b"))
+    wedges = (
+        e1.join(e2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_edges = wedges.join(
+        co,
+        (F.col("a") == F.col("x")) & (F.col("b") == F.col("y")),
+        "left_anti",
+    )
+    cand = (
+        non_edges.join(
+            F.broadcast(
+                deg.select(F.col("s").alias("a"), F.col("deg").alias("deg_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("s").alias("b"), F.col("deg").alias("deg_b"))
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn") * 1.0
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                6,
+            ).alias("jaccard_nbr"),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard_nbr").desc(), "a", "b")
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("jaccard_nbr").desc(), "a", "b"
+    )
+    return (
+        cand.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= 20)
+        .drop("__lr")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("cn").cast("long").alias("common_nbrs"),
+            "jaccard_nbr",
+            "rank",
+        )
+    )

@@ -199,3 +199,80 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("n") - F.col("fn"))) / F.count(F.lit(1)), 5
         ).alias("mae_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point flags — cumulative sum of (daily count − global
+# daily mean) per event type; a day is flagged when |cusum| crosses
+# k·sigma. Everything is derived from exact integer daily counts: the
+# mean and sigma are ratios/roots of exact sums computed ONCE (one-row
+# broadcast), and the running sum lives on the tiny type×day dimension
+# (the heavy pass is the events→daily groupBy). The cusum recursion is
+# a prefix sum — a per-type window over epoch days, not state.
+# ---------------------------------------------------------------------------
+_CUSUM_K = 3.0
+
+
+@query(
+    "cusum_change_points",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, AVG(n) AS mu,
+               sqrt(AVG(n * n) - AVG(n) * AVG(n)) AS sigma
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT daily.event_type, d, n,
+               SUM(n - mu) OVER (PARTITION BY daily.event_type ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS c,
+               sigma
+        FROM daily JOIN stats USING (event_type)
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + CAST(d AS INTEGER), '%Y-%m-%d')
+               AS day,
+           CAST(n AS BIGINT) AS n,
+           ROUND(c, 6) + 0.0 AS cusum,
+           abs(c) > {_CUSUM_K} * sigma AS flagged
+    FROM cusum
+    """,
+)
+def cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("n") * F.col("n"))
+            - F.avg("n") * F.avg("n")
+        ).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "c", F.sum(F.col("n") - F.col("mu")).over(w)
+    )
+    return cusum.select(
+        "event_type",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("n").cast("long").alias("n"),
+        (F.round("c", 6) + 0.0).alias("cusum"),
+        (F.abs("c") > _CUSUM_K * F.col("sigma")).alias("flagged"),
+    )
