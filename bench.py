@@ -248,6 +248,14 @@ HEADLINE = [
     "temporal_join_scd2",
     # deterministic Poisson bootstrap CI (B partials in one pass)
     "bootstrap_ci_mean",
+    # per-type CUSUM change-point flags on the daily dimension
+    "cusum_change_points",
+    # ANALYZE-style equi-depth histogram (percentile edges broadcast)
+    "histogram_equi_depth",
+    # common-neighbor Jaccard link prediction on the co-purchase graph
+    "link_prediction_copurchase",
+    # candidate-stage recall/precision QA of the banded LSH
+    "dedup_recall_eval",
 ]
 
 RUNS = 3

@@ -175,15 +175,22 @@ _CHECK_FIRST = [
     "simhash_docs",
     "simhash_near_dup",
     "knn_bruteforce",
-    "ann_lsh_topk",
+    # rule 2 (late): the minhash candidate stage was factored out as
+    # minhash_lsh_candidates for dedup_recall_eval — minhash_near_dup
+    # re-evidences the refactored pairs path, displacing ann_lsh_topk
+    # (r3-stale, unchanged code) to round 8 rule 4.
+    "minhash_near_dup",
     # (a/b-late) registered after the round-7 window was first sealed —
     # rule 1 (bfs_hops_near_dup, temporal_join_scd2, bootstrap_ci_mean)
     # and rule 2 (scd2_orders_history: its oracle was re-composed around
     # the shared _SCD2_CTES block and its body refactored through
     # _scd2_history_df). These displace the four oldest rule-4 tail
     # entries (ann_ivf_topk, embedding_near_dup, embedding_centroids,
-    # ann_quantized_topk), which lead round 8's rule 4 together with the
-    # r3 window/geometry/udaf/asof block.
+    # ann_quantized_topk), which lead round 8's rule 4 together with
+    # ann_lsh_topk and the r3 window/geometry/udaf/asof block. Round-8
+    # rule 1: cusum_change_points, histogram_equi_depth,
+    # link_prediction_copurchase, dedup_recall_eval (registered after
+    # this window sealed).
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

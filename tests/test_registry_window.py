@@ -44,6 +44,7 @@ def test_window_covers_round7_priorities():
         "geo_nearest_city",
         "pagerank_near_dup",
         "scd2_orders_history",
+        "minhash_near_dup",
     ]
     oldest_evidence = [
         "filter_isin",
