@@ -291,3 +291,56 @@ def test_range_frame_weekly_bounded_exchanges(spark, sf_dir):
     plan = _plan(QUERIES["range_frame_weekly"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert "Exchange SinglePartition, ENSURE_REQUIREMENTS" not in plan
+
+
+def test_bm25_no_explode_single_scan(spark, sf_dir):
+    # Term frequencies for the literal query-term set are codegen array
+    # expressions — no token explode, no Generate node, and exactly one
+    # pass over documents feeding both the per-doc stats and the
+    # one-row corpus aggregate (two scans total in the physical plan:
+    # stats side and corpus side of the broadcast).
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["bm25_top_docs"](spark, sf_dir))
+    assert "Generate" not in plan, f"unexpected explode:\n{plan}"
+    scans = len(re.findall(r"Scan parquet .*documents", plan))
+    assert scans <= 2, f"expected <=2 documents scans, got {scans}"
+
+
+def test_item_item_counts_are_broadcast(spark, sf_dir):
+    # The pair aggregate joins item counts and the basket total by
+    # BROADCAST — a regression to shuffled joins doubles the exchanges
+    # on a dictionary-sized side.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["item_item_cosine"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)) >= 3, plan
+
+
+def test_bootstrap_single_md5_per_row(spark, sf_dir):
+    # The lattice scheme computes ONE md5 per base row; the fan-out
+    # carries only integer arithmetic. A regression to per-(row, b)
+    # hashing shows as md5 applied after the Generate (explode).
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["bootstrap_ci_mean"](spark, sf_dir))
+    gen_pos = plan.find("Generate")
+    md5_pos = plan.rfind("md5")
+    assert gen_pos != -1 and md5_pos != -1
+    # physical plans print top-down: the md5 projection must sit BELOW
+    # (later in the string than) the explode that consumes it
+    assert md5_pos > gen_pos, f"md5 above the explode:\n{plan}"
+
+
+def test_peak_concurrency_windows_partitioned_by_day(spark, sf_dir):
+    # Phase 1 must be a day-partitioned window; the only unpartitioned
+    # window runs over the per-day totals dimension. Guard: no window
+    # whose partition spec is empty consumes the exploded delta stream
+    # (heuristic: at most 2 Window nodes, and the plan keeps a
+    # broadcast join for the carry-in offsets).
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["peak_concurrency"](spark, sf_dir))
+    windows = len(re.findall(r"\bWindow\b", plan))
+    assert windows <= 2, f"expected <=2 Window nodes, got {windows}"
+    assert "BroadcastHashJoin" in plan, plan
