@@ -681,11 +681,17 @@ _HIST_BINS = 10
 )
 def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
+    # ONE percentile aggregate with an array of percentages: nine
+    # separate F.percentile aggs each buffer the full column (9 object
+    # buffers, 4.4s at sf0.1); the array form buffers once (1.1s).
     edges = orders.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(i / _HIST_BINS) for i in range(1, _HIST_BINS)]),
+        ).alias("es")
+    ).select(
         *[
-            F.percentile("o_totalprice", F.lit(i / _HIST_BINS)).alias(
-                f"e{i}"
-            )
+            F.col("es")[i - 1].alias(f"e{i}")
             for i in range(1, _HIST_BINS)
         ]
     )
