@@ -256,6 +256,8 @@ HEADLINE = [
     "link_prediction_copurchase",
     # candidate-stage recall/precision QA of the banded LSH
     "dedup_recall_eval",
+    # recall@k of each ANN variant vs exact top-k (one row per method)
+    "ann_recall_eval",
 ]
 
 RUNS = 3

@@ -1006,3 +1006,68 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the QA report every approximate index owes
+# its users (the vector-search twin of dedup_recall_eval): recall@k of
+# each ANN variant (single-bucket LSH, multiprobe LSH, int8-quantized
+# scan) against the exact brute-force top-k, one row per method. The
+# oracle COMPOSES the already-value-checked constructions of the
+# underlying queries (each CTE body is that query's registered oracle),
+# so the evaluation measures exactly what the individual queries
+# return. Hits are integer set intersections; recall is an exact ratio.
+# ---------------------------------------------------------------------------
+def _ann_eval_sql() -> str:
+    from .registry import ORACLES
+
+    exact = ORACLES["knn_bruteforce"]
+    methods = {
+        "lsh": ORACLES["ann_lsh_topk"],
+        "multiprobe": ORACLES["ann_multiprobe_topk"],
+        "quantized": ORACLES["ann_quantized_topk"],
+    }
+    parts = []
+    for name, sql in methods.items():
+        parts.append(
+            f"""
+    SELECT '{name}' AS method,
+           (SELECT COUNT(*) FROM ({sql}) a
+            WHERE a.vec_id IN (SELECT vec_id FROM ({exact}))) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM ({sql}) a
+                  WHERE a.vec_id IN (SELECT vec_id FROM ({exact})))
+                 * 1.0 / {K}, 6) AS recall_at_k"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("ann_recall_eval", _ann_eval_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ann_multiprobe_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    exact = knn_bruteforce(emb, QUERY_VEC, k=K).select("vec_id")
+    methods = {
+        "lsh": ann_lsh_topk(emb, QUERY_VEC, k=K, planes=PLANES),
+        "multiprobe": ann_multiprobe_topk(emb, QUERY_VEC, k=K, planes=PLANES),
+        "quantized": quantized_topk(quantize_embeddings(emb), QUERY_VEC, k=K),
+    }
+    out = None
+    for name, df in methods.items():
+        row = (
+            df.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).alias("n_hit"),
+                F.round(F.count(F.lit(1)) * 1.0 / K, 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
