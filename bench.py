@@ -258,6 +258,10 @@ HEADLINE = [
     "dedup_recall_eval",
     # recall@k of each ANN variant vs exact top-k (one row per method)
     "ann_recall_eval",
+    # PSI distribution-drift monitor (numeric deciles + categorical)
+    "psi_drift_orders",
+    # exponential half-life popularity ranking (quantized weights)
+    "decayed_popularity",
 ]
 
 RUNS = 3

@@ -189,8 +189,9 @@ _CHECK_FIRST = [
     # ann_quantized_topk), which lead round 8's rule 4 together with
     # ann_lsh_topk and the r3 window/geometry/udaf/asof block. Round-8
     # rule 1: cusum_change_points, histogram_equi_depth,
-    # link_prediction_copurchase, dedup_recall_eval, ann_recall_eval
-    # (registered after this window sealed).
+    # link_prediction_copurchase, dedup_recall_eval, ann_recall_eval,
+    # psi_drift_orders, decayed_popularity (registered after this
+    # window sealed).
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

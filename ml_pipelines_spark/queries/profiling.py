@@ -710,3 +710,168 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift report — the standard "did the
+# distribution move" monitor between a reference and a current sample
+# (here the deterministic even/odd o_orderkey halves): numeric PSI over
+# o_totalprice binned by REFERENCE deciles, categorical PSI over
+# o_orderpriority's literal classes. Per-bin proportions are ratios of
+# exact integer counts (+0.5 smoothing per bin so empty bins stay
+# finite); each PSI is a FIXED-ORDER sum of per-bin (p−q)·ln(p/q)
+# terms built from pivoted one-row aggregates, so no float summation
+# order exists anywhere. One scan per feature; edges broadcast.
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _psi_term_sql(p: str, q: str) -> str:
+    return f"(({p}) - ({q})) * ln(({p}) / ({q}))"
+
+
+def _psi_numeric_sql() -> str:
+    edges = ", ".join(
+        f"quantile_cont(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END,"
+        f" {i / _PSI_BINS}) AS e{i}"
+        for i in range(1, _PSI_BINS)
+    )
+    bin_case = " ".join(
+        f"WHEN o_totalprice <= e{i} THEN {i - 1}"
+        for i in range(1, _PSI_BINS)
+    )
+    counts = ", ".join(
+        f"SUM(CASE WHEN bin = {b} AND ref THEN 1 ELSE 0 END) AS r{b}, "
+        f"SUM(CASE WHEN bin = {b} AND NOT ref THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(_PSI_BINS)
+    )
+    terms = " + ".join(
+        _psi_term_sql(
+            f"(r{b} + 0.5) / (nr + {_PSI_BINS * 0.5})",
+            f"(c{b} + 0.5) / (nc + {_PSI_BINS * 0.5})",
+        )
+        for b in range(_PSI_BINS)
+    )
+    return f"""
+        SELECT 'o_totalprice' AS feature,
+               ROUND({terms}, 6) AS psi,
+               CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur
+        FROM (
+            SELECT {counts},
+                   SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS nr,
+                   SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS nc
+            FROM (
+                SELECT o_orderkey % 2 = 0 AS ref,
+                       CASE {bin_case} ELSE {_PSI_BINS - 1} END AS bin
+                FROM orders CROSS JOIN (SELECT {edges} FROM orders)
+            )
+        )
+    """
+
+
+def _psi_cat_sql() -> str:
+    k = len(_PRIORITIES)
+    counts = ", ".join(
+        f"SUM(CASE WHEN o_orderpriority = '{p}' AND o_orderkey % 2 = 0"
+        f" THEN 1 ELSE 0 END) AS r{b}, "
+        f"SUM(CASE WHEN o_orderpriority = '{p}' AND o_orderkey % 2 <> 0"
+        f" THEN 1 ELSE 0 END) AS c{b}"
+        for b, p in enumerate(_PRIORITIES)
+    )
+    terms = " + ".join(
+        _psi_term_sql(
+            f"(r{b} + 0.5) / (nr + {k * 0.5})",
+            f"(c{b} + 0.5) / (nc + {k * 0.5})",
+        )
+        for b in range(k)
+    )
+    return f"""
+        SELECT 'o_orderpriority' AS feature,
+               ROUND({terms}, 6) AS psi,
+               CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur
+        FROM (
+            SELECT {counts},
+                   SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS nr,
+                   SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS nc
+            FROM orders
+        )
+    """
+
+
+@query(
+    "psi_drift_orders",
+    _psi_numeric_sql() + " UNION ALL " + _psi_cat_sql(),
+)
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ref = F.col("o_orderkey") % 2 == 0
+    # numeric feature: reference-decile bins
+    edges = orders.agg(
+        F.percentile(
+            F.when(ref, F.col("o_totalprice")),
+            F.array(
+                *[F.lit(i / _PSI_BINS) for i in range(1, _PSI_BINS)]
+            ),
+        ).alias("es")
+    ).select(
+        *[F.col("es")[i - 1].alias(f"e{i}") for i in range(1, _PSI_BINS)]
+    )
+    bin_col = F.lit(_PSI_BINS - 1)
+    for i in range(_PSI_BINS - 1, 0, -1):
+        bin_col = F.when(
+            F.col("o_totalprice") <= F.col(f"e{i}"), F.lit(i - 1)
+        ).otherwise(bin_col)
+    binned = orders.join(F.broadcast(edges)).select(
+        ref.alias("ref"), bin_col.alias("bin")
+    )
+    aggs = []
+    for b in range(_PSI_BINS):
+        aggs.append(
+            F.sum(
+                F.when((F.col("bin") == b) & F.col("ref"), 1).otherwise(0)
+            ).alias(f"r{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("bin") == b) & ~F.col("ref"), 1).otherwise(0)
+            ).alias(f"c{b}")
+        )
+    aggs.append(F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("nr"))
+    aggs.append(F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("nc"))
+    num_row = binned.agg(*aggs)
+
+    def psi_expr(n_bins: int) -> F.Column:
+        total = None
+        for b in range(n_bins):
+            p = (F.col(f"r{b}") + 0.5) / (F.col("nr") + n_bins * 0.5)
+            q = (F.col(f"c{b}") + 0.5) / (F.col("nc") + n_bins * 0.5)
+            term = (p - q) * F.log(p / q)
+            total = term if total is None else total + term
+        return total
+
+    num = num_row.select(
+        F.lit("o_totalprice").alias("feature"),
+        F.round(psi_expr(_PSI_BINS), 6).alias("psi"),
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+    )
+    # categorical feature: literal class bins
+    cat_aggs = []
+    for b, pri in enumerate(_PRIORITIES):
+        m = F.col("o_orderpriority") == pri
+        cat_aggs.append(
+            F.sum(F.when(m & ref, 1).otherwise(0)).alias(f"r{b}")
+        )
+        cat_aggs.append(
+            F.sum(F.when(m & ~ref, 1).otherwise(0)).alias(f"c{b}")
+        )
+    cat_aggs.append(F.sum(F.when(ref, 1).otherwise(0)).alias("nr"))
+    cat_aggs.append(F.sum(F.when(~ref, 1).otherwise(0)).alias("nc"))
+    cat = orders.agg(*cat_aggs).select(
+        F.lit("o_orderpriority").alias("feature"),
+        F.round(psi_expr(len(_PRIORITIES)), 6).alias("psi"),
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+    )
+    return num.unionAll(cat)

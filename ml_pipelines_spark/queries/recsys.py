@@ -261,3 +261,94 @@ def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity — exponential half-life ranking ("trending
+# parts"): each lineitem contributes exp(−ln2·age_days/30), so a sale
+# 30 days before the corpus horizon counts half. Each per-row weight is
+# QUANTIZED to integer nano-units before the sum (the established
+# idiom), so per-part scores are exact BIGINT sums — no float
+# summation-order risk — and the horizon is a one-row broadcast
+# aggregate, never a driver scalar. Two-phase top-20.
+# ---------------------------------------------------------------------------
+_HALF_LIFE_DAYS = 30.0
+
+
+@query(
+    "decayed_popularity",
+    f"""
+    WITH mx AS (
+        SELECT MAX(date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', l_shipdate) AS DATE)))
+                   AS horizon
+        FROM lineitem
+    ),
+    w AS (
+        SELECT l_partkey,
+               CAST(floor(exp(-0.6931471805599453
+                              * (mx.horizon
+                                 - date_diff('day', DATE '1970-01-01',
+                                     CAST(date_trunc('day', l_shipdate)
+                                          AS DATE)))
+                              / {_HALF_LIFE_DAYS}) * 1000000000.0 + 0.5)
+                    AS BIGINT) AS qw
+        FROM lineitem CROSS JOIN mx
+    ),
+    scored AS (
+        SELECT l_partkey, SUM(qw) AS qscore, COUNT(*) AS n_sales
+        FROM w GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(qscore AS BIGINT) AS decayed_nano,
+           CAST(n_sales AS BIGINT) AS n_sales,
+           CAST(ROW_NUMBER() OVER (ORDER BY qscore DESC, l_partkey)
+                AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.unix_date(F.to_date(F.date_trunc("day", "l_shipdate"))).alias(
+            "d"
+        ),
+    )
+    mx = li.agg(F.max("d").alias("horizon"))
+    qw = (
+        F.floor(
+            F.exp(
+                -0.6931471805599453
+                * (F.col("horizon") - F.col("d"))
+                / _HALF_LIFE_DAYS
+            )
+            * 1000000000.0
+            + 0.5
+        )
+    ).cast("long")
+    scored = (
+        li.join(F.broadcast(mx))
+        .select("l_partkey", qw.alias("qw"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("qw").alias("qscore"),
+            F.count(F.lit(1)).alias("n_sales"),
+        )
+    )
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("qscore").desc(), "l_partkey"
+    )
+    w = Window.orderBy(F.col("qscore").desc(), "l_partkey")
+    return (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= 20)
+        .drop("__lr")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "l_partkey",
+            F.col("qscore").cast("long").alias("decayed_nano"),
+            F.col("n_sales").cast("long").alias("n_sales"),
+            "rank",
+        )
+    )
