@@ -216,10 +216,23 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    # Default (finite) max_doc_freq — the oracle mirrors the cap.
-    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=JACCARD_T, shingle_k=3)
+    pairs = _jaccard_pairs_08(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+def _jaccard_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 pairs (default cap) — the ground-truth set
+    shared by ngram_jaccard_pairs and dedup_recall_eval; one shingle
+    self-join per (session, sf) via the swap_cache warm boundary."""
+    from .registry import swap_cache
+
+    docs = t(spark, sf_dir, "documents")
+    # Default (finite) max_doc_freq — the oracles mirror the cap.
+    return swap_cache(
+        "dedup.jaccard_pairs_08",
+        sf_dir,
+        jaccard_pairs(docs, "doc_id", "text", threshold=JACCARD_T, shingle_k=3),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1370,9 +1383,7 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_candidates
 
     docs = t(spark, sf_dir, "documents")
-    truth = jaccard_pairs(
-        docs, "doc_id", "text", threshold=JACCARD_T, shingle_k=3
-    ).select("id_a", "id_b")
+    truth = _jaccard_pairs_08(spark, sf_dir).select("id_a", "id_b")
     cand = minhash_lsh_candidates(
         docs, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_k=3
     ).select("id_a", "id_b")
