@@ -302,6 +302,11 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every log-probability is QUANTIZED to integer micro-units before any
 # sum, so per-document scores are exact BIGINTs and the argmax can't
 # flip on float summation order; ties break to the smaller label.
+# Plan note: the declarative form re-scans documents for each consumer
+# (tokenized stream ×2, priors, test ids — 8 scans at this size); at
+# 100 TB the (doc_id, label, bucket) token table is written once as a
+# parquet boundary and every model/score pass reads that, the same
+# materialization boundary the graph queries use.
 # ---------------------------------------------------------------------------
 _NB_B = 256
 
