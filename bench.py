@@ -262,6 +262,8 @@ HEADLINE = [
     "psi_drift_orders",
     # exponential half-life popularity ranking (quantized weights)
     "decayed_popularity",
+    # what a 2h watermark drops under 24h-bounded arrival disorder
+    "watermark_lateness_audit",
 ]
 
 RUNS = 3

@@ -547,3 +547,104 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit — BEFORE committing to a watermark delay, a
+# pipeline owner wants to know what that delay would DROP under a
+# realistic out-of-order arrival. Arrival = event time + a
+# deterministic md5 jitter of 0..24 hours (bounded disorder, the
+# real shape of late data); the replay splits at arrival day 15, the
+# 2-hour watermark advances off batch 1's max EVENT time (Spark's
+# rule: the watermark gating batch 2 derives from data seen before
+# it), and the report counts batch-2 rows per event type that fall
+# behind it — the rows a 2-hour delay would silently drop given
+# up-to-24-hour disorder. Pure batch arithmetic on exact integers and
+# timestamps; the stream-engine equivalence of the watermark rule is
+# pinned by the streaming tests, this query is the capacity-planning
+# report.
+# ---------------------------------------------------------------------------
+_WM_DELAY_MIN = 120
+_WM_JITTER_MIN = 1440
+
+
+@query(
+    "watermark_lateness_audit",
+    f"""
+    WITH arr AS (
+        SELECT event_id, ts, event_type,
+               ts + to_minutes(
+                   ('0x' || substr(md5('jit:' || CAST(event_id AS VARCHAR)),
+                                   1, 4))::BIGINT % {_WM_JITTER_MIN})
+                   AS arrival
+        FROM events
+    ),
+    split AS (
+        SELECT MIN(arrival) + INTERVAL 15 DAY AS split_at FROM arr
+    ),
+    tagged AS (
+        SELECT arr.*, arr.arrival < split.split_at AS in_batch1
+        FROM arr CROSS JOIN split
+    ),
+    wm AS (
+        SELECT MAX(ts) - INTERVAL {_WM_DELAY_MIN} MINUTE AS watermark
+        FROM tagged WHERE in_batch1
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN NOT in_batch1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_batch2,
+           CAST(SUM(CASE WHEN NOT in_batch1 AND ts < wm.watermark
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(SUM(CASE WHEN NOT in_batch1 AND ts < wm.watermark
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(SUM(CASE WHEN NOT in_batch1 THEN 1 ELSE 0 END),
+                            1), 6) AS late_share,
+           strftime(MAX(wm.watermark), '%Y-%m-%d %H:%M:%S') AS watermark
+    FROM tagged CROSS JOIN wm
+    GROUP BY event_type
+    """,
+)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jit:"), F.col("event_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _WM_JITTER_MIN
+    )
+    arr = ev.withColumn(
+        "arrival",
+        F.col("ts")
+        + (jitter * F.expr("INTERVAL 1 MINUTE")),
+    )
+    split = arr.agg(
+        (F.min("arrival") + F.expr("INTERVAL 15 DAYS")).alias("split_at")
+    )
+    tagged = arr.join(F.broadcast(split)).withColumn(
+        "in_batch1", F.col("arrival") < F.col("split_at")
+    )
+    wm = tagged.filter("in_batch1").agg(
+        (
+            F.max("ts") - F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTES")
+        ).alias("watermark")
+    )
+    joined = tagged.join(F.broadcast(wm))
+    b2 = F.when(~F.col("in_batch1"), 1).otherwise(0)
+    late = F.when(
+        ~F.col("in_batch1") & (F.col("ts") < F.col("watermark")), 1
+    ).otherwise(0)
+    return joined.groupBy("event_type").agg(
+        F.sum(b2).cast("long").alias("n_batch2"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.round(
+            F.sum(late) * 1.0 / F.greatest(F.sum(b2), F.lit(1)), 6
+        ).alias("late_share"),
+        F.date_format(F.max("watermark"), "yyyy-MM-dd HH:mm:ss").alias(
+            "watermark"
+        ),
+    )
