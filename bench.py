@@ -264,6 +264,8 @@ HEADLINE = [
     "decayed_popularity",
     # what a 2h watermark drops under 24h-bounded arrival disorder
     "watermark_lateness_audit",
+    # single-feature ablation importance (5 margins, one agg pass)
+    "feature_ablation_importance",
 ]
 
 RUNS = 3

@@ -190,8 +190,9 @@ _CHECK_FIRST = [
     # ann_lsh_topk and the r3 window/geometry/udaf/asof block. Round-8
     # rule 1: cusum_change_points, histogram_equi_depth,
     # link_prediction_copurchase, dedup_recall_eval, ann_recall_eval,
-    # psi_drift_orders, decayed_popularity, watermark_lateness_audit
-    # (registered after this window sealed).
+    # psi_drift_orders, decayed_popularity, watermark_lateness_audit,
+    # feature_ablation_importance (registered after this window
+    # sealed).
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

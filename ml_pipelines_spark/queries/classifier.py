@@ -499,3 +499,103 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-ablation importance — which feature carries the classifier:
+# train the 8-step schedule once, then score the corpus under the full
+# weight vector AND under each single-feature ablation (that weight
+# zeroed), all five hit counts in ONE aggregation pass (five margin
+# expressions over the same cached row). Importance = exact-integer
+# accuracy drop (hits_full − hits_ablated)/n. The oracle re-trains the
+# 8 steps (shared _logreg_ctes) and re-derives every margin variant.
+# ---------------------------------------------------------------------------
+def _ablation_margin_sql(skip: int) -> str:
+    return " + ".join(
+        f"w.w{j}*x{j}" for j in range(_NF) if j != skip
+    )
+
+
+def _ablation_sql() -> str:
+    ctes = _logreg_ctes(_SCORE_ITERS, _SCORE_LR)
+    hit = (
+        lambda m, alias: f"SUM(CASE WHEN (CASE WHEN ({m}) >= 0 THEN 1.0 ELSE 0.0 END) = y"
+        f" THEN 1 ELSE 0 END) AS {alias}"
+    )
+    sums = [hit(_margin_sql("w"), "h_full")] + [
+        hit(_ablation_margin_sql(j), f"h_{j}") for j in range(_NF)
+    ]
+    ctes.append(
+        f"""hits AS MATERIALIZED (
+        SELECT {', '.join(sums)}, COUNT(*) AS n
+        FROM f, w{_SCORE_ITERS} w
+    )"""
+    )
+    finals = [
+        "SELECT 'full' AS ablated, CAST(h_full AS BIGINT) AS hits,"
+        " CAST(n AS BIGINT) AS n_docs,"
+        " ROUND(h_full * 1.0 / n, 6) AS accuracy,"
+        " ROUND(0.0, 6) AS importance FROM hits"
+    ]
+    for j, term in enumerate(_TERMS):
+        finals.append(
+            f"SELECT '{term}' AS ablated, CAST(h_{j} AS BIGINT) AS hits,"
+            f" CAST(n AS BIGINT) AS n_docs,"
+            f" ROUND(h_{j} * 1.0 / n, 6) AS accuracy,"
+            f" ROUND((h_full - h_{j}) * 1.0 / n, 6) AS importance"
+            " FROM hits"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(finals)
+    )
+
+
+@query("feature_ablation_importance", _ablation_sql())
+def feature_ablation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import _margin
+
+    feats = _shared_feats(spark, sf_dir)
+    cols = [f"x{j}" for j in range(_NF)]
+    weights, _ = train_logreg(
+        feats, cols, "y", iters=_SCORE_ITERS, lr=_SCORE_LR
+    )
+    fcols = [F.col(c) for c in cols]
+
+    def hits(ws) -> F.Column:
+        pred = (_margin(ws, fcols) >= 0).cast("double")
+        return F.sum(
+            F.when(pred == F.col("y"), 1).otherwise(0)
+        )
+
+    aggs = [hits(weights).alias("h_full")]
+    for j in range(_NF):
+        ablated = [w if k != j else 0.0 for k, w in enumerate(weights)]
+        aggs.append(hits(ablated).alias(f"h_{j}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    one = feats.agg(*aggs)
+    out = one.select(
+        F.lit("full").alias("ablated"),
+        F.col("h_full").cast("long").alias("hits"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("h_full") * 1.0 / F.col("n"), 6).alias("accuracy"),
+        F.round(F.lit(0.0), 6).alias("importance"),
+    )
+    for j, term in enumerate(_TERMS):
+        out = out.unionAll(
+            one.select(
+                F.lit(term).alias("ablated"),
+                F.col(f"h_{j}").cast("long").alias("hits"),
+                F.col("n").cast("long").alias("n_docs"),
+                F.round(F.col(f"h_{j}") * 1.0 / F.col("n"), 6).alias(
+                    "accuracy"
+                ),
+                F.round(
+                    (F.col("h_full") - F.col(f"h_{j}")) * 1.0 / F.col("n"),
+                    6,
+                ).alias("importance"),
+            )
+        )
+    return out
