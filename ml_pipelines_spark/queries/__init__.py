@@ -44,6 +44,7 @@ from . import tpch  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import search  # noqa: E402,F401
 from . import recsys  # noqa: E402,F401
+from . import stats  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50

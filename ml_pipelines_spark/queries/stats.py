@@ -1,0 +1,480 @@
+"""Statistical auditing family — concentration, digit-law conformance,
+survival analysis, autocorrelation.
+
+Four classic analyst operators the reference's relational surface cannot
+express directly, each built scale-first:
+
+- ``gini_revenue_concentration``: per-nation Gini coefficient of
+  customer revenue. One fact shuffle (orders → per-customer cents), a
+  key-co-partitioned dimension join, then rank/sum windows per nation.
+  The Gini is computed from the closed form over sorted values
+  G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with every term an exact
+  BIGINT (integer cents × integer ranks) — only the final division is
+  float, so the cross-engine hash is exact. At much larger n·x̄, requote
+  cents to dollars to keep Σ i·x_i inside int64 (documented bound).
+- ``benford_first_digit``: first-significant-digit audit of order
+  totals vs Benford's law. The digit comes from the DECIMAL RENDERING
+  of the exact integer cents (integer→string is portable; float→string
+  is not), counts aggregate in one pass, and the expected shares are
+  pinned repr() literals so both engines parse the identical double.
+  The chi-square contribution is quantized to integer micro-units per
+  digit before any cross-row arithmetic.
+- ``kaplan_meier_churn``: Kaplan-Meier survival over user lifetimes in
+  the event stream. "Churn" = the first silence longer than 48 hours
+  (including the tail silence to the global horizon); users with no
+  such gap are right-censored at their last event. The heavy phase is
+  per-user lag windows on the fact shuffle; the KM product itself folds
+  over the ≤31-row duration-day dimension, with per-step ln terms
+  quantized to integer micro-nats (the zipf_slope convention) so the
+  cumulative log-survival is an exact BIGINT.
+- ``acf_daily_revenue``: autocorrelation of the daily purchase-revenue
+  series at lags 1..7. The only fact-sized work is the groupBy onto
+  epoch-days; deviations are scaled by n (d_t = n·x_t − S) so numerator
+  and denominator are exact BIGINT sums — the textbook trick for exact
+  cross-engine moments without float-order risk. Lag pairing joins the
+  day DIMENSION to itself on day = day+k (gap-days pair only with real
+  days, so the statistic is well-defined on sparse series).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import query
+from .relational import t
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of revenue concentration per nation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gini_revenue_concentration",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n.n_name AS nation, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                       ORDER BY x, p.o_custkey) AS BIGINT) AS i
+        FROM per_cust p
+        JOIN customer c ON c.c_custkey = p.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(x) AS BIGINT) / 100.0 AS total_revenue,
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT)
+               / CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini
+    FROM ranked
+    GROUP BY nation
+    ORDER BY nation
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini of customer revenue (revenue-active customers).
+
+    Plan: orders aggregate to customer grain (the ONLY fact shuffle),
+    customer/nation attach as dimension joins, and the rank + sums run
+    per nation — a few hundred rows per group at any SF. All Gini
+    terms are exact BIGINTs; int64 holds while n·Σx stays under ~9e18
+    (requote to dollars past that).
+    """
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", cents.alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").cast("long").alias("x"))
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ranked = (
+        per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "x",
+            F.row_number()
+            .over(Window.partitionBy("n_name").orderBy("x", "o_custkey"))
+            .cast("long")
+            .alias("i"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("long")
+    sx = F.sum("x").cast("long")
+    six = F.sum(F.col("i") * F.col("x")).cast("long")
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            n.alias("n_customers"),
+            (sx / 100.0).alias("total_revenue"),
+            (
+                (2 * six - (n + 1) * sx).cast("long")
+                / (n * sx).cast("long")
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit.
+# ---------------------------------------------------------------------------
+
+_BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+# CAST AS DOUBLE: DuckDB types a bare decimal literal as DECIMAL and
+# propagates fixed-point arithmetic (which overflows when squared);
+# Spark types it DOUBLE. The cast pins both engines to the same IEEE
+# double parsed from the same repr() digits.
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@query(
+    "benford_first_digit",
+    f"""
+    WITH cents AS (
+        SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM cents
+    ),
+    counts AS (
+        SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    with_tot AS (
+        SELECT digit, n_obs, SUM(n_obs) OVER () AS n_total FROM counts
+    )
+    SELECT digit,
+           n_obs,
+           CAST(n_obs AS BIGINT) / CAST(n_total AS BIGINT) AS obs_share,
+           {_BENFORD_SQL_CASE} AS exp_share,
+           CAST(floor((n_obs - n_total * ({_BENFORD_SQL_CASE}))
+                      * (n_obs - n_total * ({_BENFORD_SQL_CASE}))
+                      / (n_total * ({_BENFORD_SQL_CASE}))
+                      * 1000000.0 + 0.5) AS BIGINT) AS chi_term_micro
+    FROM with_tot
+    ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford expectation.
+
+    The first digit is taken from the string rendering of the EXACT
+    integer cents — BIGINT→string is identical across engines, while
+    float→string formatting is not. One groupBy onto nine digit rows;
+    shares and chi-square terms are computed on that nine-row dimension
+    (window total, no second scan). The expected shares are repr()
+    literals, so both engines parse bit-identical doubles, and each
+    chi-square contribution quantizes to integer micro-units before it
+    leaves the row.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    counts = (
+        t(spark, sf_dir, "orders")
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    n_total = F.sum("n_obs").over(Window.partitionBy())
+    exp_share = F.when(F.lit(False), F.lit(None).cast("double"))
+    for d, p in _BENFORD.items():
+        exp_share = exp_share.when(F.col("digit") == d, F.lit(p))
+    dev = F.col("n_obs") - F.col("n_total") * F.col("exp_share")
+    return (
+        counts.withColumn("n_total", n_total)
+        .withColumn("exp_share", exp_share)
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_obs").cast("long") / F.col("n_total").cast("long")).alias(
+                "obs_share"
+            ),
+            "exp_share",
+            F.floor(
+                dev * dev / (F.col("n_total") * F.col("exp_share")) * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("chi_term_micro"),
+            "n_total",
+        )
+        .drop("n_total")
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over user lifetimes.
+# ---------------------------------------------------------------------------
+
+_GAP_US = 48 * 3600 * 1_000_000  # churn = first silence > 48h
+_DAY_US = 86_400_000_000.0
+_LN_FLOOR_MICRO = -20_000_000  # pinned log-term when survival hits zero
+
+
+@query(
+    "kaplan_meier_churn",
+    f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    h AS (SELECT MAX(us) AS h_us FROM ev),
+    gaps AS (
+        SELECT user_id, us,
+               COALESCE(LEAD(us) OVER (PARTITION BY user_id ORDER BY us),
+                        (SELECT h_us FROM h)) - us AS gap_us
+        FROM ev
+    ),
+    per_user AS (
+        SELECT user_id,
+               MIN(us) AS first_us,
+               MIN(CASE WHEN gap_us > {_GAP_US} THEN us END) AS churn_us,
+               MAX(us) AS last_us
+        FROM gaps GROUP BY user_id
+    ),
+    durations AS (
+        SELECT CAST(floor((COALESCE(churn_us, last_us) - first_us)
+                          / {_DAY_US}) AS BIGINT) AS duration_days,
+               CASE WHEN churn_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ),
+    km AS (
+        SELECT duration_days,
+               CAST(SUM(ev) AS BIGINT) AS n_churned,
+               CAST(SUM(1 - ev) AS BIGINT) AS n_censored_at
+        FROM durations GROUP BY duration_days
+    ),
+    risk AS (
+        SELECT duration_days, n_churned, n_censored_at,
+               CAST(SUM(n_churned + n_censored_at) OVER () -
+                    COALESCE(SUM(n_churned + n_censored_at)
+                             OVER (ORDER BY duration_days
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM km
+    ),
+    terms AS (
+        SELECT *,
+               CASE WHEN n_churned = 0 THEN 0
+                    WHEN n_risk > n_churned THEN
+                        CAST(floor(ln((CAST(n_risk - n_churned AS BIGINT)
+                                       / CAST(n_risk AS BIGINT)))
+                                   * 1000000.0) AS BIGINT)
+                    ELSE {_LN_FLOOR_MICRO} END AS ln_term_micro
+        FROM risk
+    )
+    SELECT duration_days, n_risk, n_churned, n_censored_at,
+           CAST(SUM(ln_term_micro) OVER (ORDER BY duration_days
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+               AS log_surv_micro
+    FROM terms
+    WHERE n_churned > 0
+    ORDER BY duration_days
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes (48h-silence churn).
+
+    Phase 1 (fact-sized): per-user lead window over the event stream —
+    one shuffle keyed on user_id; the global horizon is a 1-row
+    broadcast. Phase 2 (dimension-sized): the KM table folds over the
+    ≤31 duration-day rows with ordered windows; per-step ln terms
+    quantize to integer micro-nats so the cumulative log-survival is an
+    exact BIGINT (survival = exp(log_surv_micro/1e6), left to the
+    caller — exp() is not bit-portable across libms, the integer is).
+    Users whose every silence is ≤48h (incl. the tail to the horizon)
+    are right-censored at their last event and thin the risk set
+    without a survival step — the standard KM treatment.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    h = ev.agg(F.max("us").alias("h_us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = ev.join(F.broadcast(h)).select(
+        "user_id",
+        "us",
+        (
+            F.coalesce(F.lead("us").over(w), F.col("h_us")) - F.col("us")
+        ).alias("gap_us"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.min("us").alias("first_us"),
+        F.min(F.when(F.col("gap_us") > _GAP_US, F.col("us"))).alias("churn_us"),
+        F.max("us").alias("last_us"),
+    )
+    durations = per_user.select(
+        F.floor(
+            (F.coalesce("churn_us", "last_us") - F.col("first_us")) / _DAY_US
+        )
+        .cast("long")
+        .alias("duration_days"),
+        F.when(F.col("churn_us").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    km = durations.groupBy("duration_days").agg(
+        F.sum("ev").cast("long").alias("n_churned"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored_at"),
+    )
+    at = F.col("n_churned") + F.col("n_censored_at")
+    prior = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = km.withColumn(
+        "n_risk",
+        (
+            F.sum(at).over(Window.partitionBy())
+            - F.coalesce(F.sum(at).over(prior), F.lit(0))
+        ).cast("long"),
+    )
+    surv_ratio = (F.col("n_risk") - F.col("n_churned")).cast("long") / F.col(
+        "n_risk"
+    ).cast("long")
+    terms = risk.withColumn(
+        "ln_term_micro",
+        F.when(F.col("n_churned") == 0, F.lit(0))
+        .when(
+            F.col("n_risk") > F.col("n_churned"),
+            F.floor(F.log(surv_ratio) * 1000000.0).cast("long"),
+        )
+        .otherwise(F.lit(_LN_FLOOR_MICRO)),
+    )
+    run = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        terms.withColumn(
+            "log_surv_micro", F.sum("ln_term_micro").over(run).cast("long")
+        )
+        .filter(F.col("n_churned") > 0)
+        .select(
+            "duration_days",
+            "n_risk",
+            "n_churned",
+            "n_censored_at",
+            "log_surv_micro",
+        )
+        .orderBy("duration_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series.
+# ---------------------------------------------------------------------------
+
+_MAX_LAG = 7
+
+
+@query(
+    "acf_daily_revenue",
+    f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY day
+    ),
+    mom AS (
+        SELECT day, x,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(x) OVER () AS BIGINT) AS s
+        FROM daily
+    ),
+    dev AS (
+        SELECT day, CAST(n * x - s AS BIGINT) AS d,
+               CAST(SUM((n * x - s) * (n * x - s)) OVER () AS BIGINT)
+                   AS denom
+        FROM mom
+    ),
+    lags AS (SELECT UNNEST(range(1, {_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+        SELECT l.lag AS lag, a.d AS da, b.d AS db, a.denom AS denom
+        FROM dev a CROSS JOIN lags l
+        JOIN dev b ON b.day = a.day - l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(da * db) AS BIGINT) / CAST(MAX(denom) AS BIGINT) AS acf
+    FROM pairs
+    GROUP BY lag
+    ORDER BY lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample ACF of daily purchase revenue at lags 1..7.
+
+    The fact-sized phase is one groupBy onto epoch-days; everything
+    after runs on the ≤31-row day dimension (global windows there are
+    dimension-sized by construction). Deviations are scaled by n
+    (d_t = n·x_t − S) so the ACF numerator and denominator are exact
+    BIGINT sums — the n² factors cancel in the ratio, and the single
+    final division is the only float op. Lag pairs join day = day+k,
+    so missing days pair with nothing rather than shifting the series.
+    int64 bound: n·x̄ ≈ 3e7 at sf0.1 → Σd² ≈ 3e16; requote to dollars
+    if daily cents ever approach 3e14.
+    """
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.expr("unix_micros(ts)") / _DAY_US)
+            .cast("long")
+            .alias("day"),
+            cents.alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("x"))
+    )
+    w_all = Window.partitionBy()
+    mom = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("x").over(w_all).cast("long").alias("s"),
+    )
+    d = (F.col("n") * F.col("x") - F.col("s")).cast("long")
+    # Materialization boundary: both sides of the lag self-join read the
+    # ≤31-row day dimension — without it the b-side REPLAYS the full
+    # events scan + groupBy (a 2× fact scan at 100 TB, visible as a
+    # second `Scan parquet .*events` in the plan; plan-shape-tested).
+    from .registry import swap_cache
+
+    dev = swap_cache(
+        "stats.acf_dev",
+        sf_dir,
+        mom.select(
+            "day",
+            d.alias("d"),
+            F.sum(d * d).over(w_all).cast("long").alias("denom"),
+        ),
+    )
+    lags = F.explode(
+        F.array([F.lit(k) for k in range(1, _MAX_LAG + 1)])
+    ).alias("lag")
+    a = dev.select("day", "d", "denom").withColumn("lag", lags)
+    b = dev.select(F.col("day").alias("bday"), F.col("d").alias("db"))
+    pairs = a.join(b, F.col("bday") == F.col("day") - F.col("lag"))
+    return (
+        pairs.groupBy(F.col("lag").cast("int").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.col("d") * F.col("db")).cast("long")
+                / F.max("denom").cast("long")
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

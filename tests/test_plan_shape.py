@@ -16,6 +16,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_formatted(df) -> str:
+    # toString() truncates long field lists (PushedFilters ends in "...");
+    # the formatted explain prints every node's attributes in full.
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_validate_fuses_fk_into_one_child_scan(spark, sf_dir):
     # Row checks + FK orphan count must share ONE scan of the child
     # table; uniqueness adds exactly one more. A regression to the
@@ -344,3 +352,76 @@ def test_peak_concurrency_windows_partitioned_by_day(spark, sf_dir):
     windows = len(re.findall(r"\bWindow\b", plan))
     assert windows <= 2, f"expected <=2 Window nodes, got {windows}"
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q6_scan_only_pushdown(spark, sf_dir):
+    # Q6 is the pure scan-aggregate: one lineitem scan with ALL THREE
+    # predicates pushed to the parquet reader, no join, no extra
+    # exchange beyond the single-row partial/final aggregate.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    scans = len(re.findall(r"Scan parquet .*lineitem", plan))
+    assert scans == 1, f"expected 1 lineitem scan, got {scans}"
+    assert "Join" not in plan
+    full = _plan_formatted(df)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", full)
+    assert pushed, "no PushedFilters in plan"
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+
+
+def test_q15_argmax_single_scan_and_broadcast_dim(spark, sf_dir):
+    # The window-max form scans lineitem ONCE (the rev.agg(max) twin
+    # duplicates the whole aggregate subtree pre-AQE); the supplier
+    # dimension joins as a broadcast; the global window runs over the
+    # dimension-sized per-supplier aggregate only.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q15_top_supplier"](spark, sf_dir))
+    scans = len(re.findall(r"Scan parquet .*lineitem", plan))
+    assert scans == 1, f"expected 1 lineitem scan, got {scans}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    fact_exchanges = len(re.findall(r"Exchange hashpartitioning\(l_suppkey", plan))
+    assert fact_exchanges == 1, f"expected 1 suppkey exchange, got {fact_exchanges}"
+
+
+def test_gini_single_fact_exchange_and_broadcast_nation(spark, sf_dir):
+    # The only fact-sized shuffle is orders → per-customer aggregate;
+    # nation attaches as a broadcast; no cartesian anywhere.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["gini_revenue_concentration"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    orders_scans = len(re.findall(r"Scan parquet .*orders", plan))
+    assert orders_scans == 1, f"expected 1 orders scan, got {orders_scans}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kaplan_meier_fact_window_keyed_on_user(spark, sf_dir):
+    # The fact-sized window (lead over the event stream) must be keyed
+    # on user_id; the KM fold's unkeyed windows run over the ≤31-row
+    # duration dimension AFTER the per-user aggregate.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["kaplan_meier_churn"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    events_scans = len(re.findall(r"Scan parquet .*events", plan))
+    assert events_scans == 2, f"expected 2 events scans (stream + horizon), got {events_scans}"
+    assert re.search(r"Window .*partitionBy.*user_id|hashpartitioning\(user_id", plan)
+
+
+def test_acf_fact_work_is_one_day_groupby(spark, sf_dir):
+    # Everything after the groupBy onto epoch-days runs on the day
+    # dimension; events is scanned once.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["acf_daily_revenue"](spark, sf_dir))
+    # The day dimension materializes once (swap_cache boundary); BOTH
+    # self-join sides must read the cache (the FileScan text inside an
+    # InMemoryRelation is the stored recipe, executed at most once).
+    imts = plan.count("InMemoryTableScan")
+    assert imts >= 2, f"expected both join sides on the cache, got {imts}"
+    assert "CartesianProduct" not in plan
