@@ -144,6 +144,34 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every threshold on this corpus — zero open wedges — so the predictor
 # lives here, where the structure actually exists.)
 # ---------------------------------------------------------------------------
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical co-purchase pairs (x < y, c_ab >= _MIN_CO), cached.
+
+    The basket self-join is the dominant subtree of every co-purchase
+    graph query (link prediction, shortest paths); the swap_cache
+    boundary materializes it once per (session, sf) — at 100 TB this
+    boundary is a written edge table read by every graph job, the same
+    contract as the shared near-dup edge list in queries/dedup.py.
+    """
+    from .registry import swap_cache
+
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b2 = baskets.select("l_orderkey", F.col("l_partkey").alias("y"))
+    co = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("x"))
+        .join(b2, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _MIN_CO)
+    )
+    return swap_cache("recsys.copurchase_pairs", sf_dir, co)
+
+
 @query(
     "link_prediction_copurchase",
     f"""
@@ -188,20 +216,7 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def link_prediction_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    b2 = baskets.select("l_orderkey", F.col("l_partkey").alias("y"))
-    co = (
-        baskets.select("l_orderkey", F.col("l_partkey").alias("x"))
-        .join(b2, "l_orderkey")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= _MIN_CO)
-    )
+    co = _copurchase_pairs(spark, sf_dir)
     edges = co.select(F.col("x").alias("s"), F.col("y").alias("d")).unionAll(
         co.select(F.col("y").alias("s"), F.col("x").alias("d"))
     )
@@ -352,3 +367,289 @@ def decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source weighted shortest paths (Bellman-Ford, bounded rounds)
+# over the co-purchase graph — the weighted companion to the unweighted
+# bfs_hops_near_dup. Edge weight = floor(1e6 / c_ab): strongly
+# co-purchased items are "close". Each round relaxes every edge once
+# (dist' = min(dist, min over in-edges of dist_u + w)) — the classic
+# Pregel-style min-plus iteration whose per-round cost is one hash
+# shuffle of the frontier⋈edges join, with localCheckpoint cutting the
+# lineage between rounds (the pagerank pattern). _BF_ROUNDS bounds the
+# explored radius exactly like the BFS query; distances are exact
+# BIGINT sums of integer weights, so every round is engine-portable.
+# The oracle replays each round in MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+_BF_ROUNDS = 6
+
+
+def _bf_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for r in range(1, _BF_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT v, MIN(dist) AS dist FROM (
+            SELECT v, dist FROM {prev}
+            UNION ALL
+            SELECT e.d AS v, p.dist + e.w AS dist
+            FROM {prev} p JOIN e ON e.s = p.v
+        ) GROUP BY v
+    )""")
+        prev = f"d{r}"
+    return f"""
+    WITH co AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c_ab
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MIN_CO}
+    ),
+    e AS MATERIALIZED (
+        SELECT s, d, CAST(floor(1000000.0 / c_ab) AS BIGINT) AS w FROM (
+            SELECT x AS s, y AS d, c_ab FROM co
+            UNION ALL
+            SELECT y AS s, x AS d, c_ab FROM co
+        )
+    ),
+    d0 AS (SELECT (SELECT MIN(s) FROM e) AS v, CAST(0 AS BIGINT) AS dist),
+    {",".join(rounds)}
+    SELECT v AS part_id, dist AS dist_micro
+    FROM {prev}
+    ORDER BY v
+    """
+
+
+@query("shortest_path_copurchase", _bf_oracle())
+def shortest_path_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    co = _copurchase_pairs(spark, sf_dir)
+    w_expr = F.floor(1000000.0 / F.col("c_ab")).cast("long")
+    edges = (
+        co.select(F.col("x").alias("s"), F.col("y").alias("d"), w_expr.alias("w"))
+        .unionAll(
+            co.select(
+                F.col("y").alias("s"), F.col("x").alias("d"), w_expr.alias("w")
+            )
+        )
+    )
+    src = edges.agg(F.min("s").alias("v"))
+    dist = src.select("v", F.lit(0).cast("long").alias("dist"))
+    for _ in range(_BF_ROUNDS):
+        relaxed = dist.join(edges, F.col("v") == F.col("s")).select(
+            F.col("d").alias("v"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        F.col("v").alias("part_id"), F.col("dist").alias("dist_micro")
+    ).orderBy("part_id")
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization — the canonical distributed recommender
+# trainer (MLlib's flagship algorithm), re-derived Spark-first with a
+# FULL cross-engine trajectory oracle, completing the distributed-ML
+# family next to k-means (Lloyd), logistic regression (batch GD), and
+# PCA (Gram + power iteration).
+#
+# Rank-2 factors over the customer×part count matrix. Determinism
+# strategy (the logreg/kmeans playbook): factors live as integer
+# MICRO-units; the per-entity normal equations' sufficient statistics
+# (A = Σ qqᵀ + λI, b = Σ r·q) are exact BIGINT sums of integer
+# products, so they are summation-order-free; the 2×2 solve is a FIXED
+# sequence of IEEE double ops on those exact integers (closed-form
+# inverse — identical expression text on both engines), re-quantized to
+# micro before the next half-step. DuckDB replays both alternations in
+# MATERIALIZED CTEs and must land on bit-equal SSE trajectories.
+#
+# Scale shape: each half-step is ratings ⋈ factor-table (hash join on
+# the factor key — at 100 TB both sides shuffle-partition on the key;
+# here the dimension side broadcasts) + one groupBy onto the entity
+# being solved. The solve itself is per-row closed-form arithmetic —
+# no driver-side linear algebra, no collect of anything fact-sized.
+# localCheckpoint cuts lineage between half-steps (pagerank pattern).
+# ---------------------------------------------------------------------------
+_ALS_LAMBDA_M2 = 100_000_000_000  # λ = 0.1 in micro² units
+_ALS_ROUNDS = 2
+_ALS_SCALE = 1_000_000_000_000.0  # micro² → micro solve rescale
+
+
+def _als_solve_sql(stats: str, key: str) -> str:
+    """SQL for the closed-form regularized 2×2 solve over ``stats``."""
+    det = ("(CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)"
+           " - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))")
+    return f"""
+        SELECT {key},
+               CAST(floor((CAST(a22 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                           - CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                          / {det} * {_ALS_SCALE!r} + 0.5) AS BIGINT) AS f1,
+               CAST(floor((CAST(a11 AS DOUBLE) * CAST(b2 AS DOUBLE)
+                           - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+                          / {det} * {_ALS_SCALE!r} + 0.5) AS BIGINT) AS f2
+        FROM ({stats})"""
+
+
+def _als_stats_sql(factors: str, group_key: str, join_key: str) -> str:
+    return f"""
+        SELECT r.{group_key} AS {group_key},
+               CAST(SUM(f.f1 * f.f1) + {_ALS_LAMBDA_M2} AS BIGINT) AS a11,
+               CAST(SUM(f.f1 * f.f2) AS BIGINT) AS a12,
+               CAST(SUM(f.f2 * f.f2) + {_ALS_LAMBDA_M2} AS BIGINT) AS a22,
+               CAST(SUM(r.r * f.f1) AS BIGINT) AS b1,
+               CAST(SUM(r.r * f.f2) AS BIGINT) AS b2
+        FROM ratings r JOIN {factors} f ON f.{join_key} = r.{join_key}
+        GROUP BY r.{group_key}"""
+
+
+def _als_sse_sql(rnd: int, p: str, q: str) -> str:
+    return f"""
+        SELECT {rnd} AS round, COUNT(*) AS n_ratings,
+               CAST(SUM(e * e) AS BIGINT) AS sse_milli2
+        FROM (
+            SELECT CAST(floor((r.r * 1000000000000.0
+                               - (p.f1 * q.f1 + p.f2 * q.f2))
+                              / 1000000000.0) AS BIGINT) AS e
+            FROM ratings r
+            JOIN {p} p ON p.u = r.u
+            JOIN {q} q ON q.i = r.i
+        )"""
+
+
+def _als_oracle() -> str:
+    parts = [
+        """ratings AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS i, COUNT(*) AS r
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    )""",
+        """q0 AS (
+        SELECT i, CAST(1000000 AS BIGINT) AS f1,
+               CAST((i * 2654435761) % 1000000 - 500000 AS BIGINT) AS f2
+        FROM (SELECT DISTINCT i FROM ratings)
+    )""",
+    ]
+    q_prev = "q0"
+    sse = []
+    for rnd in range(1, _ALS_ROUNDS + 1):
+        parts.append(
+            f"p{rnd} AS MATERIALIZED ({_als_solve_sql(_als_stats_sql(q_prev, 'u', 'i'), 'u')})"
+        )
+        parts.append(
+            f"q{rnd} AS MATERIALIZED ({_als_solve_sql(_als_stats_sql(f'p{rnd}', 'i', 'u'), 'i')})"
+        )
+        sse.append(_als_sse_sql(rnd, f"p{rnd}", f"q{rnd}"))
+        q_prev = f"q{rnd}"
+    union = "\n        UNION ALL\n".join(f"SELECT * FROM ({s})" for s in sse)
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT round, n_ratings, sse_milli2 FROM ({union}) ORDER BY round"
+    )
+
+
+@query("als_matrix_factorization", _als_oracle())
+def als_matrix_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import swap_cache
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = swap_cache(
+        "recsys.als_ratings",
+        sf_dir,
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.count(F.lit(1)).alias("r")),
+    )
+
+    def solve(stats: DataFrame, key: str) -> DataFrame:
+        a11 = F.col("a11").cast("double")
+        a12 = F.col("a12").cast("double")
+        a22 = F.col("a22").cast("double")
+        b1 = F.col("b1").cast("double")
+        b2 = F.col("b2").cast("double")
+        det = a11 * a22 - a12 * a12
+        return stats.select(
+            key,
+            F.floor((a22 * b1 - a12 * b2) / det * _ALS_SCALE + 0.5)
+            .cast("long")
+            .alias("f1"),
+            F.floor((a11 * b2 - a12 * b1) / det * _ALS_SCALE + 0.5)
+            .cast("long")
+            .alias("f2"),
+        )
+
+    def stats(factors: DataFrame, group_key: str, join_key: str) -> DataFrame:
+        return (
+            ratings.join(factors, join_key)
+            .groupBy(group_key)
+            .agg(
+                (F.sum(F.col("f1") * F.col("f1")) + _ALS_LAMBDA_M2)
+                .cast("long")
+                .alias("a11"),
+                F.sum(F.col("f1") * F.col("f2")).cast("long").alias("a12"),
+                (F.sum(F.col("f2") * F.col("f2")) + _ALS_LAMBDA_M2)
+                .cast("long")
+                .alias("a22"),
+                F.sum(F.col("r") * F.col("f1")).cast("long").alias("b1"),
+                F.sum(F.col("r") * F.col("f2")).cast("long").alias("b2"),
+            )
+        )
+
+    q = ratings.select("i").distinct().select(
+        "i",
+        F.lit(1000000).cast("long").alias("f1"),
+        ((F.col("i") * 2654435761) % 1000000 - 500000)
+        .cast("long")
+        .alias("f2"),
+    )
+    rows = []
+    for rnd in range(1, _ALS_ROUNDS + 1):
+        p = solve(stats(q, "u", "i"), "u").localCheckpoint()
+        q = solve(stats(p, "i", "u"), "i").localCheckpoint()
+        e = F.floor(
+            (
+                F.col("r") * 1000000000000.0
+                - (
+                    F.col("pf1") * F.col("qf1")
+                    + F.col("pf2") * F.col("qf2")
+                )
+            )
+            / 1000000000.0
+        ).cast("long")
+        sse = (
+            ratings.join(
+                p.select(
+                    "u",
+                    F.col("f1").alias("pf1"),
+                    F.col("f2").alias("pf2"),
+                ),
+                "u",
+            )
+            .join(
+                q.select(
+                    "i",
+                    F.col("f1").alias("qf1"),
+                    F.col("f2").alias("qf2"),
+                ),
+                "i",
+            )
+            .select(e.alias("e"))
+            .agg(
+                F.lit(rnd).alias("round"),
+                F.count(F.lit(1)).alias("n_ratings"),
+                F.sum(F.col("e") * F.col("e")).cast("long").alias("sse_milli2"),
+            )
+        )
+        rows.append(sse)
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionAll(extra)
+    return out.orderBy("round")

@@ -1071,3 +1071,110 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-pair mining — the training-data operator that sits on top
+# of the similarity stack: for each anchor vector, emit POSITIVES (the
+# top-3 most-similar candidates) and HARD NEGATIVES (ranks 11-15 — the
+# "confusable but wrong" band that makes contrastive embeddings sharp;
+# random negatives are trivially easy and teach nothing). Anchors are
+# the 5 smallest vec_ids (deterministic); candidates score via the
+# exact-fold pairwise cosine and rank on 6dp-ROUNDED cosine with a
+# cand_id tie-break (the embedding_outliers convention — a raw-cosine
+# order could flip on the last ulp across engines). Per-anchor ranking
+# is two-phase: each partition keeps its local top-15 per anchor before
+# the global window, so no task ever sorts a full candidate list. At
+# 100 TB the anchor side is the small relation (broadcast); the scan is
+# one pass of the vector table.
+# ---------------------------------------------------------------------------
+_HNM_ANCHORS = 5
+_HNM_POS = 3
+_HNM_NEG_LO = 10  # exclusive
+_HNM_NEG_HI = 15  # inclusive
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, embedding AS vec
+        FROM embeddings ORDER BY vec_id LIMIT {_HNM_ANCHORS}
+    ),
+    pairs AS (
+        SELECT a.anchor_id, b.vec_id AS cand_id,
+               {_PAIR_DOT.replace('b.vec', 'b.embedding')}
+               / (sqrt({_sql_self_dot('a.vec')})
+                  * sqrt({_sql_self_dot('b.embedding')})) AS cosine
+        FROM anchors a JOIN embeddings b ON b.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+        SELECT anchor_id, cand_id, ROUND(cosine, 6) AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY ROUND(cosine, 6) DESC, cand_id) AS INT) AS rank
+        FROM pairs
+    )
+    SELECT anchor_id, cand_id, cosine, rank,
+           CASE WHEN rank <= {_HNM_POS} THEN 'positive'
+                ELSE 'hard_negative' END AS label
+    FROM ranked
+    WHERE rank <= {_HNM_POS}
+       OR (rank > {_HNM_NEG_LO} AND rank <= {_HNM_NEG_HI})
+    ORDER BY anchor_id, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_expr
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(_HNM_ANCHORS)
+        .select(
+            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("vec")
+        )
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine_expr(F.col("vec"), F.col("embedding")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    order = [F.col("cosine").desc(), F.col("cand_id")]
+    local = Window.partitionBy(
+        F.spark_partition_id(), "anchor_id"
+    ).orderBy(*order)
+    per_anchor = Window.partitionBy("anchor_id").orderBy(*order)
+    ranked = (
+        pairs.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= _HNM_NEG_HI)
+        .drop("__lr")
+        .withColumn("rank", F.row_number().over(per_anchor).cast("int"))
+    )
+    return (
+        ranked.filter(
+            (F.col("rank") <= _HNM_POS)
+            | (
+                (F.col("rank") > _HNM_NEG_LO)
+                & (F.col("rank") <= _HNM_NEG_HI)
+            )
+        )
+        .select(
+            "anchor_id",
+            "cand_id",
+            "cosine",
+            "rank",
+            F.when(F.col("rank") <= _HNM_POS, "positive")
+            .otherwise("hard_negative")
+            .alias("label"),
+        )
+        .orderBy("anchor_id", "rank")
+    )

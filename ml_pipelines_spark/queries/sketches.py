@@ -414,3 +414,190 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-sketch SET ALGEBRA — the estimate family the bottom-k
+# sketch exists for (kmv_distinct_users builds the sketch; this query
+# exercises the algebra). Union and intersection cardinalities between
+# the click-user and purchase-user sets are estimated purely from the
+# two bottom-k sketches: thr = min(theta_A, theta_B) (an UNSATURATED
+# sketch has theta = 1.0 — its kept set is the complete hash set),
+# count kept hashes below thr once for the union and once for the
+# both-sides intersection, then scale by 1/theta. At 100 TB the two
+# sketches are a few hundred bytes each and the set algebra never
+# re-touches the event stream — the same mergeable-state argument as
+# the rolling HLL merge, extended to intersections, which registers
+# fundamentally cannot do. Exact countDistinct anchors ride along.
+# All sketch content is md5-determined, so every kept hash, threshold,
+# count, and estimate is a full cross-engine value oracle.
+# ---------------------------------------------------------------------------
+_KMV_SET_K = 32
+_KMV_DENOM_INT = 16 ** 15
+
+
+@query(
+    "kmv_set_ops_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value > 150
+    ),
+    rk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    kept AS (SELECT event_type, hv FROM rk WHERE rn <= {_KMV_SET_K}),
+    kth AS (
+        SELECT event_type, MAX(hv) AS hk, COUNT(*) AS n_kept
+        FROM kept GROUP BY event_type
+    ),
+    thr AS (
+        SELECT MIN(CASE WHEN n_kept < {_KMV_SET_K}
+                        THEN {_KMV_DENOM_INT} ELSE hk END) AS thr
+        FROM kth
+    ),
+    below AS (
+        SELECT hv,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM kept, thr WHERE hv < thr
+        GROUP BY hv
+    ),
+    cnts AS (
+        SELECT COUNT(*) AS union_cnt,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS inter_cnt
+        FROM below
+    ),
+    exact AS (
+        SELECT COUNT(*) AS exact_union,
+               CAST(SUM(CASE WHEN has_a + has_b = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_inter
+        FROM (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS has_a,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS has_b
+            FROM events
+            WHERE event_type IN ('click', 'purchase') AND value > 150
+            GROUP BY user_id
+        )
+    )
+    SELECT c.union_cnt, c.inter_cnt,
+           ROUND(CAST(c.union_cnt AS DOUBLE) * {float(_KMV_DENOM_INT)!r}
+                 / CAST(t.thr AS DOUBLE), 4) AS est_union,
+           ROUND(CAST(c.inter_cnt AS DOUBLE) * {float(_KMV_DENOM_INT)!r}
+                 / CAST(t.thr AS DOUBLE), 4) AS est_inter,
+           ROUND(c.inter_cnt / CAST(c.union_cnt AS DOUBLE), 6)
+               AS jaccard_est,
+           e.exact_union, e.exact_inter
+    FROM cnts c, thr t, exact e
+    """,
+)
+def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("value") > 150)
+        )
+        .select("event_type", "user_id")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    # Two-phase bottom-k (same shape as kmv_distinct_users).
+    local = Window.partitionBy(F.spark_partition_id(), "event_type").orderBy(
+        "hv"
+    )
+    pruned = (
+        h.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= _KMV_SET_K)
+        .drop("__lr")
+    )
+    per_type = Window.partitionBy("event_type").orderBy("hv")
+    kept = (
+        pruned.withColumn("rn", F.row_number().over(per_type))
+        .filter(F.col("rn") <= _KMV_SET_K)
+        .drop("rn")
+    )
+    kth = kept.groupBy("event_type").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_kept")
+    )
+    thr = kth.agg(
+        F.min(
+            F.when(
+                F.col("n_kept") < _KMV_SET_K, F.lit(_KMV_DENOM_INT)
+            ).otherwise(F.col("hk"))
+        ).alias("thr")
+    )
+    below = (
+        kept.join(F.broadcast(thr))
+        .filter(F.col("hv") < F.col("thr"))
+        .groupBy("hv")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    cnts = below.agg(
+        F.count(F.lit(1)).alias("union_cnt"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("inter_cnt"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("has_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                F.when(F.col("has_a") + F.col("has_b") == 2, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_inter"),
+        )
+    )
+    denom_f = F.lit(float(_KMV_DENOM_INT))
+    return (
+        cnts.join(F.broadcast(thr))
+        .join(F.broadcast(exact))
+        .select(
+            "union_cnt",
+            "inter_cnt",
+            F.round(
+                F.col("union_cnt").cast("double")
+                * denom_f
+                / F.col("thr").cast("double"),
+                4,
+            ).alias("est_union"),
+            F.round(
+                F.col("inter_cnt").cast("double")
+                * denom_f
+                / F.col("thr").cast("double"),
+                4,
+            ).alias("est_inter"),
+            F.round(
+                F.col("inter_cnt") / F.col("union_cnt").cast("double"), 6
+            ).alias("jaccard_est"),
+            "exact_union",
+            "exact_inter",
+        )
+    )

@@ -276,3 +276,134 @@ def cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("c", 6) + 0.0).alias("cusum"),
         (F.abs("c") > _CUSUM_K * F.col("sigma")).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction band on the seasonal-naive forecaster —
+# the distribution-free uncertainty layer a production forecast needs:
+# calibrate |y − ŷ| on a held-out window, take the ⌈(n+1)(1−α)⌉-th
+# smallest absolute residual as the band half-width q̂, then audit
+# empirical coverage on the final week. With α = 0.2 the band should
+# cover ≳80% of test days regardless of the residual distribution —
+# that guarantee is the whole point of conformal calibration.
+#
+# Everything is exact: daily counts are integers, residuals are
+# integers, q̂ is an ORDER STATISTIC (row_number over the ≤14-row
+# per-type calibration dimension, deterministic (resid, day)
+# tie-break), and the target rank uses the integer form
+# (4·(n+1)+4) div 5 = ⌈0.8·(n+1)⌉ so no float boundary can shift the
+# chosen rank. The only fact-sized work is the events→daily groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "conformal_forecast_band",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(d) AS max_d FROM daily),
+    paired AS (
+        SELECT a.event_type, a.d, a.n,
+               s.n AS yhat,
+               CAST(abs(a.n - s.n) AS BIGINT) AS resid,
+               mx.max_d
+        FROM daily a
+        JOIN daily s ON s.event_type = a.event_type AND s.d = a.d - 7
+        CROSS JOIN mx
+    ),
+    calib AS (
+        SELECT event_type, resid,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY resid, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_calib
+        FROM paired
+        WHERE d > max_d - 21 AND d <= max_d - 7
+    ),
+    qhat AS (
+        SELECT event_type,
+               CAST(MAX(n_calib) AS BIGINT) AS n_calib,
+               CAST(MAX(CASE WHEN rn = CAST(floor((4 * (n_calib + 1) + 4)
+                                                  / 5) AS INT)
+                             THEN resid END) AS BIGINT) AS q_abs_err
+        FROM calib GROUP BY event_type
+    ),
+    test AS (
+        SELECT p.event_type, p.resid, q.q_abs_err, q.n_calib
+        FROM paired p JOIN qhat q ON q.event_type = p.event_type
+        WHERE p.d > p.max_d - 7
+    )
+    SELECT event_type, n_calib, q_abs_err,
+           COUNT(*) AS n_test,
+           CAST(SUM(CASE WHEN resid <= q_abs_err THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(SUM(CASE WHEN resid <= q_abs_err THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 5) AS coverage
+    FROM test
+    GROUP BY event_type, n_calib, q_abs_err
+    ORDER BY event_type
+    """,
+)
+def conformal_forecast_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_date(F.to_date(F.date_trunc("day", "ts"))).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    max_d = daily.agg(F.max("d").alias("max_d"))
+    season = daily.select(
+        F.col("event_type").alias("s_type"),
+        (F.col("d") + 7).alias("s_d"),
+        F.col("n").alias("yhat"),
+    )
+    paired = (
+        daily.join(
+            season,
+            (F.col("event_type") == F.col("s_type"))
+            & (F.col("d") == F.col("s_d")),
+        )
+        .join(F.broadcast(max_d))
+        .select(
+            "event_type",
+            "d",
+            "max_d",
+            F.abs(F.col("n") - F.col("yhat")).cast("long").alias("resid"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    calib = (
+        paired.filter(
+            (F.col("d") > F.col("max_d") - 21)
+            & (F.col("d") <= F.col("max_d") - 7)
+        )
+        .withColumn(
+            "rn", F.row_number().over(wt.orderBy("resid", "d"))
+        )
+        .withColumn("n_calib", F.count(F.lit(1)).over(wt))
+    )
+    target = F.floor(
+        (4 * (F.col("n_calib") + 1) + 4) / F.lit(5)
+    ).cast("int")
+    qhat = calib.groupBy("event_type").agg(
+        F.max("n_calib").cast("long").alias("n_calib"),
+        F.max(F.when(F.col("rn") == target, F.col("resid")))
+        .cast("long")
+        .alias("q_abs_err"),
+    )
+    test = paired.filter(F.col("d") > F.col("max_d") - 7).join(
+        F.broadcast(qhat), "event_type"
+    )
+    covered = F.when(F.col("resid") <= F.col("q_abs_err"), 1).otherwise(0)
+    return (
+        test.groupBy("event_type", "n_calib", "q_abs_err")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(covered).cast("long").alias("n_covered"),
+            F.round(
+                F.sum(covered) / F.count(F.lit(1)).cast("double"), 5
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
