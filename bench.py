@@ -266,6 +266,24 @@ HEADLINE = [
     "watermark_lateness_audit",
     # single-feature ablation importance (5 margins, one agg pass)
     "feature_ablation_importance",
+    # TPC-H Q6 scan-only aggregate and Q15 argmax join-back
+    "q6_forecast_revenue",
+    "q15_top_supplier",
+    # statistical auditing / survival family
+    "gini_revenue_concentration",
+    "benford_first_digit",
+    "kaplan_meier_churn",
+    "acf_daily_revenue",
+    # weighted Bellman-Ford over the shared co-purchase edge cache
+    "shortest_path_copurchase",
+    # theta-sketch set algebra (union/intersection estimates)
+    "kmv_set_ops_users",
+    # rank-2 ALS with bit-equal SSE trajectory oracle
+    "als_matrix_factorization",
+    # split-conformal coverage audit on the seasonal-naive forecaster
+    "conformal_forecast_band",
+    # contrastive positives + rank-11..15 hard negatives
+    "hard_negative_mining",
 ]
 
 RUNS = 3

@@ -193,7 +193,13 @@ _CHECK_FIRST = [
     # link_prediction_copurchase, dedup_recall_eval, ann_recall_eval,
     # psi_drift_orders, decayed_popularity, watermark_lateness_audit,
     # feature_ablation_importance (registered after this window
-    # sealed).
+    # sealed), plus the round-7 second-wave registrations:
+    # q6_forecast_revenue, q15_top_supplier, gini_revenue_concentration,
+    # benford_first_digit, kaplan_meier_churn, acf_daily_revenue,
+    # shortest_path_copurchase, kmv_set_ops_users,
+    # als_matrix_factorization, conformal_forecast_band,
+    # hard_negative_mining (link_prediction_copurchase also qualifies
+    # under rule 2 — it now reads the shared _copurchase_pairs cache).
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

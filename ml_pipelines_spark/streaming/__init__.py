@@ -2,7 +2,12 @@
 stateful operators (applyInPandasWithState)."""
 
 from .joins import interval_join_streams  # noqa: F401
-from .stateful import running_totals, stream_dedup  # noqa: F401
+from .stateful import (  # noqa: F401
+    running_totals,
+    running_totals_tws,
+    stream_dedup,
+    tws_available,
+)
 from .windows import (  # noqa: F401
     enrich_stream,
     read_stream,

@@ -101,3 +101,93 @@ def stream_dedup(
     """Exact in-stream dedup: first occurrence of each key wins; state
     entries older than the watermark are evicted (bounded state)."""
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run here.
+
+    The TWS driver worker speaks protobuf to the JVM
+    (StreamingPythonRunner); without a working ``google.protobuf`` the
+    stream crashes at initialization with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. Same
+    import-availability seam as the PIL/tokenizers codecs.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """running_totals on Spark 4's transformWithStateInPandas API.
+
+    Same semantics and output schema as ``running_totals`` (one row per
+    key per batch, lifetime totals carried in per-key state), expressed
+    through the modern arbitrary-state processor: state is a named
+    ValueState handle instead of the single GroupState tuple, which is
+    the API that scales to multiple state variables, TTL, and timers.
+    Kept alongside the applyInPandasWithState twin so both stateful
+    surfaces stay exercised wherever the runtime supports them.
+
+    Requires a working ``google.protobuf`` (see ``tws_available``) and
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); raises
+    RuntimeError up front when the protobuf seam is missing rather than
+    crashing the stream at initialization.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not importable in this environment; use running_totals "
+            "(applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    key_field = df.schema[key_col]
+    out_schema = running_totals_schema(key_field)
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", RUNNING_STATE_SCHEMA
+            )
+
+        def handleInputRows(
+            self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+        ) -> Iterator[pd.DataFrame]:
+            batch_n = 0
+            batch_total = 0.0
+            for pdf in rows:
+                batch_n += len(pdf)
+                batch_total += float(pdf[value_col].sum())
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            n += batch_n
+            total += batch_total
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    key_field.name: [key[0]],
+                    "batch_events": [batch_n],
+                    "total_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -255,3 +255,68 @@ def test_rollup_stream_sink_matches_batch(spark, event_stream_dir):
 
     shutil.rmtree(rollup_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestTransformWithStateSeam:
+    """Spark 4 transformWithStateInPandas — capability-gated twin of
+    running_totals. The TWS driver worker needs google.protobuf (absent
+    in this container), so the seam test asserts whichever branch this
+    runtime has: a real replay equivalence when available, the
+    documented up-front RuntimeError otherwise (never a crashed stream).
+    """
+
+    def test_tws_branch(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from ml_pipelines_spark.streaming import (
+            running_totals_tws,
+            tws_available,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "value"
+        )
+        if not tws_available():
+            with _pytest.raises(RuntimeError, match="google.protobuf"):
+                running_totals_tws(ev, "event_type", "value")
+            return
+        # Real branch: 2-file replay, lifetime totals == batch aggregate.
+        import tempfile
+        import uuid
+
+        import pyspark.sql.functions as F
+
+        d = tempfile.mkdtemp(prefix="mlps_tws_t_")
+        name = f"twst_{uuid.uuid4().hex}"
+        ev.repartition(2).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        out = running_totals_tws(stream, "event_type", "value")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["event_type"]: r["total_events"]
+            for r in spark.table(name)
+            .groupBy("event_type")
+            .agg(F.max("total_events").alias("total_events"))
+            .collect()
+        }
+        want = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
