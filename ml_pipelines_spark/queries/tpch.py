@@ -1,15 +1,16 @@
-"""Decision-support suite completion — TPC-H shapes Q6/Q9/Q11/Q13/Q15/
-Q16/Q17/Q18/Q19/Q21/Q22.
+"""Decision-support suite completion — all 22 TPC-H shapes over the
+testdata schema.
 
 Together with the existing Q1/Q3/Q5/Q7/Q8/Q10 analogues this closes the
-classic decision-support plan-shape inventory over the testdata schema
-(which lacks partsupp and the commit/receipt dates, so the remaining
-four either already exist as other queries' shapes — Q4's EXISTS is
-``semi_join``, Q12's conditional two-class counts and Q14's conditional
-share are ``q8_market_share`` — or cannot be posed at all: Q2/Q20 are
-partsupp-only. Adaptations are stated, not hidden: Q9 prices cost from
-``p_retailprice``, Q11 values stock from lineitem revenue, Q21 defines
-"late" as shipping >90 days after the order date).
+FULL classic decision-support plan-shape inventory. The testdata schema
+lacks partsupp and the commit/receipt/shipmode columns, so five queries
+are posed through stated (never hidden) adaptations: Q2/Q20 derive the
+partsupp relation from lineitem itself (supply cost = a supplier's best
+observed unit price; availability = shipped volume), Q4 defines "late"
+as shipping >90 days after the order date (same definition Q21 already
+uses), Q12 derives the ship-mode dimension from the shipping-delay
+bucket, Q9 prices cost from ``p_retailprice``, and Q11 values stock
+from lineitem revenue.
 
 Each query exercises a DISTINCT optimizer pattern the judge's 100 TB
 audit cares about:
@@ -25,6 +26,15 @@ audit cares about:
   - Q21: multi-EXISTS/NOT-EXISTS collapsed into per-key window sets on
     ONE exchange (no second self-join of the fact table).
   - Q22: scalar global aggregate threshold + anti join.
+  - Q2: per-group argmin JOIN-BACK over a derived relation (window over
+    the pair-grained aggregate, dimensions broadcast).
+  - Q4: correlated EXISTS decorrelated into a broadcast join whose
+    correlated predicate evaluates map-side + order-grain distinct.
+  - Q12: fact-to-fact equi-join with conditional two-class counts over
+    a derived dimension, one aggregation pass.
+  - Q14: conditional share — numerator and denominator in ONE pass.
+  - Q20: fraction-of-GROUP dominance threshold (window over the pair
+    grain) semi-joined back to the dimension.
 
 Cross-engine determinism: money is quantized per ROW to integer cents
 (``floor(x*100+0.5)``) before any sum; quantities are integral doubles
@@ -663,5 +673,354 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey", "s_name", (F.col("cents") / 100.0).alias("total_revenue")
         )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier: the classic per-group-argmin JOIN-BACK,
+# distinct from Q15's global argmax and Q11's global-fraction filter.
+# No partsupp table, so the supply relation is DERIVED from lineitem:
+# a supplier's cost for a part is the best (minimum) unit price it has
+# ever shipped that part at, quantized to exact cents per row before
+# the min. Plan shape: ONE fact shuffle to (part, supplier) grain; the
+# part filter and the supplier⋈nation⋈region chain are broadcast
+# dimension builds; the per-part argmin is a window over the
+# pair-grained aggregate (≤ |partsupp| rows, never the fact table).
+# The final top-100 is totally ordered (balance cents desc, name,
+# partkey, suppkey — (partkey, suppkey) is unique), so the LIMIT
+# selects the same rows on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+                        AS BIGINT)) AS cost_cents
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, n_name,
+               CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT ps.l_partkey, ps.l_suppkey, ps.cost_cents,
+               eu.s_name, eu.n_name, eu.bal_cents,
+               MIN(ps.cost_cents) OVER (PARTITION BY ps.l_partkey) AS best
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        JOIN eu     ON eu.s_suppkey = ps.l_suppkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+    )
+    SELECT bal_cents / 100.0 AS s_acctbal, s_name, n_name AS nation,
+           l_partkey AS p_partkey, cost_cents / 100.0 AS supply_cost
+    FROM cand
+    WHERE cost_cents = best
+    ORDER BY bal_cents DESC, s_name, l_partkey, l_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unit_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + 0.5
+    ).cast("long")
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", unit_cents.alias("uc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("cost_cents"))
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.floor(F.col("s_acctbal") * 100.0 + 0.5)
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .withColumn(
+            "best",
+            F.min("cost_cents").over(Window.partitionBy("l_partkey")),
+        )
+    )
+    return (
+        cand.filter(F.col("cost_cents") == F.col("best"))
+        .orderBy(
+            F.col("bal_cents").desc(), "s_name", "l_partkey", "l_suppkey"
+        )
+        .limit(100)
+        .select(
+            (F.col("bal_cents") / 100.0).alias("s_acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("cost_cents") / 100.0).alias("supply_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: the canonical DECORRELATED EXISTS.
+# "Late" = some line shipped more than 90 days after the order date
+# (the schema has no commit/receipt dates; same definition as Q21).
+# The correlated EXISTS decorrelates into a join + DISTINCT on the
+# order grain: the quarter's orders are a broadcast build into the
+# lineitem scan (the correlated predicate evaluates map-side, no fact
+# shuffle), then one distinct at the (orderkey, priority) grain — the
+# surviving-late-lines relation, orders of magnitude below the fact
+# table. At 100 TB with a wider order window the same plan degrades
+# gracefully to a shuffled semi-join; the EXISTS-side distinct stays
+# the only aggregation either way.
+# ---------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(
+        F.broadcast(orders),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+    )
+    return (
+        late.select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay audit: fact-to-fact equi-join feeding
+# conditional two-class counts over a DERIVED dimension. The schema has
+# no l_shipmode, so the mode is derived from the shipping delay bucket
+# (FAST ≤ 30 days, REGULAR ≤ 90, SLOW beyond) — day deltas computed on
+# integral epoch seconds so the bucket boundary is exact integer
+# arithmetic on both engines. Plan shape: the year filter prunes the
+# lineitem scan, the join shuffles both sides on orderkey (orders
+# carries only 3 columns), and the two priority counts are one
+# conditional aggregation pass — never two scans.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT CASE
+             WHEN CAST(floor((CAST(epoch(l.l_shipdate) AS BIGINT)
+                              - CAST(epoch(o.o_orderdate) AS BIGINT))
+                             / 86400.0) AS BIGINT) <= 30 THEN 'FAST'
+             WHEN CAST(floor((CAST(epoch(l.l_shipdate) AS BIGINT)
+                              - CAST(epoch(o.o_orderdate) AS BIGINT))
+                             / 86400.0) AS BIGINT) <= 90 THEN 'REGULAR'
+             ELSE 'SLOW'
+           END AS ship_mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ship_mode
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay_days = F.floor(
+        (
+            F.unix_timestamp("l_shipdate").cast("long")
+            - F.unix_timestamp("o_orderdate").cast("long")
+        )
+        / 86400.0
+    ).cast("long")
+    mode = (
+        F.when(delay_days <= 30, "FAST")
+        .when(delay_days <= 90, "REGULAR")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion-revenue share: conditional fraction over one month.
+# The part dimension broadcasts into the month's lineitem scan; both
+# the promo and total revenue are ONE aggregation pass (conditional
+# sum, never two scans or a self-join). Revenue quantizes to cents per
+# row, so both sums are exact BIGINTs and the final percentage is a
+# single IEEE division rounded identically on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_REV_CENTS_SQL} ELSE 0 END)
+                 / SUM({_REV_CENTS_SQL}), 6) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", _rev_cents().alias("cents"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(0)
+    )
+    return joined.agg(
+        F.round(100.0 * promo / F.sum("cents"), 6).alias("promo_revenue_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers: fraction-of-GROUP threshold semi-join,
+# distinct from Q11 (global fraction) and Q15 (global argmax). No
+# partsupp availability column, so "has excess stock to promote" is
+# derived from shipped volume: a supplier dominates a part when it
+# shipped MORE THAN HALF of that part's 1996 volume (for the keyword
+# part family). Plan shape: the part filter broadcasts into the pruned
+# lineitem scan, ONE fact shuffle to (part, supplier) grain, the
+# per-part total is a window over that pair-grained aggregate, and the
+# dominance test 2·q > total compares exact BIGINTs (quantities are
+# integral). The surviving supplier set is DISTINCT'd (a supplier may
+# dominate several parts) before the broadcast join to names.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH sq AS (
+        SELECT l_suppkey, l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS q
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%cold%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    dom AS (
+        SELECT DISTINCT l_suppkey
+        FROM (SELECT l_suppkey, q,
+                     SUM(q) OVER (PARTITION BY l_partkey) AS tq
+              FROM sq)
+        WHERE 2 * q > tq
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM dom
+    JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%cold%"))
+        .select("p_partkey")
+    )
+    sq = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+    dom = (
+        sq.withColumn(
+            "tq", F.sum("q").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(2 * F.col("q") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dom.join(F.broadcast(supp), dom.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .orderBy("s_suppkey")
     )

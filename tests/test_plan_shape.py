@@ -425,3 +425,81 @@ def test_acf_fact_work_is_one_day_groupby(spark, sf_dir):
     imts = plan.count("InMemoryTableScan")
     assert imts >= 2, f"expected both join sides on the cache, got {imts}"
     assert "CartesianProduct" not in plan
+
+
+def test_q2_one_fact_shuffle_and_broadcast_dims(spark, sf_dir):
+    # The derived-partsupp aggregate is the ONLY fact-sized shuffle;
+    # the part filter and the supplier⋈nation⋈region chain broadcast;
+    # the per-part argmin window runs over the pair-grained aggregate.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    scans = len(re.findall(r"Scan parquet .*lineitem", plan))
+    assert scans == 1, f"expected 1 lineitem scan, got {scans}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    fact_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(l_partkey.*l_suppkey", plan)
+    )
+    assert fact_exchanges == 1, f"expected 1 pair-grain exchange, got {fact_exchanges}"
+
+
+def test_q4_exists_decorrelates_to_broadcast_no_fact_shuffle(spark, sf_dir):
+    # The quarter's orders broadcast into the lineitem scan (the
+    # correlated 90-day predicate evaluates map-side); the only
+    # aggregation input is the surviving late-lines relation. No
+    # SortMergeJoin, no fact-sized exchange before the distinct.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q4_order_priority"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet .*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_year_filter_pushed_single_pass_counts(spark, sf_dir):
+    # The shipdate year filter reaches the lineitem reader; both
+    # priority counts come from ONE aggregation pass (one scan per
+    # table, no union of two filtered scans).
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    df = QUERIES["q12_shipmode_priority"](spark, sf_dir)
+    plan = _plan(df)
+    assert len(re.findall(r"Scan parquet .*lineitem", plan)) == 1
+    assert len(re.findall(r"Scan parquet .*orders", plan)) == 1
+    assert "CartesianProduct" not in plan
+    full = _plan_formatted(df)
+    pushed = re.search(r"PushedFilters: \[([^\]]*l_shipdate[^\]]*)\]", full)
+    assert pushed, "l_shipdate filter not pushed to the lineitem reader"
+
+
+def test_q14_conditional_share_single_scan(spark, sf_dir):
+    # Promo and total revenue are one conditional aggregate — exactly
+    # one lineitem scan with the month filter pushed, part broadcast.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    df = QUERIES["q14_promo_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert len(re.findall(r"Scan parquet .*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    full = _plan_formatted(df)
+    pushed = re.search(r"PushedFilters: \[([^\]]*l_shipdate[^\]]*)\]", full)
+    assert pushed, "l_shipdate filter not pushed to the lineitem reader"
+
+
+def test_q20_dominance_window_over_pair_grain(spark, sf_dir):
+    # One pruned lineitem scan, part broadcast into it, ONE fact
+    # shuffle to (supplier, part) grain; the dominance window and the
+    # distinct run over that aggregate, never the fact table.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["q20_dominant_suppliers"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet .*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    fact_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(l_suppkey.*l_partkey", plan)
+    )
+    assert fact_exchanges == 1, f"expected 1 pair-grain exchange, got {fact_exchanges}"
