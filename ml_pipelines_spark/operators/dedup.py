@@ -752,3 +752,95 @@ def remove_dup_spans(
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def prefix_filter_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int = 3,
+    t_den: int = 5,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Exact Jaccard >= t_num/t_den pairs via PPJoin-style PREFIX
+    FILTERING (Bayardo et al. "Scaling Up All Pairs", Xiao et al.
+    "PPJoin") — the scale-correct EXACT path, complementing the banded
+    MinHash LSH (approximate) and the full shingle self-join
+    ``jaccard_pairs`` (exact but joins on EVERY shingle).
+
+    Tokens are globally ordered by (document frequency asc, token) —
+    rarest first — and each document joins only on its PREFIX: the
+    first p = s - ceil(tau*s) + 1 tokens of its size-s set.
+    Completeness proof (no false negatives): if J(A,B) >= tau, let w be
+    the FIRST common token in the global order. Every A-token before w
+    is in A\\B, and |A\\B| = s_a - i <= s_a - ceil(tau*s_a) (since
+    i >= tau*s_a when J >= tau and i <= s_b), so w's rank in A is at
+    most s_a - ceil(tau*s_a) + 1 = p_a; symmetrically for B — w lies
+    in BOTH prefixes and the prefix-prefix equi-join emits the pair.
+
+    Scale posture: the join fans out only on the RAREST tokens — hot
+    boilerplate tokens sort to the ends of every document and never
+    enter a prefix, so the quadratic hot-key blowup that forces
+    ``jaccard_pairs``' stop-shingle cap cannot happen here (the skew
+    guard is implicit in the frequency order). Verification joins the
+    token table back on the candidate pairs only. The threshold is a
+    RATIONAL t_num/t_den and every admission test is exact integer
+    arithmetic (t_den*i >= t_num*(s_a+s_b-i)), so no float boundary
+    can admit or drop a pair differently across engines.
+
+    Output: (id_a, id_b, inter, union_size, jaccard) with id_a < id_b.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("s"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    plen = (
+        F.col("s")
+        - F.floor((t_num * F.col("s") + t_den - 1) / t_den).cast("long")
+        + 1
+    )
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("dfreq", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+        .filter(F.col("rn") <= plen)
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "shingle")
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b")
+        )
+        .distinct()
+    )
+    toks_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    toks_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(toks_a, "id_a")
+        .join(toks_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    union_size = F.col("s_a") + F.col("s_b") - F.col("inter")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(t_den * F.col("inter") >= t_num * union_size)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            union_size.cast("long").alias("union_size"),
+            F.round(F.col("inter") / union_size, 5).alias("jaccard"),
+        )
+    )

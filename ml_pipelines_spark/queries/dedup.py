@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    prefix_filter_jaccard,
     DEFAULT_MAX_DOC_FREQ,
     contamination_flags,
     fingerprint_dedup_stats,
@@ -1411,4 +1412,50 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cand_precision"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filter exact Jaccard (3-word shingles, tau = 3/5;
+# a LOWER bar than jaccard_pairs' 0.8, so this surfaces pairs the
+# stop-shingle-capped self-join family is blind to). The
+# oracle is deliberately NOT a mirror of the prefix logic — it is the
+# brute-force all-pairs DEFINITION (list_intersect over the full word
+# sets), so the driver check proves the prefix filter's completeness
+# claim cross-engine instead of replicating a shared bug (the ADVICE-r6
+# lesson from geo_nearest_city's mirrored cell join). Spark runs the
+# scale path: global rarity order, prefix-prefix candidate join,
+# verify-on-candidates; DuckDB runs the quadratic definition, feasible
+# only at oracle scale.
+# ---------------------------------------------------------------------------
+@query(
+    "prefix_jaccard_pairs",
+    "WITH "
+    + _SHINGLES_CTE.format(table="documents")
+    + """,
+    tok AS (
+        SELECT doc_id, s, len(s) AS sz FROM sh
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(a.sz + b.sz - len(list_intersect(a.s, b.s)) AS BIGINT)
+               AS union_size,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                 / (a.sz + b.sz - len(list_intersect(a.s, b.s))), 5)
+               AS jaccard
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.s, b.s))
+          >= 3 * (a.sz + b.sz - len(list_intersect(a.s, b.s)))
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_filter_jaccard(
+        docs, "doc_id", "text", t_num=3, t_den=5, shingle_k=3
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        "union_size",
+        "jaccard",
     )

@@ -273,3 +273,99 @@ def test_repair_then_dedup_collapses_boilerplate_variants(spark):
     )
     kept = sorted(r["doc_id"] for r in dd.collect())
     assert kept == [1, 3]  # one survivor per repaired-identical pair
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter exact Jaccard (PPJoin) — completeness vs brute force.
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(rows, k, t_num, t_den):
+    def shingles(text):
+        w = text.strip().lower().split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+    sets = {i: shingles(txt) for i, txt in rows}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and t_den * i >= t_num * u:
+                out.add((a, b))
+    return out
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [1, 2, 3, 7])
+def test_prefix_filter_matches_bruteforce(spark, seed):
+    # Random docs over a SMALL vocab so pair similarities land on both
+    # sides of the threshold; several seeds so no single lucky draw can
+    # hide a pruning bug (the ADVICE-r6 grid_nearest lesson).
+    import random
+
+    from ml_pipelines_spark.operators.dedup import prefix_filter_jaccard
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    base = [rng.choice(vocab) for _ in range(40)]
+    for i in range(60):
+        words = list(base)
+        # mutate a seed-dependent number of positions — a spectrum of
+        # similarities from near-identical to unrelated
+        for _ in range(rng.randrange(0, 60)):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard(
+            df, "doc_id", "text", t_num=3, t_den=5, shingle_k=2
+        ).collect()
+    }
+    want = _brute_jaccard_pairs(rows, k=2, t_num=3, t_den=5)
+    assert got == want
+
+
+def test_prefix_filter_exact_boundary_pair_admitted(spark):
+    # J exactly 3/5: |A|=|B|=4 two-word shingles, 3 shared, union 5.
+    # The integer test 5*3 >= 3*5 must ADMIT it on both the candidate
+    # and verify stages (a float tau*s prefix length could round it out).
+    from ml_pipelines_spark.operators.dedup import prefix_filter_jaccard
+
+    # Explicit 5-token docs sharing exactly 3 of 4 bigram shingles each:
+    # A: a b c d e -> {ab, bc, cd, de}; B: a b c d f -> {ab, bc, cd, df}
+    # inter=3, union=5, J=0.6 exactly.
+    rows = [(1, "a b c d e"), (2, "a b c d f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = prefix_filter_jaccard(
+        df, "doc_id", "text", t_num=3, t_den=5, shingle_k=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.inter, r.union_size) == (1, 2, 3, 5)
+
+
+def test_prefix_filter_candidate_join_is_prefix_only(spark):
+    # The self-join must consume the rank-filtered prefix relation, not
+    # the full token table: hot tokens (present in EVERY doc) sort to
+    # the rank tail and must not explode the candidate join. Guard: a
+    # corpus where all docs share one boilerplate token but are
+    # otherwise disjoint yields ZERO candidate pairs surviving to
+    # verification (no output), yet the naive all-token join would emit
+    # n^2/2 candidates.
+    from ml_pipelines_spark.operators.dedup import prefix_filter_jaccard
+
+    rows = [(i, f"boiler u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prefix_filter_jaccard(
+        df, "doc_id", "text", t_num=3, t_den=5, shingle_k=1
+    )
+    assert out.count() == 0
+    # and the physical plan carries the row_number prefix gate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan
