@@ -113,3 +113,51 @@ def perplexity(
         )
         .withColumn("ppl", F.exp("avg_nll"))
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model trained in three aggregate
+    passes — the smoothing actually used for n-gram LM quality/filter
+    scoring (add-alpha, ``perplexity``'s model, systematically
+    overweights unseen continuations of frequent words).
+
+      P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                    + (D * N1+(w1,*) / c(w1)) * (N1+(*,w2) / T)
+
+    where N1+(w1,*) = distinct continuations of w1, N1+(*,w2) =
+    distinct left-contexts of w2 (the continuation probability's
+    numerator), and T = total distinct bigram TYPES. Every statistic is
+    a grouped count over the bigram relation: one explode of the
+    corpus, three map-side-combinable groupBys, and a 1-row type-count
+    broadcast — output is model-sized (<= vocab^2 rows), never
+    corpus-sized, so the whole computation is corpus-scan-bound at
+    100 TB. D = 0.75 is exactly representable in binary, so the
+    probability is one deterministic IEEE expression per row.
+
+    Output: (w1, w2, c_bi, p_kn), p_kn rounded to 6 digits.
+    """
+    bg = _doc_bigrams(df, id_col, text_col)
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    left = bi.groupBy("w1").agg(
+        F.sum("c_bi").alias("c_w1"),
+        F.count(F.lit(1)).alias("n_follow"),
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    types_total = bi.agg(F.count(F.lit(1)).alias("t_types"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("c_bi") - d, F.lit(0.0)) / F.col("c_w1")
+        + (d * F.col("n_follow") / F.col("c_w1"))
+        * (F.col("n_prec") / F.col("t_types"))
+    )
+    return (
+        bi.join(F.broadcast(left), "w1")
+        .join(F.broadcast(cont), "w2")
+        .join(F.broadcast(types_total))
+        .select("w1", "w2", "c_bi", F.round(p_kn, 6).alias("p_kn"))
+    )

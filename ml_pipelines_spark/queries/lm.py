@@ -60,3 +60,44 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_nll", 5).alias("avg_nll"),
         F.round("ppl", 2).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram model. Every term is a grouped count
+# over the SAME bigram CTE on both engines; D = 0.75 is binary-exact
+# and the per-row probability is one IEEE expression, so round(6) is
+# the only tolerance needed. Distinct-shape note: left/continuation/
+# type counts are aggregates OF the bigram-count aggregate (model-sized
+# inputs), not re-scans of the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "kneser_ney_bigrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bg GROUP BY w1, w2),
+    lft AS (
+        SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_w1,
+               COUNT(*) AS n_follow
+        FROM bi GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n_prec FROM bi GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS t_types FROM bi)
+    SELECT bi.w1, bi.w2, bi.c_bi,
+           ROUND(greatest(bi.c_bi - 0.75, 0.0) / lft.c_w1
+                 + (0.75 * lft.n_follow / lft.c_w1)
+                 * (cont.n_prec / tt.t_types), 6) AS p_kn
+    FROM bi
+    JOIN lft  ON lft.w1 = bi.w1
+    JOIN cont ON cont.w2 = bi.w2
+    CROSS JOIN tt
+    """,
+)
+def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import kneser_ney_bigrams as kn
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn(docs, "doc_id", "text", discount=0.75)

@@ -56,3 +56,52 @@ def test_min_count_prunes_model_not_vocab(spark):
     b = {(r["w1"], r["w2"]): r["c_bi"] for r in bi.collect()}
     assert b == {("a", "b"): 2, ("b", "a"): 2}  # (a,c) pruned
     assert vocab == 3  # vocabulary unaffected by pruning
+
+
+def test_kneser_ney_full_vocab_mass_is_one(spark):
+    # Interpolated KN is a proper distribution: over the FULL vocab,
+    # sum_w2 P(w2|w1) = (c_w1 - D*n_follow)/c_w1 + (D*n_follow/c_w1)*1.
+    # The operator emits observed bigrams only, so reconstruct the
+    # unseen mass from the continuation stats the output itself carries
+    # and assert the total is 1 for every context, to float precision.
+    from ml_pipelines_spark.operators.lm import kneser_ney_bigrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c a b d e a b"),
+            (2, "b c a a b c d a e b"),
+            (3, "e d c b a e d c b a"),
+        ],
+        ["doc_id", "text"],
+    )
+    D = 0.75
+    # raw (unrounded) reconstruction straight from the bigram counts
+    rows = kneser_ney_bigrams(docs, "doc_id", "text", discount=D).collect()
+    import collections
+
+    c_bi = {(r.w1, r.w2): r.c_bi for r in rows}
+    c_w1 = collections.Counter()
+    n_follow = collections.Counter()
+    n_prec = collections.Counter()
+    for (w1, w2), c in c_bi.items():
+        c_w1[w1] += c
+        n_follow[w1] += 1
+        n_prec[w2] += 1
+    T = len(c_bi)
+    vocab = set(n_prec)  # every w2 that ever appears as a continuation
+    for w1 in c_w1:
+        lam = D * n_follow[w1] / c_w1[w1]
+        total = 0.0
+        for w2 in vocab:
+            seen = max(c_bi.get((w1, w2), 0) - D, 0.0) / c_w1[w1]
+            total += seen + lam * (n_prec[w2] / T)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+        # and the rounded operator p_kn agrees with the reconstruction
+    for r in rows:
+        lam = D * n_follow[r.w1] / c_w1[r.w1]
+        want = (
+            max(c_bi[(r.w1, r.w2)] - D, 0.0) / c_w1[r.w1]
+            + lam * (n_prec[r.w2] / T)
+        )
+        # round(x, 6) moves a half-way value exactly 5e-7
+        assert abs(r.p_kn - want) <= 5e-7 + 1e-12
