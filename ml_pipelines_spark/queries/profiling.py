@@ -875,3 +875,60 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nc").cast("long").alias("n_cur"),
     )
     return num.unionAll(cat)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit — the privacy-readiness check a
+# training-data release pipeline runs before shipping user-derived
+# rows. Equivalence classes are the quasi-identifier tuple (nation,
+# market segment, coarse balance bucket); a class re-identifies when
+# fewer than K individuals share it, and leaks its sensitive attribute
+# when all of them share one value (l-diversity = 1). Plan shape: ONE
+# customer⋈orders join shuffled on custkey (the sensitive attribute
+# ride-along), then one groupBy onto the QI tuple with a distinct-count
+# — class stats are QI-cardinality-sized, never row-sized, and the
+# audit parallelizes like any aggregation at 100 TB. The balance bucket
+# floors an identical double on both engines; every other statistic is
+# an exact integer.
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_audit",
+    """
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+               c.c_custkey,
+               coalesce(o.o_orderstatus, 'NONE') AS sensitive
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           COUNT(DISTINCT c_custkey) AS n_individuals,
+           COUNT(DISTINCT sensitive) AS l_diversity,
+           COUNT(DISTINCT c_custkey) >= 5 AS is_k_anonymous
+    FROM joined
+    GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    joined = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bucket",
+        "c_custkey",
+        F.coalesce(F.col("o_orderstatus"), F.lit("NONE")).alias("sensitive"),
+    )
+    return joined.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.countDistinct("c_custkey").alias("n_individuals"),
+        F.countDistinct("sensitive").alias("l_diversity"),
+        (F.countDistinct("c_custkey") >= 5).alias("is_k_anonymous"),
+    )

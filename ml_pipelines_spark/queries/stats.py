@@ -478,3 +478,69 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov — EXACT, with no global window: the EDF
+# prefix sums come from operators.edf.ordered_cumsum (range-bucketed
+# two-phase cumsum, the dense_ids machinery), and the max compares the
+# exact integer numerator |cumA·nB − cumB·nA|, dividing by nA·nB only
+# on the final single row. The oracle uses DuckDB's serial window —
+# feasible at oracle scale — so the driver check proves the distributed
+# prefix-sum plumbing against the straightforward definition.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_test_segments",
+    """
+    WITH j AS (
+        SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS f
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(f) AS BIGINT) AS c_a,
+               CAST(SUM(1 - f) AS BIGINT) AS c_b
+        FROM j GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c_a) OVER (ORDER BY v) AS BIGINT) AS ca,
+               CAST(SUM(c_b) OVER (ORDER BY v) AS BIGINT) AS cb
+        FROM pv
+    ),
+    n AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                 CAST(SUM(c_b) AS BIGINT) AS n_b
+          FROM pv)
+    SELECT n.n_a, n.n_b,
+           CAST(MAX(abs(ca * n.n_b - cb * n.n_a)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(abs(ca * n.n_b - cb * n.n_a)) AS BIGINT)
+                 / (n.n_a * n.n_b), 6) AS d_stat
+    FROM cum CROSS JOIN n
+    GROUP BY n.n_a, n.n_b
+    """,
+)
+def ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order value distribute differently across the BUILDING and
+    MACHINERY segments? Plan: customer is a broadcast dimension filter,
+    the single fact shuffle is the groupBy onto value grain, and all
+    EDF work runs on the value-grain relation."""
+    from ..operators.edf import ks_two_sample
+
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("f"),
+        )
+    )
+    return ks_two_sample(j, "v", "f")

@@ -1,0 +1,54 @@
+"""ordered_cumsum / ks_two_sample vs serial references."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ml_pipelines_spark.operators.edf import ks_two_sample, ordered_cumsum
+
+
+@pytest.mark.parametrize("seed", [1, 2, 5])
+def test_ordered_cumsum_matches_serial(spark, seed):
+    rng = random.Random(seed)
+    vals = rng.sample(range(100000), 500)
+    rows = [(v, rng.randrange(1, 9), rng.randrange(0, 5)) for v in vals]
+    df = spark.createDataFrame(rows, ["v", "a", "b"])
+    out = {
+        r.v: (r.cum_a, r.cum_b)
+        for r in ordered_cumsum(df, "v", ["a", "b"], num_partitions=8).collect()
+    }
+    ca = cb = 0
+    for v, a, b in sorted(rows):
+        ca += a
+        cb += b
+        assert out[v] == (ca, cb), v
+    assert len(out) == len(rows)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_ks_two_sample_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    # two overlapping discrete distributions with heavy ties
+    sample_a = [rng.randrange(0, 40) for _ in range(400)]
+    sample_b = [min(39, rng.randrange(0, 40) + rng.randrange(0, 4)) for _ in range(300)]
+    rows = [(v, 1) for v in sample_a] + [(v, 0) for v in sample_b]
+    df = spark.createDataFrame(rows, ["v", "f"])
+    got = ks_two_sample(df, "v", "f").collect()[0]
+    # serial KS over the pooled distinct values
+    n_a, n_b = len(sample_a), len(sample_b)
+    best = 0
+    for v in sorted(set(sample_a) | set(sample_b)):
+        ca = sum(1 for x in sample_a if x <= v)
+        cb = sum(1 for x in sample_b if x <= v)
+        best = max(best, abs(ca * n_b - cb * n_a))
+    assert (got.n_a, got.n_b, got.d_num) == (n_a, n_b, best)
+    assert abs(got.d_stat - best / (n_a * n_b)) <= 5e-7 + 1e-12
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [(v, f) for v in range(50) for f in (0, 1)]
+    df = spark.createDataFrame(rows, ["v", "f"])
+    got = ks_two_sample(df, "v", "f").collect()[0]
+    assert got.d_num == 0 and got.d_stat == 0.0
