@@ -599,3 +599,72 @@ def feature_ablation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding with additive smoothing — the canonical
+# high-cardinality categorical feature for tabular training data,
+# computed WITHOUT leakage: row i's own target is subtracted from its
+# group sum, enc_i = (S_g − y_i + m·prior) / (n_g − 1 + m). Plan shape:
+# the per-group sums are a 5-row map-side-combined aggregate and the
+# global prior a 1-row aggregate, both broadcast back onto the fact
+# scan — the encoder adds ZERO fact-sized shuffles at any scale. All
+# sums are exact cents BIGINTs; the per-row encoding is one IEEE
+# expression, rounded identically on both engines.
+# ---------------------------------------------------------------------------
+_TE_M = 20  # smoothing pseudo-count
+
+
+@query(
+    "target_encode_segments",
+    f"""
+    WITH j AS (
+        SELECT o.o_orderkey, c.c_mktsegment,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    grp AS (
+        SELECT c_mktsegment, CAST(SUM(y) AS BIGINT) AS s_g,
+               COUNT(*) AS n_g
+        FROM j GROUP BY c_mktsegment
+    ),
+    gstats AS (SELECT CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS n FROM j)
+    SELECT j.o_orderkey, j.c_mktsegment,
+           ROUND((grp.s_g - j.y + {_TE_M} * (gstats.s / gstats.n))
+                 / (grp.n_g - 1 + {_TE_M}) / 100.0, 6) AS enc_value
+    FROM j
+    JOIN grp ON grp.c_mktsegment = j.c_mktsegment
+    CROSS JOIN gstats
+    """,
+)
+def target_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    grp = j.groupBy("c_mktsegment").agg(
+        F.sum("y").cast("long").alias("s_g"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    glob = j.agg(
+        F.sum("y").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    enc = F.round(
+        (F.col("s_g") - F.col("y") + _TE_M * (F.col("s") / F.col("n")))
+        / (F.col("n_g") - 1 + _TE_M)
+        / 100.0,
+        6,
+    )
+    return (
+        j.join(F.broadcast(grp), "c_mktsegment")
+        .join(F.broadcast(glob))
+        .select("o_orderkey", "c_mktsegment", enc.alias("enc_value"))
+    )

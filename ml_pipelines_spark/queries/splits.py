@@ -399,3 +399,69 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Expanding-window temporal cross-validation with an EMBARGO gap — the
+# split discipline for time-dependent training data (leakage through
+# temporal adjacency, not just key overlap): fold k trains on
+# everything strictly before cut_k MINUS a 1-day embargo and validates
+# on [cut_k, cut_k + 7d). Pure range predicates on the timestamp —
+# partition-prunable at 100 TB when the table is date-partitioned —
+# and the output is a fold-grained summary, never a row-per-membership
+# materialization. Timestamps compare exactly; boundary rows land on
+# one deterministic side on both engines.
+# ---------------------------------------------------------------------------
+_TCV_CUTS = ["2024-01-10 00:00:00", "2024-01-17 00:00:00", "2024-01-24 00:00:00"]
+
+
+@query(
+    "temporal_cv_folds",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT {k + 1} AS fold, r.role, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events, (SELECT 'train' AS role UNION ALL SELECT 'valid') r
+    WHERE (r.role = 'train'
+           AND ts < TIMESTAMP '{cut}' - INTERVAL 1 DAY)
+       OR (r.role = 'valid'
+           AND ts >= TIMESTAMP '{cut}'
+           AND ts < TIMESTAMP '{cut}' + INTERVAL 7 DAY)
+    GROUP BY r.role
+    """
+        for k, cut in enumerate(_TCV_CUTS)
+    ),
+)
+def temporal_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("ts", "user_id")
+    parts = []
+    for k, cut in enumerate(_TCV_CUTS):
+        cut_ts = F.lit(cut).cast("timestamp")
+        for role, pred in (
+            ("train", F.col("ts") < cut_ts - F.expr("INTERVAL 1 DAY")),
+            (
+                "valid",
+                (F.col("ts") >= cut_ts)
+                & (F.col("ts") < cut_ts + F.expr("INTERVAL 7 DAYS")),
+            ),
+        ):
+            parts.append(
+                ev.filter(pred).agg(
+                    F.lit(k + 1).alias("fold"),
+                    F.lit(role).alias("role"),
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                        "first_ts"
+                    ),
+                    F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                        "last_ts"
+                    ),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -62,3 +62,45 @@ def test_train_logreg_learns_separable_labels(spark):
     acc = score_accuracy(df, ["x0", "x1", "x2"], "y", w)
     assert acc >= 0.9  # a 1-D threshold is learnable to near-perfect
     assert w[1] > 0  # weight points along the generating direction
+
+
+def test_target_encoding_is_leave_one_out(monkeypatch, spark, tmp_path):
+    # LOO property: a singleton group's encoding collapses to the
+    # global prior (its own target contributes nothing), and within a
+    # group the row with the LARGER target gets the SMALLER encoding.
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.queries.classifier import target_encode_segments
+
+    import datetime
+
+    cust = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "A"), (2, "c2", 0, 0.0, "A"), (3, "c3", 1, 0.0, "B")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    d = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 100.0, d, "1-URGENT"),
+            (11, 2, "O", 300.0, d, "1-URGENT"),
+            (12, 3, "F", 200.0, d, "5-LOW"),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    cust.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    rows = {
+        r.o_orderkey: r.enc_value
+        for r in target_encode_segments(spark, str(tmp_path)).collect()
+    }
+    prior = (100.0 + 300.0 + 200.0) / 3
+    m = 20
+    # singleton group B: (S_g - y + m*prior)/(n_g - 1 + m) = m*prior/m
+    assert abs(rows[12] - prior) < 1e-6
+    # group A: order 10 (y=100) keeps sibling's 300 -> larger encoding
+    assert rows[10] > rows[11]
+    want_10 = (300.0 + m * prior) / (1 + m)
+    want_11 = (100.0 + m * prior) / (1 + m)
+    assert abs(rows[10] - want_10) < 1e-6
+    assert abs(rows[11] - want_11) < 1e-6
