@@ -200,3 +200,60 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based file skipping (operators/manifest.py): orders are
+# written range-clustered on exact price cents with a file-level zone
+# map under _manifest/, then a narrow price band is answered by reading
+# ONLY the overlapping files (pruned_file_count proves files were
+# skipped in tests/test_manifest.py). The oracle computes the same band
+# aggregate straight from the source table — pruning must be invisible
+# in the values. The write happens once per (session, sf_dir); the
+# returned plan reads the pruned file list lazily.
+# ---------------------------------------------------------------------------
+_MANIFEST_DIRS: dict[tuple[str, str], str] = {}
+_BAND_LO, _BAND_HI = 5_000_00, 15_000_00  # $5,000 .. $15,000 in cents
+
+
+def _manifest_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import write_manifest_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MANIFEST_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="manifest_orders_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        write_manifest_table(orders, out_dir, "price_cents", num_files=16)
+        _MANIFEST_DIRS[key] = out_dir
+    return _MANIFEST_DIRS[key]
+
+
+@query(
+    "manifest_pruned_scan",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS band_revenue
+    FROM orders
+    WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+          BETWEEN {_BAND_LO} AND {_BAND_HI}
+    GROUP BY o_orderstatus
+    """,
+)
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_pruned
+
+    path = _manifest_orders_dir(spark, sf_dir)
+    band = read_pruned(spark, path, "price_cents", _BAND_LO, _BAND_HI)
+    return band.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price_cents").cast("long") / 100.0).alias("band_revenue"),
+    )
