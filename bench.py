@@ -284,6 +284,26 @@ HEADLINE = [
     "conformal_forecast_band",
     # contrastive positives + rank-11..15 hard negatives
     "hard_negative_mining",
+    # the TPC-H completion wave (derived-partsupp Q2/Q20, EXISTS Q4,
+    # derived-shipmode Q12, promo-share Q14)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q20_dominant_suppliers",
+    # PPJoin prefix-filter exact Jaccard (scale-correct exact path)
+    "prefix_jaccard_pairs",
+    # interpolated Kneser-Ney bigram LM
+    "kneser_ney_bigrams",
+    # privacy-readiness audit
+    "k_anonymity_audit",
+    # distributed exact two-sample KS (no global window)
+    "ks_test_segments",
+    # leakage-free LOO target encoding + embargoed temporal CV
+    "target_encode_segments",
+    "temporal_cv_folds",
+    # manifest zone-map file skipping
+    "manifest_pruned_scan",
 ]
 
 RUNS = 3

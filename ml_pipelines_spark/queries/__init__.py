@@ -199,7 +199,12 @@ _CHECK_FIRST = [
     # shortest_path_copurchase, kmv_set_ops_users,
     # als_matrix_factorization, conformal_forecast_band,
     # hard_negative_mining (link_prediction_copurchase also qualifies
-    # under rule 2 — it now reads the shared _copurchase_pairs cache).
+    # under rule 2 — it now reads the shared _copurchase_pairs cache),
+    # and the round-7 third-wave registrations: q2_min_cost_supplier,
+    # q4_order_priority, q12_shipmode_priority, q14_promo_revenue,
+    # q20_dominant_suppliers, prefix_jaccard_pairs, kneser_ney_bigrams,
+    # k_anonymity_audit, ks_test_segments, target_encode_segments,
+    # temporal_cv_folds, manifest_pruned_scan.
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

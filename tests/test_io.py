@@ -152,3 +152,31 @@ def test_read_timestamp_table_raises_on_unprobeable(spark):
     )
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    # The 100 TB shape: fact partitioned on the join key's functional
+    # image, dimension filtered on an attribute — Spark must inject a
+    # dynamicpruningexpression into the fact scan so only the dim's
+    # surviving partitions are listed/read at runtime (star-schema
+    # queries at scale live or die on this).
+    import pyspark.sql.functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("p"),
+        (F.col("id") * 3).alias("v"),
+    ).write.partitionBy("p").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("p"), (F.col("id") % 4).alias("grp")
+    )
+    joined = fact.join(dim.filter(F.col("grp") == 1), "p").agg(
+        F.sum("v").alias("s")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is correct
+    want = sum(i * 3 for i in range(10000) if (i % 20) % 4 == 1)
+    assert joined.collect()[0]["s"] == want

@@ -51,3 +51,59 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert quarantine.count() == 0
     got = {r["doc_id"]: r["text"] for r in valid.collect()}
     assert got == {1: "a", 2: "b", 3: None}
+
+
+# ---------------------------------------------------------------------------
+# CSV quarantine twin (sources/csvsrc.py)
+# ---------------------------------------------------------------------------
+
+
+def test_read_csv_audited_splits_valid_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ml_pipelines_spark.sources.csvsrc import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"          # header
+        "1,alice,0.5\n"            # ok
+        "2,bob,not_a_number\n"     # type garbage -> quarantine
+        "3,carol,0.25\n"           # ok
+        "4,dave\n"                 # wrong arity -> quarantine
+        "5,eve,1.0\n"              # ok
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    valid, quarantine = read_csv_audited(
+        spark, str(p), schema, header=True
+    )
+    got = {(r.id, r.name, r.score) for r in valid.collect()}
+    assert got == {(1, "alice", 0.5), (3, "carol", 0.25), (5, "eve", 1.0)}
+    bad = sorted(r.raw_line for r in quarantine.collect())
+    assert bad == ["2,bob,not_a_number", "4,dave"]
+    assert valid.columns == ["id", "name", "score"]
+
+
+def test_read_csv_audited_rejects_corrupt_column_in_schema(spark):
+    import pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ml_pipelines_spark.sources.csvsrc import read_csv_audited
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_audited(
+            spark,
+            "/nonexistent",
+            StructType([StructField("_corrupt_record", StringType())]),
+        )
