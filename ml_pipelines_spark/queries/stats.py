@@ -544,3 +544,201 @@ def ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ks_two_sample(j, "v", "f")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) with midrank tie handling — the
+# nonparametric A/B companion to ks_test_segments, and the second
+# consumer of operators/edf.ordered_cumsum (no global window). All rank
+# arithmetic stays in exact BIGINTs by carrying DOUBLED quantities:
+# 2·R1 = Σ c_a·(2·cum_before + c_t + 1), 2·U1 = 2·R1 − n1(n1+1), and
+# the tie-corrected variance uses T = Σ(c_t³−c_t) — the only floats are
+# the final z division and sqrt, identical single IEEE expressions on
+# both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "mannwhitney_segments",
+    """
+    WITH j AS (
+        SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS f
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+    ),
+    pv AS (
+        SELECT v, CAST(SUM(f) AS BIGINT) AS c_a,
+               CAST(SUM(1 - f) AS BIGINT) AS c_b
+        FROM j GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c_a, c_b,
+               CAST(SUM(c_a + c_b) OVER (ORDER BY v) AS BIGINT)
+                   - (c_a + c_b) AS before_t
+        FROM pv
+    ),
+    n AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                 CAST(SUM(c_b) AS BIGINT) AS n_b
+          FROM pv),
+    s AS (
+        SELECT CAST(SUM(c_a * (2 * before_t + (c_a + c_b) + 1)) AS BIGINT)
+                   AS two_r1,
+               CAST(SUM((c_a + c_b) * (c_a + c_b) * (c_a + c_b)
+                        - (c_a + c_b)) AS BIGINT) AS tie_t
+        FROM cum
+    )
+    SELECT n.n_a, n.n_b,
+           CAST(s.two_r1 - n.n_a * (n.n_a + 1) AS BIGINT) AS two_u1,
+           ROUND(((s.two_r1 - n.n_a * (n.n_a + 1)) / 2.0
+                  - n.n_a * n.n_b / 2.0)
+                 / sqrt((n.n_a * n.n_b / 12.0)
+                        * ((n.n_a + n.n_b + 1)
+                           - CAST(s.tie_t AS DOUBLE)
+                             / ((n.n_a + n.n_b)
+                                * (n.n_a + n.n_b - 1)))), 6) AS z_score
+    FROM s CROSS JOIN n
+    """,
+)
+def mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.edf import ordered_cumsum
+
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")
+    )
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+            .otherwise(0)
+            .alias("f"),
+        )
+    )
+    pv = j.groupBy("v").agg(
+        F.sum("f").cast("long").alias("c_a"),
+        F.sum(1 - F.col("f")).cast("long").alias("c_b"),
+    ).withColumn("c_t", F.col("c_a") + F.col("c_b"))
+    cum = ordered_cumsum(pv, "v", ["c_t"]).withColumn(
+        "before_t", F.col("cum_c_t") - F.col("c_t")
+    )
+    n = pv.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.col("c_a") * (2 * F.col("before_t") + F.col("c_t") + 1)
+        )
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("c_t") * F.col("c_t") * F.col("c_t") - F.col("c_t"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    two_u1 = (F.col("two_r1") - F.col("n_a") * (F.col("n_a") + 1)).cast(
+        "long"
+    )
+    n_tot = F.col("n_a") + F.col("n_b")
+    z = (
+        (two_u1 / 2.0 - F.col("n_a") * F.col("n_b") / 2.0)
+        / F.sqrt(
+            (F.col("n_a") * F.col("n_b") / 12.0)
+            * (
+                (n_tot + 1)
+                - F.col("tie_t").cast("double") / (n_tot * (n_tot - 1))
+            )
+        )
+    )
+    return (
+        s.join(F.broadcast(n))
+        .select(
+            "n_a",
+            "n_b",
+            two_u1.alias("two_u1"),
+            F.round(z, 6).alias("z_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of daily revenue — median-of-pairwise-slopes,
+# immune to the outlier days that bend ols_value_trend. The pairwise
+# self-join runs on the DAY DIMENSION (the fact table collapses to
+# ≤366 day rows first), so the quadratic is bounded by days², never by
+# rows² — stated, not hidden. The lower median at index ⌈n/2⌉ is picked
+# by a row_number over the pair relation (days²-bounded, one task is
+# fine at any corpus size) with a fully deterministic tie order
+# (slope, day_i, day_j); slopes are single IEEE divisions of exact
+# integer deltas.
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_daily_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS d,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY d
+    ),
+    pairs AS (
+        SELECT a.d AS d1, b.d AS d2,
+               (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rn,
+               COUNT(*) OVER () AS n_pairs
+        FROM pairs
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(slope / 100.0, 6) AS slope_dollars_per_day
+    FROM ranked
+    WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400.0)
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.col("n_pairs") / 2.0).cast("long")
+    ).select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("slope") / 100.0, 6).alias("slope_dollars_per_day"),
+    )

@@ -52,3 +52,43 @@ def test_ks_identical_samples_is_zero(spark):
     df = spark.createDataFrame(rows, ["v", "f"])
     got = ks_two_sample(df, "v", "f").collect()[0]
     assert got.d_num == 0 and got.d_stat == 0.0
+
+
+def test_mannwhitney_matches_serial_midranks(spark, sf_dir):
+    # Replay the doubled-rank-sum arithmetic serially from the raw
+    # values and require exact equality of the integer statistics.
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.queries.stats import mannwhitney_segments
+    from ml_pipelines_spark.queries.relational import t
+
+    got = mannwhitney_segments(spark, sf_dir).collect()[0]
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")
+    )
+    rows = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("v"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_a"),
+        )
+        .collect()
+    )
+    vals = sorted(r.v for r in rows)
+    # midrank per value: first_index + (count+1)/2, doubled to stay int
+    import collections
+
+    first = {}
+    cnt = collections.Counter(vals)
+    i = 1
+    for v in sorted(cnt):
+        first[v] = i
+        i += cnt[v]
+    two_r1 = sum(
+        2 * (first[r.v] - 1) + cnt[r.v] + 1 for r in rows if r.is_a
+    )
+    n_a = sum(1 for r in rows if r.is_a)
+    assert (got.n_a, got.two_u1) == (n_a, two_r1 - n_a * (n_a + 1))
