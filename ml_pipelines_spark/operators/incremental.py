@@ -169,3 +169,38 @@ def dedup_against_index(
         admitted.select("fp", "fp_bucket"), index_path, ["fp_bucket"], mode="append"
     )
     return admitted.drop("fp", "fp_bucket")
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Delta of the join view V = A ⨝ B under INSERT-only deltas —
+    classic incremental view maintenance algebra:
+
+        ΔV = (ΔA ⨝ B_old) ∪ (A_old ⨝ ΔB) ∪ (ΔA ⨝ ΔB)
+
+    The three terms are disjoint by construction (each view row is
+    tagged by whether its A-side and/or B-side row is new), so the
+    union is exact — no dedup pass. Maintenance cost scales with the
+    DELTAS: the two mixed terms each shuffle one delta against one
+    stored side (semi-join/bucket pruning applies when the stored side
+    is key-partitioned), and the stored view is never rescanned. The
+    defining invariant — V_old ∪ ΔV equals the full recompute over
+    (A_old∪ΔA) ⨝ (B_old∪ΔB) — is pytest-asserted and value-checked by
+    the ``incremental_join_view`` oracle.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    d1 = delta_a.join(b_old, keys).withColumn(
+        "delta_term", F.lit("a_only")
+    )
+    d2 = a_old.join(delta_b, keys).withColumn(
+        "delta_term", F.lit("b_only")
+    )
+    d3 = delta_a.join(delta_b, keys).withColumn(
+        "delta_term", F.lit("both")
+    )
+    return d1.unionByName(d2).unionByName(d3)

@@ -382,3 +382,55 @@ def temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (operators/incremental.py
+# join_view_delta): the orders⋈customer view absorbs an insert batch on
+# BOTH sides (new orders: o_orderkey%5=0; new customers: c_custkey%7=0)
+# without rescanning the stored view. The oracle derives the SAME delta
+# declaratively — a view row is new iff either constituent row is new —
+# and the per-term breakdown (a_only / b_only / both) pins the
+# disjointness of the three IVM terms, so any double-count or dropped
+# mixed term breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_join_view",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment,
+               (o.o_orderkey % 5 = 0) AS new_a,
+               (c.c_custkey % 7 = 0) AS new_b,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE (o.o_orderkey % 5 = 0) OR (c.c_custkey % 7 = 0)
+    )
+    SELECT c_mktsegment,
+           CASE WHEN new_a AND new_b THEN 'both'
+                WHEN new_a THEN 'a_only' ELSE 'b_only' END AS delta_term,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS delta_revenue
+    FROM j
+    GROUP BY c_mktsegment, delta_term
+    """,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import join_view_delta
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a_old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta_a = orders.filter(F.col("o_orderkey") % 5 == 0)
+    b_old = cust.filter(F.col("c_custkey") % 7 != 0)
+    delta_b = cust.filter(F.col("c_custkey") % 7 == 0)
+    dv = join_view_delta(a_old, delta_a, b_old, delta_b, on="c_custkey")
+    return dv.groupBy("c_mktsegment", "delta_term").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("cents").cast("long") / 100.0).alias("delta_revenue"),
+    )

@@ -97,3 +97,41 @@ def test_dedup_against_index_idempotent_batch(spark, tmp_path):
     a2 = dedup_against_index(spark, idx, docs)  # replay the same batch
     assert a1.count() > 0
     assert a2.count() == 0
+
+
+def test_join_view_delta_union_equals_full_recompute(spark):
+    # The IVM invariant: V_old ∪ ΔV == (A_old∪ΔA) ⨝ (B_old∪ΔB), as a
+    # row multiset, with the three delta terms disjoint.
+    import collections
+
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.operators.incremental import join_view_delta
+
+    a = spark.range(0, 400).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("av")
+    )
+    b = spark.range(0, 120).select(
+        (F.col("id") % 37).alias("k"), (F.col("id") * 10).alias("bv")
+    )
+    a_old, delta_a = a.filter("av % 3 != 0"), a.filter("av % 3 = 0")
+    b_old, delta_b = b.filter("bv % 40 != 0"), b.filter("bv % 40 = 0")
+    v_old = a_old.join(b_old, "k").select("k", "av", "bv")
+    dv = join_view_delta(a_old, delta_a, b_old, delta_b, "k")
+    got = collections.Counter(
+        (r.k, r.av, r.bv)
+        for r in v_old.unionByName(
+            dv.select("k", "av", "bv")
+        ).collect()
+    )
+    want = collections.Counter(
+        (r.k, r.av, r.bv) for r in a.join(b, "k").collect()
+    )
+    assert got == want
+    # term disjointness: every delta row appears exactly once
+    n_delta = dv.count()
+    assert n_delta == sum(want.values()) - sum(
+        collections.Counter(
+            (r.k, r.av, r.bv) for r in v_old.collect()
+        ).values()
+    )
