@@ -304,6 +304,10 @@ HEADLINE = [
     "temporal_cv_folds",
     # manifest zone-map file skipping
     "manifest_pruned_scan",
+    # rank-sum + robust-trend statistics, delta-join IVM
+    "mannwhitney_segments",
+    "theil_sen_daily_trend",
+    "incremental_join_view",
 ]
 
 RUNS = 3
