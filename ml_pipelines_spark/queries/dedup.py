@@ -1449,9 +1449,27 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_sets
+    from .registry import swap_cache
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # one explode for the four token-relation consumers
+    toks = swap_cache(
+        "dedup.word3_shingle_sets",
+        sf_dir,
+        shingle_sets(docs, "doc_id", "text", 3),
+    )
     return prefix_filter_jaccard(
-        docs, "doc_id", "text", t_num=3, t_den=5, shingle_k=3
+        docs,
+        "doc_id",
+        "text",
+        t_num=3,
+        t_den=5,
+        shingle_k=3,
+        tokens=toks,
+        materialize=lambda name, frame: swap_cache(
+            f"dedup.prefix_jaccard.{name}", sf_dir, frame
+        ),
     ).select(
         "id_a",
         "id_b",
