@@ -414,8 +414,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # BENCH_FULL.json is the committed sf0.1 record; a contract check at
+    # another scale factor must not clobber it.
+    full_name = (
+        "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name),
         "w",
     ) as fh:
         json.dump(full, fh, indent=1)

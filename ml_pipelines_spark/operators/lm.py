@@ -120,6 +120,7 @@ def kneser_ney_bigrams(
     id_col: str,
     text_col: str,
     discount: float = 0.75,
+    materialize=None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram model trained in three aggregate
     passes — the smoothing actually used for n-gram LM quality/filter
@@ -143,6 +144,13 @@ def kneser_ney_bigrams(
     """
     bg = _doc_bigrams(df, id_col, text_col)
     bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    # bi feeds FOUR consumers (left contexts, continuations, the type
+    # total, and the output join); without a warm boundary each one
+    # replays the corpus explode. The hook ((name, df) -> df, e.g. the
+    # query layer's swap_cache) pins the model-sized count table so the
+    # corpus is scanned once.
+    if materialize is not None:
+        bi = materialize("bigram_counts", bi)
     left = bi.groupBy("w1").agg(
         F.sum("c_bi").alias("c_w1"),
         F.count(F.lit(1)).alias("n_follow"),

@@ -1,25 +1,30 @@
-"""Manifest-based file skipping — a minimal Iceberg/Delta-style zone
-map over a parquet directory.
+"""Manifest-based file skipping with versioned snapshots — a minimal
+Iceberg/Delta-style table layer over parquet directories.
 
 At 100 TB the scan-planning cost itself matters: listing a huge
 directory and opening every parquet footer to evaluate min/max is an
 O(files) metadata storm per query. Table formats fix this by keeping a
 MANIFEST — one small table of per-file column bounds — so planning
 reads one object and prunes files before the FileIndex ever sees them.
-This module implements that contract natively in Spark:
+And because each write lands as a new immutable SNAPSHOT with its own
+manifest, readers get time travel and writers never disturb a running
+query. This module implements that contract natively in Spark:
 
-- ``write_manifest_table``: range-layout the data on a sort column
-  (repartitionByRange + sortWithinPartitions, so each file owns a tight
-  value interval), write it, then derive the per-file (min, max, rows)
-  zone map in ONE distributed pass over the just-written files
-  (``input_file_name()`` + groupBy) and store it under ``_manifest/``
-  — an underscore path, which Spark's FileIndex ignores for data reads
-  (the same convention as ``_delta_log``).
-- ``read_pruned``: load the manifest (file-count rows, driver-side),
-  keep files whose [min, max] interval overlaps the predicate band,
-  and read ONLY those, re-applying the band as a residual filter for
-  exactness. Files the band misses are never opened — not even their
-  footers.
+- ``write_manifest_table``: each call appends snapshot ``v=N`` (data
+  files under ``<path>/v=N/``, zone map under
+  ``<path>/_manifest/v=N/``). Data is range-laid-out on a sort column
+  (repartitionByRange + sortWithinPartitions, so each file owns a
+  tight value interval); the per-file (min, max, rows) map is derived
+  in ONE distributed pass over the just-written files
+  (``input_file_name()`` + groupBy). ``_manifest`` is an underscore
+  path, which Spark's FileIndex ignores for data reads (the
+  ``_delta_log`` convention).
+- ``read_pruned``: load one snapshot's manifest (file-count rows,
+  driver-side), keep files whose [min, max] interval overlaps the
+  predicate band, and read ONLY those, re-applying the band as a
+  residual filter for exactness. Files the band misses are never
+  opened — not even their footers. ``version=None`` reads the latest
+  snapshot; any earlier version stays readable forever (time travel).
 
 The residual filter makes correctness independent of HOW files were
 assigned (range-boundary sampling is not deterministic); the manifest
@@ -32,35 +37,60 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def versions(spark: SparkSession, path: str) -> list[int]:
+    """Snapshot versions present at ``path``, ascending."""
+    vs = (
+        spark.read.parquet(f"{path}/_manifest")
+        .select("v")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["v"]) for r in vs)
+
+
 def write_manifest_table(
     df: DataFrame,
     path: str,
     sort_col: str,
     num_files: int = 16,
-) -> None:
-    """Write ``df`` range-clustered on ``sort_col`` with a file-level
-    zone-map manifest at ``<path>/_manifest``."""
+) -> int:
+    """Append ``df`` as the next snapshot of the manifest table at
+    ``path``; returns the new version number."""
+    spark = df.sparkSession
+    try:
+        version = versions(spark, path)[-1] + 1
+    except Exception:  # first snapshot: no manifest dir yet
+        version = 1
+    data_dir = f"{path}/v={version}"
     (
         df.repartitionByRange(num_files, sort_col)
         .sortWithinPartitions(sort_col)
-        .write.mode("overwrite")
-        .parquet(path)
+        .write.mode("errorifexists")
+        .parquet(data_dir)
     )
-    spark = df.sparkSession
     zone_map = (
-        spark.read.parquet(path)
+        spark.read.parquet(data_dir)
         .select(
             F.input_file_name().alias("file"),
-            F.col(sort_col).alias("v"),
+            F.col(sort_col).alias("v_"),
         )
         .groupBy("file")
         .agg(
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
-    zone_map.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    zone_map.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    return version
+
+
+def _manifest_rows(spark: SparkSession, path: str, version: int | None):
+    mf = spark.read.parquet(f"{path}/_manifest")
+    v = version if version is not None else versions(spark, path)[-1]
+    return [r for r in mf.collect() if int(r["v"]) == v], v
 
 
 def read_pruned(
@@ -69,10 +99,12 @@ def read_pruned(
     sort_col: str,
     lo,
     hi,
+    version: int | None = None,
 ) -> DataFrame:
-    """Read only the files whose zone-map interval overlaps [lo, hi],
-    with the band re-applied as a residual filter."""
-    manifest = spark.read.parquet(f"{path}/_manifest").collect()
+    """Read only the files of one snapshot whose zone-map interval
+    overlaps [lo, hi], with the band re-applied as a residual filter.
+    ``version=None`` = latest snapshot; earlier versions time-travel."""
+    manifest, v = _manifest_rows(spark, path, version)
     keep = [
         r["file"]
         for r in manifest
@@ -80,15 +112,55 @@ def read_pruned(
     ]
     band = (F.col(sort_col) >= F.lit(lo)) & (F.col(sort_col) <= F.lit(hi))
     if not keep:
-        # empty result with the table's schema (probe one file lazily)
-        return spark.read.parquet(path).filter(F.lit(False))
+        # empty result with the snapshot's schema (lazy probe)
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     return spark.read.parquet(*keep).filter(band)
 
 
-def pruned_file_count(spark: SparkSession, path: str, lo, hi) -> tuple[int, int]:
+def pruned_file_count(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[int, int]:
     """(files kept, files total) for a band — the skipping evidence."""
-    manifest = spark.read.parquet(f"{path}/_manifest").collect()
+    manifest, _ = _manifest_rows(spark, path, version)
     keep = sum(
         1 for r in manifest if not (r["max_v"] < lo or r["min_v"] > hi)
     )
     return keep, len(manifest)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Full read of one snapshot (latest when ``version`` is None)."""
+    v = version if version is not None else versions(spark, path)[-1]
+    return spark.read.parquet(f"{path}/v={v}")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    sort_col: str,
+    target_rows: int,
+) -> int:
+    """Compact the latest snapshot into ~``target_rows``-row files,
+    appended as a NEW snapshot (the old one stays readable — compaction
+    under snapshot isolation, the Iceberg/Delta OPTIMIZE shape).
+
+    The file count is planned from the MANIFEST alone (sum of per-file
+    row counts — no data scan, no footer reads); the rewrite is one
+    range-repartition pass. The small-file problem this solves is a
+    100 TB killer: a streaming or per-batch writer leaves thousands of
+    KB-sized files whose per-file open/seek overhead dominates scans
+    and whose zone-map intervals overlap; compaction restores
+    tight-interval, right-sized files and re-derives the zone map.
+    """
+    manifest, v = _manifest_rows(spark, path, None)
+    total = sum(int(r["n_rows"]) for r in manifest)
+    n_files = max(1, -(-total // target_rows))
+    return write_manifest_table(
+        read_snapshot(spark, path, v), path, sort_col, num_files=n_files
+    )

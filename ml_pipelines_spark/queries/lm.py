@@ -98,6 +98,15 @@ def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import kneser_ney_bigrams as kn
+    from .registry import swap_cache
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return kn(docs, "doc_id", "text", discount=0.75)
+    return kn(
+        docs,
+        "doc_id",
+        "text",
+        discount=0.75,
+        materialize=lambda name, frame: swap_cache(
+            f"lm.kn.{name}", sf_dir, frame
+        ),
+    )

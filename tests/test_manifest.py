@@ -1,5 +1,6 @@
-"""Manifest zone-map pruning: files outside the band are skipped and
-the result is identical to the unpruned filter."""
+"""Manifest zone-map pruning + versioned snapshots: files outside the
+band are skipped, results equal the unpruned filter, and earlier
+snapshots stay readable (time travel)."""
 
 from __future__ import annotations
 
@@ -11,17 +12,18 @@ import pyspark.sql.functions as F
 from ml_pipelines_spark.operators.manifest import (
     pruned_file_count,
     read_pruned,
+    versions,
     write_manifest_table,
 )
 
 
 def test_manifest_prunes_files_and_preserves_results(spark):
     df = spark.range(0, 20000).select(
-        F.col("id").alias("k"), (F.col("id") * 7 % 20000).alias("v")
+        F.col("id").alias("k"), (F.col("id") * 7 % 20000).alias("x")
     )
     d = tempfile.mkdtemp(prefix="mlps_manifest_t_")
     try:
-        write_manifest_table(df, d, "k", num_files=16)
+        assert write_manifest_table(df, d, "k", num_files=16) == 1
         lo, hi = 2500, 4500
         kept, total = pruned_file_count(spark, d, lo, hi)
         # the band covers 10% of a range-clustered table: most of the 16
@@ -35,18 +37,66 @@ def test_manifest_prunes_files_and_preserves_results(spark):
         # empty band outside the domain: no files, schema preserved
         empty = read_pruned(spark, d, "k", 10**9, 2 * 10**9)
         assert empty.count() == 0
-        assert empty.columns == ["k", "v"]
+        assert empty.columns == ["k", "x"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_manifest_dir_is_invisible_to_data_reads(spark):
-    # the _manifest subdir must not leak rows into a plain read
-    df = spark.range(0, 100).select(F.col("id").alias("k"))
+def test_manifest_snapshots_time_travel(spark):
     d = tempfile.mkdtemp(prefix="mlps_manifest_v_")
     try:
+        v1 = spark.range(0, 1000).select(F.col("id").alias("k"))
+        v2 = spark.range(5000, 5500).select(F.col("id").alias("k"))
+        assert write_manifest_table(v1, d, "k", num_files=4) == 1
+        assert write_manifest_table(v2, d, "k", num_files=4) == 2
+        assert versions(spark, d) == [1, 2]
+        # latest snapshot: only v2's domain exists
+        assert read_pruned(spark, d, "k", 0, 10**6).count() == 500
+        # time travel: v1 unchanged after the v2 write
+        got_v1 = read_pruned(spark, d, "k", 0, 10**6, version=1)
+        assert got_v1.count() == 1000
+        # pruning works per snapshot
+        kept, total = pruned_file_count(spark, d, 0, 100, version=1)
+        assert total == 4 and kept == 1
+        kept2, total2 = pruned_file_count(spark, d, 0, 100, version=2)
+        assert total2 == 4 and kept2 == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_dir_is_invisible_to_snapshot_reads(spark):
+    # the _manifest subdir must not leak rows into a plain read of a
+    # snapshot's data directory
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    d = tempfile.mkdtemp(prefix="mlps_manifest_i_")
+    try:
         write_manifest_table(df, d, "k", num_files=4)
-        assert spark.read.parquet(d).count() == 100
-        assert spark.read.parquet(d).columns == ["k"]
+        snap = spark.read.parquet(f"{d}/v=1")
+        assert snap.count() == 100
+        assert snap.columns == ["k"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_snapshot_reduces_files_under_isolation(spark):
+    d = tempfile.mkdtemp(prefix="mlps_manifest_c_")
+    try:
+        df = spark.range(0, 8000).select(F.col("id").alias("k"))
+        write_manifest_table(df, d, "k", num_files=16)  # 16 tiny files
+        from ml_pipelines_spark.operators.manifest import (
+            compact_snapshot,
+            read_snapshot,
+        )
+
+        v2 = compact_snapshot(spark, d, "k", target_rows=2000)
+        assert v2 == 2
+        kept, total = pruned_file_count(spark, d, 0, 10**9, version=2)
+        assert total == 4  # 8000 rows / 2000-row target
+        # same data, snapshot isolation: v1 still has 16 files
+        assert read_snapshot(spark, d, 2).count() == 8000
+        assert pruned_file_count(spark, d, 0, 10**9, version=1)[1] == 16
+        # pruning on the compacted layout still works
+        k2, t2 = pruned_file_count(spark, d, 0, 1000, version=2)
+        assert k2 == 1 and t2 == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)

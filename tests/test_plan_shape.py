@@ -503,3 +503,53 @@ def test_q20_dominance_window_over_pair_grain(spark, sf_dir):
         re.findall(r"Exchange hashpartitioning\(l_suppkey.*l_partkey", plan)
     )
     assert fact_exchanges == 1, f"expected 1 pair-grain exchange, got {fact_exchanges}"
+
+
+def test_ks_no_unbucketed_fact_window(spark, sf_dir):
+    # The EDF prefix sums must run per range-bucket (__b) with the only
+    # unpartitioned window over the <=P-row bucket-offset relation; the
+    # customer side joins as a broadcast.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["ks_test_segments"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(__b" in plan, "bucketed cumsum shape missing"
+
+
+def test_target_encode_broadcast_only_joins(spark, sf_dir):
+    # The encoder's stats attach as 5-row / 1-row broadcasts; there is
+    # no fact-sized shuffle join anywhere in the plan. (The stats
+    # branches re-scan the 3-column projection of orders — deliberate:
+    # two extra columnar scans beat shuffling the fact on a 5-value
+    # key.)
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["target_encode_segments"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kneser_ney_single_corpus_explode(spark, sf_dir):
+    # All four model statistics must read the CACHED bigram-count table
+    # (model-sized), not replay the corpus explode: with the warm
+    # boundary in place the documents scan appears only inside the
+    # InMemoryRelation recipe, and every consumer is an
+    # InMemoryTableScan.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["kneser_ney_bigrams"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 4, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_join_view_no_view_rescan(spark, sf_dir):
+    # The three IVM terms touch only base-table scans (orders/customer
+    # projections); union of three joins, no cartesian, customer side
+    # broadcast in every term.
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    plan = _plan(QUERIES["incremental_join_view"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -146,3 +146,31 @@ def test_weighted_sample_bias_and_partition_invariance(spark):
         for r in weighted_sample_topk(df.repartition(17), "id", "w", k=100).collect()
     }
     assert a == b
+
+
+def test_temporal_cv_embargo_gap(spark, sf_dir):
+    # The defining property: for every fold, the training window's last
+    # event is at least the 1-day embargo BEFORE the validation
+    # window's first admissible instant (no temporal adjacency leak),
+    # and folds are expanding (train counts non-decreasing).
+    import datetime
+
+    from ml_pipelines_spark.queries.splits import _TCV_CUTS, temporal_cv_folds
+
+    rows = {
+        (r.fold, r.role): r for r in temporal_cv_folds(spark, sf_dir).collect()
+    }
+    prev_train = 0
+    for k, cut in enumerate(_TCV_CUTS, start=1):
+        cut_dt = datetime.datetime.strptime(cut, "%Y-%m-%d %H:%M:%S")
+        tr, va = rows[(k, "train")], rows[(k, "valid")]
+        last_train = datetime.datetime.strptime(
+            tr.last_ts, "%Y-%m-%d %H:%M:%S"
+        )
+        first_valid = datetime.datetime.strptime(
+            va.first_ts, "%Y-%m-%d %H:%M:%S"
+        )
+        assert last_train < cut_dt - datetime.timedelta(days=1) + datetime.timedelta(seconds=1)
+        assert first_valid >= cut_dt
+        assert tr.n_events >= prev_train
+        prev_train = tr.n_events
