@@ -245,3 +245,71 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-backed point lookup (operators/invindex.py): the lookup-service
+# twin of bm25_top_docs. The posting lists are written ONCE per
+# (session, sf) hive-partitioned by term hash bucket; the query then
+# reads at most q of the B=16 bucket directories (partition pruning,
+# physically asserted in tests/test_invindex.py) and never touches the
+# corpus. The oracle recomputes the same boolean-AND lookup from the
+# documents table directly — the index must be invisible in the values.
+# ---------------------------------------------------------------------------
+_INDEX_DIRS: dict[tuple[str, str], str] = {}
+_LOOKUP_TERMS = ["join", "filter", "scan"]
+_INDEX_BUCKETS = 16
+
+
+def _inverted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.invindex import write_inverted_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="inv_index_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        write_inverted_index(
+            docs, out_dir, "doc_id", "text", num_buckets=_INDEX_BUCKETS
+        )
+        _INDEX_DIRS[key] = out_dir
+    return _INDEX_DIRS[key]
+
+
+@query(
+    "indexed_term_lookup",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    q AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN ('join', 'filter', 'scan')
+        GROUP BY term, doc_id
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT term) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM q
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = 3
+    """,
+)
+def indexed_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.invindex import search_indexed
+
+    path = _inverted_index_dir(spark, sf_dir)
+    return search_indexed(
+        spark,
+        path,
+        _LOOKUP_TERMS,
+        num_buckets=_INDEX_BUCKETS,
+        require_all=True,
+    )
