@@ -135,9 +135,15 @@ def pruned_file_count(
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Full read of one snapshot (latest when ``version`` is None)."""
-    v = version if version is not None else versions(spark, path)[-1]
-    return spark.read.parquet(f"{path}/v={v}")
+    """Full read of one snapshot (latest when ``version`` is None) —
+    through the manifest's FILE LIST, so snapshots composed by
+    metadata-only appends (files living under several ``v=`` dirs)
+    read correctly."""
+    manifest, v = _manifest_rows(spark, path, version)
+    files = [r["file"] for r in manifest]
+    if not files:
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+    return spark.read.parquet(*files)
 
 
 def compact_snapshot(
@@ -163,4 +169,92 @@ def compact_snapshot(
     n_files = max(1, -(-total // target_rows))
     return write_manifest_table(
         read_snapshot(spark, path, v), path, sort_col, num_files=n_files
+    )
+
+
+def append_snapshot(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_files: int = 4,
+) -> int:
+    """Append ``df`` to the table as a new snapshot WITHOUT rewriting
+    existing data: only the new rows land as files (under the new
+    version's directory); the new manifest is the previous manifest's
+    rows PLUS the new files' zone-map rows. This is the table-format
+    append — at 100 TB an ingest batch costs the batch, never the
+    table, and readers of older versions are untouched. Returns the new
+    version."""
+    spark = df.sparkSession
+    try:
+        prev = versions(spark, path)[-1]
+    except Exception:
+        prev = None
+    version = (prev or 0) + 1
+    data_dir = f"{path}/v={version}"
+    (
+        df.repartitionByRange(num_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("errorifexists")
+        .parquet(data_dir)
+    )
+    new_rows = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(sort_col).alias("v_"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    if prev is not None:
+        carried = (
+            spark.read.parquet(f"{path}/_manifest")
+            .filter(F.col("v") == prev)
+            .select("file", "min_v", "max_v", "n_rows")
+        )
+        new_rows = carried.unionByName(new_rows)
+    new_rows.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    return version
+
+
+def stream_append_sink(
+    stream_df: DataFrame,
+    path: str,
+    sort_col: str,
+    checkpoint_dir: str,
+    num_files: int = 4,
+):
+    """writeStream sink: each micro-batch appends one snapshot via
+    ``append_snapshot`` (metadata-only reuse of all prior files).
+    Batches replayed after a failure are made idempotent by the ledger:
+    a batch id that already produced a version is skipped. Returns the
+    StreamingQuery; callers stop it."""
+    import json
+    import os
+
+    ledger = os.path.join(checkpoint_dir, "applied_batches.json")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        applied = {}
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                applied = json.load(fh)
+        if str(batch_id) in applied:
+            return
+        v = append_snapshot(batch_df, path, sort_col, num_files)
+        applied[str(batch_id)] = v
+        with open(ledger, "w") as fh:
+            json.dump(applied, fh)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )

@@ -100,3 +100,82 @@ def test_compact_snapshot_reduces_files_under_isolation(spark):
         assert k2 == 1 and t2 == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_snapshot_is_metadata_only(spark):
+    import os
+
+    d = tempfile.mkdtemp(prefix="mlps_manifest_a_")
+    try:
+        from ml_pipelines_spark.operators.manifest import (
+            append_snapshot,
+            read_snapshot,
+        )
+
+        a = spark.range(0, 1000).select(F.col("id").alias("k"))
+        b = spark.range(1000, 1500).select(F.col("id").alias("k"))
+        assert append_snapshot(a, d, "k", num_files=4) == 1
+        # capture v=1's data files, then append
+        v1_files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(f"{d}/v=1")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert append_snapshot(b, d, "k", num_files=2) == 2
+        # v1 data files untouched (metadata-only append)
+        v1_after = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(f"{d}/v=1")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert v1_files == v1_after
+        # latest snapshot = union; v1 time-travels to just a
+        assert read_snapshot(spark, d).count() == 1500
+        assert read_snapshot(spark, d, 1).count() == 1000
+        # manifest of v2 carries v1's files + 2 new ones
+        kept, total = pruned_file_count(spark, d, 0, 10**9, version=2)
+        assert total == 6
+        # band pruning reaches across both generations
+        kept2, _ = pruned_file_count(spark, d, 1000, 1240, version=2)
+        assert kept2 == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_append_sink_builds_snapshots(spark):
+    import uuid
+
+    from ml_pipelines_spark.operators.manifest import (
+        read_snapshot,
+        stream_append_sink,
+        versions,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="mlps_manifest_src_")
+    tbl = tempfile.mkdtemp(prefix="mlps_manifest_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="mlps_manifest_ck_") + f"/{uuid.uuid4().hex}"
+    try:
+        df = spark.range(0, 600).select(F.col("id").alias("k"))
+        df.repartition(3).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = stream_append_sink(stream, tbl, "k", ckpt, num_files=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        vs = versions(spark, tbl)
+        assert len(vs) == 3  # one snapshot per micro-batch
+        assert read_snapshot(spark, tbl).count() == 600
+        # each earlier snapshot is a strict prefix of the ingest
+        counts = [read_snapshot(spark, tbl, v).count() for v in vs]
+        assert counts == sorted(counts) and counts[-1] == 600
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
