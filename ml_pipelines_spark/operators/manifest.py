@@ -258,3 +258,81 @@ def stream_append_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    path: str,
+    sort_col: str,
+    updates: DataFrame,
+    num_files: int = 4,
+) -> int:
+    """Copy-on-write MERGE (upsert keyed on ``sort_col``) into the
+    latest snapshot, appended as a new version — the Delta/Iceberg
+    MERGE shape with FILE-LEVEL pruning:
+
+    1. The updates' key interval is read from a 1-row aggregate; files
+       whose zone-map interval does not overlap it are CARRIED into the
+       new manifest untouched (metadata only — never opened).
+    2. Only the overlapping files are read; their rows lose to update
+       rows on key collision (anti-join), the union is rewritten as
+       fresh range-laid files, and the new manifest = carried rows +
+       rewritten files' zone map.
+
+    At 100 TB a MERGE touching one day's key range costs that key
+    range, not the table. The rewritten-file count is planned from the
+    data actually rewritten. Returns the new version.
+    """
+    manifest, prev = _manifest_rows(spark, path, None)
+    bounds = updates.agg(
+        F.min(sort_col).alias("lo"), F.max(sort_col).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched = [
+        r for r in manifest if not (r["max_v"] < lo or r["min_v"] > hi)
+    ]
+    carried = [
+        r for r in manifest if (r["max_v"] < lo or r["min_v"] > hi)
+    ]
+    version = prev + 1
+    data_dir = f"{path}/v={version}"
+    if touched:
+        old_rows = spark.read.parquet(*[r["file"] for r in touched])
+        survivors = old_rows.join(
+            updates.select(sort_col).distinct(), sort_col, "left_anti"
+        )
+        merged = survivors.unionByName(updates)
+    else:
+        merged = updates
+    (
+        merged.repartitionByRange(num_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("errorifexists")
+        .parquet(data_dir)
+    )
+    new_rows = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(sort_col).alias("v_"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    if carried:
+        carried_df = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in carried
+            ],
+            new_rows.schema,
+        )
+        new_rows = carried_df.unionByName(new_rows)
+    new_rows.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    return version

@@ -179,3 +179,43 @@ def test_stream_append_sink_builds_snapshots(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(tbl, ignore_errors=True)
+
+
+def test_merge_snapshot_rewrites_only_overlapping_files(spark):
+    d = tempfile.mkdtemp(prefix="mlps_manifest_m_")
+    try:
+        from ml_pipelines_spark.operators.manifest import (
+            merge_snapshot,
+            read_snapshot,
+        )
+
+        base = spark.range(0, 8000).select(
+            F.col("id").alias("k"), F.lit(1).alias("gen")
+        )
+        write_manifest_table(base, d, "k", num_files=16)
+        # upsert a narrow band: half updates (keys exist), half inserts
+        ups = spark.range(2000, 2500).select(
+            F.col("id").alias("k"), F.lit(2).alias("gen")
+        ).unionByName(
+            spark.range(100000, 100100).select(
+                F.col("id").alias("k"), F.lit(2).alias("gen")
+            )
+        )
+        v2 = merge_snapshot(spark, d, "k", ups, num_files=2)
+        assert v2 == 2
+        snap = read_snapshot(spark, d, 2)
+        assert snap.count() == 8000 + 100  # 500 replaced, 100 inserted
+        gens = {r.k: r.gen for r in snap.filter("k >= 1990 and k < 2510").collect()}
+        assert all(g == 2 for k, g in gens.items() if 2000 <= k < 2500)
+        assert all(g == 1 for k, g in gens.items() if k < 2000 or k >= 2500)
+        # carried files appear verbatim in the new manifest (same paths)
+        m1 = {r["file"] for r in spark.read.parquet(f"{d}/_manifest").filter("v = 1").collect()}
+        m2 = {r["file"] for r in spark.read.parquet(f"{d}/_manifest").filter("v = 2").collect()}
+        carried = m1 & m2
+        # the 100..(insert tail) band overlaps [2000, 100099]; files
+        # fully below 2000 must be carried untouched
+        assert len(carried) >= 3, (len(m1), len(m2), len(carried))
+        # v1 time-travel unchanged
+        assert read_snapshot(spark, d, 1).filter("gen = 2").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
