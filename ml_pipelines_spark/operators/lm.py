@@ -169,3 +169,79 @@ def kneser_ney_bigrams(
         .join(F.broadcast(types_total))
         .select("w1", "w2", "c_bi", F.round(p_kn, 6).alias("p_kn"))
     )
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    k: int = 6,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[int, str, str, int]]:
+    """Learn the first ``k`` BPE merge operations from a word-frequency
+    table — the tokenizer-TRAINING half of the subword stack (the
+    pinned-vocab encoder in functions/tokenizer consumes a merge table
+    like the one produced here).
+
+    Standard BPE (Sennrich et al. 2016): repeat k times — count
+    adjacent symbol pairs across the vocabulary weighted by word
+    frequency, merge the most frequent pair (ties to the
+    lexicographically smallest), re-segment. Everything after the one
+    corpus pass that builds ``words`` runs on the VOCABULARY, exactly
+    like production BPE trainers — the corpus is never rescanned, so
+    at 100 TB the k rounds cost k vocabulary-sized shuffles.
+
+    Segmentations are carried as paren-wrapped symbol strings
+    ("(c)(h)(a)(t)"): applying a merge is then ONE ``replace`` of the
+    literal "(l)(r)" with "(lr)" — and because string replace scans
+    left-to-right non-overlapping, this IS greedy BPE application, with
+    identical semantics in Spark and DuckDB (the oracle replays all k
+    rounds in chained CTEs on the same representation; parens cannot
+    collide with symbol text since tokens never contain parens — rows
+    that do are filtered). Pair counts are exact integer sums; the
+    per-round argmax orders by (count desc, left, right), so the whole
+    merge table is deterministic and cross-engine value-checkable.
+
+    Returns [(step, left, right, pair_count), ...] — driver-side merge
+    table literals, like k-means centers (k rows, never data-sized).
+    """
+    seg = words.filter(
+        ~F.col(word_col).contains("(") & ~F.col(word_col).contains(")")
+    ).select(
+        F.expr(
+            f"array_join(transform(regexp_extract_all({word_col}, '.', 0),"
+            " c -> concat('(', c, ')')), '')"
+        ).alias("s"),
+        F.col(freq_col).alias("freq"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, k + 1):
+        syms = F.expr(r"regexp_extract_all(s, '\\(([^)]*)\\)', 1)")
+        pairs = (
+            seg.select(syms.alias("y"), "freq")
+            # single-symbol words contribute no pairs (and Spark's
+            # sequence(1, 0) DESCENDS rather than being empty)
+            .filter(F.size("y") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(y) - 1),"
+                        " i -> struct(y[i-1] AS l, y[i] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((step, l, r, c))
+        seg = seg.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
+            ),
+        )
+    return merges

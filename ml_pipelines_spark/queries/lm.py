@@ -110,3 +110,88 @@ def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"lm.kn.{name}", sf_dir, frame
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (operators/lm.bpe_train_merges): the first 6
+# merge operations learned from the corpus. After one corpus pass
+# builds the word-frequency table, every round runs on the VOCABULARY
+# (production-BPE shape). The DuckDB oracle replays all 6 rounds in
+# chained MATERIALIZED CTEs on the same paren-wrapped representation —
+# pair counting, the (count desc, left, right) argmax, and the
+# replace-based greedy merge application are value-identical, so the
+# full merge table is cross-engine checked (the logreg/kmeans
+# trajectory-oracle pattern applied to tokenizer training).
+# ---------------------------------------------------------------------------
+_BPE_K = 6
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    sql = r"""
+    WITH words AS MATERIALIZED (
+        SELECT tk AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+              FROM documents)
+        WHERE tk <> '' AND tk NOT LIKE '%(%' AND tk NOT LIKE '%)%'
+        GROUP BY tk
+    ),
+    seg0 AS MATERIALIZED (
+        SELECT array_to_string(list_transform(regexp_extract_all(word, '.'),
+                                              c -> '(' || c || ')'),
+                               '') AS s,
+               freq
+        FROM words
+    )"""
+    for i in range(1, k + 1):
+        prev = f"seg{i - 1}"
+        sql += f""",
+    p{i} AS MATERIALIZED (
+        SELECT l, r, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT y[i] AS l, y[i + 1] AS r, freq
+            FROM (SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS y,
+                         freq
+                  FROM {prev}),
+                 unnest(generate_series(1, greatest(len(y) - 1, 0))) AS t(i)
+        )
+        GROUP BY l, r
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ),
+    seg{i} AS MATERIALIZED (
+        SELECT replace(s,
+                       '(' || (SELECT l FROM m{i}) || ')('
+                           || (SELECT r FROM m{i}) || ')',
+                       '(' || (SELECT l FROM m{i})
+                           || (SELECT r FROM m{i}) || ')') AS s,
+               freq
+        FROM {prev}
+    )"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS merge_left,"
+        f" r AS merge_right, c AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return sql
+
+
+@query("bpe_train_merges", _bpe_oracle_sql(_BPE_K))
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+    from ..operators.lm import bpe_train_merges
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(_tokens(F.trim(F.lower(F.col("text"))))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_train_merges(words, k=_BPE_K)
+    return spark.createDataFrame(
+        merges,
+        "step long, merge_left string, merge_right string, pair_count long",
+    )

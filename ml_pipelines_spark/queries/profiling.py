@@ -932,3 +932,75 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sensitive").alias("l_diversity"),
         (F.countDistinct("c_custkey") >= 5).alias("is_k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release counts — the Laplace mechanism over
+# the per-language document counts (sensitivity 1 for a count query;
+# epsilon = 0.5 -> scale b = 2). The noise is drawn by INVERSE CDF from
+# a seeded md5 uniform (the bootstrap lattice trick), so the whole
+# mechanism is one closed-form expression both engines evaluate
+# identically; the ln term is quantized to micro-units per the repo's
+# exact-moments convention. DETERMINISM CAVEAT (documented, not
+# hidden): a production DP release must use a fresh secret RNG — the
+# seeded draw here exists so the MECHANISM (inverse-CDF Laplace,
+# sensitivity accounting, post-processing rounding) is value-checkable
+# cross-engine; swapping the uniform source changes one line.
+# ---------------------------------------------------------------------------
+_DP_EPS = 0.5
+_DP_B = 1.0 / _DP_EPS  # Laplace scale = sensitivity / epsilon
+
+
+@query(
+    "dp_noisy_lang_counts",
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    unif AS (
+        SELECT lang, n,
+               ((('0x' || substr(md5(lang), 1, 12))::BIGINT % 16777216)
+                + 0.5) / 16777216.0 AS u
+        FROM counts
+    ),
+    noise AS (
+        SELECT lang, n,
+               CAST(floor(
+                   (CASE WHEN u < 0.5
+                         THEN {_DP_B} * ln(2.0 * u)
+                         ELSE -{_DP_B} * ln(2.0 * (1.0 - u)) END)
+                   * 1000000.0 + 0.5) AS BIGINT) AS noise_micro
+        FROM unif
+    )
+    SELECT lang,
+           ROUND(n + noise_micro / 1000000.0, 6) AS noisy_count,
+           {_DP_EPS} AS epsilon
+    FROM noise
+    """,
+)
+def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col("lang")), 1, 12), 16, 10).cast(
+                "long"
+            )
+            % 16777216
+        )
+        + 0.5
+    ) / 16777216.0
+    lap = F.when(u < 0.5, _DP_B * F.log(2.0 * u)).otherwise(
+        -_DP_B * F.log(2.0 * (1.0 - u))
+    )
+    noise_micro = F.floor(lap * 1000000.0 + 0.5).cast("long")
+    return counts.select(
+        "lang",
+        F.round(F.col("n") + noise_micro / 1000000.0, 6).alias(
+            "noisy_count"
+        ),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )

@@ -105,3 +105,61 @@ def test_kneser_ney_full_vocab_mass_is_one(spark):
         )
         # round(x, 6) moves a half-way value exactly 5e-7
         assert abs(r.p_kn - want) <= 5e-7 + 1e-12
+
+
+def _serial_bpe(word_freqs, k):
+    # textbook reference: dict of word -> list of symbols
+    segs = {w: list(w) for w in word_freqs}
+    out = []
+    for step in range(1, k + 1):
+        counts = {}
+        for w, syms in segs.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, l, r, c))
+        for w, syms in segs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            segs[w] = merged
+    return out
+
+
+def test_bpe_train_matches_serial_reference(spark):
+    from ml_pipelines_spark.operators.lm import bpe_train_merges
+
+    # includes the greedy-overlap case (aaaa), ties, and a second-order
+    # merge (learned symbol participating in a later pair)
+    freqs = {
+        "aaaa": 10,
+        "banana": 7,
+        "bandana": 5,
+        "cabana": 4,
+        "abba": 3,
+        "a": 2,
+    }
+    df = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    got = bpe_train_merges(df, k=5)
+    want = _serial_bpe(freqs, 5)
+    assert got == want
+
+
+def test_bpe_greedy_overlap_application(spark):
+    # merging (a,a) over "aaaa" must yield [aa, aa] (non-overlapping
+    # left-to-right), so round 2's top pair is (aa, aa)
+    from ml_pipelines_spark.operators.lm import bpe_train_merges
+
+    df = spark.createDataFrame([("aaaa", 5)], ["word", "freq"])
+    got = bpe_train_merges(df, k=2)
+    assert got == [(1, "a", "a", 15), (2, "aa", "aa", 5)]
