@@ -114,7 +114,11 @@ def read_pruned(
     if not keep:
         # empty result with the snapshot's schema (lazy probe)
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
-    return spark.read.parquet(*keep).filter(band)
+    out = spark.read.parquet(*keep).filter(band)
+    dels = _delete_keys(spark, path, v)
+    if dels is not None:
+        out = out.join(dels.select(sort_col), sort_col, "left_anti")
+    return out
 
 
 def pruned_file_count(
@@ -143,7 +147,12 @@ def read_snapshot(
     files = [r["file"] for r in manifest]
     if not files:
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
-    return spark.read.parquet(*files)
+    out = spark.read.parquet(*files)
+    dels = _delete_keys(spark, path, v)
+    if dels is not None:
+        key = [c for c in dels.columns if c != "v"][0]
+        out = out.join(dels.select(key), key, "left_anti")
+    return out
 
 
 def compact_snapshot(
@@ -298,6 +307,12 @@ def merge_snapshot(
     data_dir = f"{path}/v={version}"
     if touched:
         old_rows = spark.read.parquet(*[r["file"] for r in touched])
+        dels = _delete_keys(spark, path, prev)
+        if dels is not None:
+            # honor tombstones: a rewrite must not resurrect deleted rows
+            old_rows = old_rows.join(
+                dels.select(sort_col), sort_col, "left_anti"
+            )
         survivors = old_rows.join(
             updates.select(sort_col).distinct(), sort_col, "left_anti"
         )
@@ -333,6 +348,56 @@ def merge_snapshot(
         )
         new_rows = carried_df.unionByName(new_rows)
     new_rows.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    return version
+
+
+def _delete_keys(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame | None:
+    try:
+        dels = spark.read.parquet(f"{path}/_deletes")
+    except Exception:
+        return None
+    dels = dels.filter(F.col("v") <= version)
+    return dels if dels.limit(1).count() else None
+
+
+def delete_from_snapshot(
+    spark: SparkSession,
+    path: str,
+    sort_col: str,
+    keys: DataFrame,
+) -> int:
+    """MERGE-ON-READ delete: record the keys as a tombstone sidecar
+    (``_deletes/v=N``) and carry the previous manifest verbatim — ZERO
+    data files touched. Readers of version >= N anti-join the
+    accumulated tombstones; readers of older versions see the rows
+    (tombstones are version-scoped). ``compact_snapshot`` PURGES:
+    its rewrite reads through the tombstone filter, so the compacted
+    snapshot carries no delete debt.
+
+    The copy-on-write twin is ``merge_snapshot`` (rewrites overlapping
+    files); delete-heavy workloads take tombstones now and pay the
+    rewrite once at compaction — the Delta/Iceberg deletion-vector
+    trade. Returns the new version.
+    """
+    manifest, prev = _manifest_rows(spark, path, None)
+    version = prev + 1
+    keys.select(F.col(sort_col)).distinct().withColumn(
+        "v", F.lit(version)
+    ).coalesce(1).write.mode("append").partitionBy("v").parquet(
+        f"{path}/_deletes"
+    )
+    carried = spark.createDataFrame(
+        [
+            (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+            for r in manifest
+        ],
+        "file string, min_v bigint, max_v bigint, n_rows bigint",
+    )
+    carried.coalesce(1).write.mode("errorifexists").parquet(
         f"{path}/_manifest/v={version}"
     )
     return version

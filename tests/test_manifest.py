@@ -219,3 +219,44 @@ def test_merge_snapshot_rewrites_only_overlapping_files(spark):
         assert read_snapshot(spark, d, 1).filter("gen = 2").count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_tombstones_are_merge_on_read(spark):
+    import os
+
+    d = tempfile.mkdtemp(prefix="mlps_manifest_d_")
+    try:
+        from ml_pipelines_spark.operators.manifest import (
+            compact_snapshot,
+            delete_from_snapshot,
+            read_pruned,
+            read_snapshot,
+        )
+
+        base = spark.range(0, 2000).select(F.col("id").alias("k"))
+        write_manifest_table(base, d, "k", num_files=8)
+        files_before = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(f"{d}/v=1")
+            for f in fs
+        )
+        dels = spark.range(500, 600).select(F.col("id").alias("k"))
+        v2 = delete_from_snapshot(spark, d, "k", dels)
+        assert v2 == 2
+        # zero data files touched
+        files_after = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(f"{d}/v=1")
+            for f in fs
+        )
+        assert files_before == files_after
+        # latest read excludes tombstoned keys; v1 time-travels them back
+        assert read_snapshot(spark, d).count() == 1900
+        assert read_snapshot(spark, d, 1).count() == 2000
+        # pruned band read honors tombstones too
+        assert read_pruned(spark, d, "k", 400, 700).count() == 201
+        # compaction purges: rewrite drops the deleted rows for good
+        v3 = compact_snapshot(spark, d, "k", target_rows=1000)
+        assert read_snapshot(spark, d, v3).count() == 1900
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
