@@ -308,6 +308,10 @@ HEADLINE = [
     "mannwhitney_segments",
     "theil_sen_daily_trend",
     "incremental_join_view",
+    # index-backed point lookup, DP release counts, BPE training
+    "indexed_term_lookup",
+    "dp_noisy_lang_counts",
+    "bpe_train_merges",
 ]
 
 RUNS = 3

@@ -204,7 +204,9 @@ _CHECK_FIRST = [
     # q4_order_priority, q12_shipmode_priority, q14_promo_revenue,
     # q20_dominant_suppliers, prefix_jaccard_pairs, kneser_ney_bigrams,
     # k_anonymity_audit, ks_test_segments, target_encode_segments,
-    # temporal_cv_folds, manifest_pruned_scan.
+    # temporal_cv_folds, manifest_pruned_scan, mannwhitney_segments,
+    # theil_sen_daily_trend, incremental_join_view, indexed_term_lookup,
+    # dp_noisy_lang_counts, bpe_train_merges.
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

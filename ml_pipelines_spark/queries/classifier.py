@@ -396,28 +396,45 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import text as TT
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "text", TT.lang_id(F.col("text")).alias("label")
+    from .registry import swap_cache
+
+    # the labeled corpus feeds FIVE branches (token explode, label dict,
+    # train count, priors, held-out scoring); the warm boundary stops
+    # each one re-running the lang_id regex bank over every document
+    docs = swap_cache(
+        "classifier.nb_docs",
+        sf_dir,
+        t(spark, sf_dir, "documents").select(
+            "doc_id", "text", TT.lang_id(F.col("text")).alias("label")
+        ),
     )
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
         lambda x: x != "",
     )
-    tok = docs.select(
-        "doc_id",
-        "label",
-        F.explode(toks).alias("w"),
-    ).select(
-        "doc_id",
-        "label",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit("nb:"), F.col("w"))), 1, 4),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(_NB_B),
-        ).alias("bucket"),
+    # second boundary: the hashed-token relation feeds the train counts
+    # AND the held-out scoring join — one md5 pass, not two
+    tok = swap_cache(
+        "classifier.nb_tok",
+        sf_dir,
+        docs.select(
+            "doc_id",
+            "label",
+            F.explode(toks).alias("w"),
+        ).select(
+            "doc_id",
+            "label",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("nb:"), F.col("w"))), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_NB_B),
+            ).alias("bucket"),
+        ),
     )
     train_tok = tok.filter(F.col("doc_id") % 5 != 0)
     labels = (
