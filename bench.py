@@ -312,6 +312,10 @@ HEADLINE = [
     "indexed_term_lookup",
     "dp_noisy_lang_counts",
     "bpe_train_merges",
+    # table-format lifecycle (write -> CoW merge -> MoR delete -> read)
+    # and the streaming snapshot-ingest replay
+    "table_format_lifecycle",
+    "stream_table_ingest_replay",
 ]
 
 RUNS = 3

@@ -257,3 +257,76 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("price_cents").cast("long") / 100.0).alias("band_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-format lifecycle under the oracle gate: v1 = full snapshot of
+# the orders projection, v2 = copy-on-write MERGE (price bump on
+# o_orderkey%13=0 — overlapping files rewritten, rest carried), v3 =
+# merge-on-read DELETE (o_orderkey%17=0 tombstoned, zero data files
+# touched). The query reads the LATEST version back; the oracle derives
+# the same final state declaratively from the source table, so a wrong
+# carry, a resurrected tombstone, or a double-applied merge breaks the
+# hash. (The per-op physical claims — carried files verbatim, byte-
+# identical v1 after deletes, compaction purge — are pytest-asserted in
+# tests/test_manifest.py; this query pins the VALUES end-to-end.)
+# ---------------------------------------------------------------------------
+_TABLE_LC_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _table_lifecycle_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        delete_from_snapshot,
+        merge_snapshot,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TABLE_LC_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_lc_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(orders, out_dir, "o_orderkey", num_files=16)
+        updates = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "cents", F.col("cents") + 100000
+        )
+        merge_snapshot(spark, out_dir, "o_orderkey", updates, num_files=4)
+        dels = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+            "o_orderkey"
+        )
+        delete_from_snapshot(spark, out_dir, "o_orderkey", dels)
+        _TABLE_LC_DIRS[key] = out_dir
+    return _TABLE_LC_DIRS[key]
+
+
+@query(
+    "table_format_lifecycle",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0
+                         THEN CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) + 100000
+                         ELSE CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) END)
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    WHERE o_orderkey % 17 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def table_format_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _table_lifecycle_dir(spark, sf_dir)
+    latest = read_snapshot(spark, path)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+    )

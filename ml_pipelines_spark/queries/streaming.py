@@ -648,3 +648,66 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "watermark"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming table ingest under the gate: events replay through
+# operators/manifest.stream_append_sink (one snapshot per micro-batch,
+# metadata-only appends over prior files, idempotent batch ledger), and
+# the LATEST snapshot read back must equal the batch aggregate over the
+# whole table — the streaming half of the table-format story,
+# value-checked. Earlier snapshots being strict prefixes is asserted in
+# tests/test_manifest.py.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_table_ingest_replay",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_table_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.manifest import read_snapshot, stream_append_sink
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="mlps_sti_src_")
+    tbl = tempfile.mkdtemp(prefix="mlps_sti_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="mlps_sti_ck_") + f"/{uuid.uuid4().hex}"
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_append_sink(stream, tbl, "event_id", ckpt, num_files=4)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            read_snapshot(spark, tbl)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+            )
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
