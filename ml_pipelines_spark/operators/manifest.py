@@ -29,6 +29,14 @@ query. This module implements that contract natively in Spark:
 The residual filter makes correctness independent of HOW files were
 assigned (range-boundary sampling is not deterministic); the manifest
 affects only which files can be skipped, never the result.
+
+Scale bound, stated: planning collects the manifest to the driver —
+O(files) rows of a few hundred bytes. That holds comfortably to ~10^6
+files per snapshot (the compactor exists precisely to keep file counts
+there); past that, real table formats add a manifest-of-manifests tier
+(Iceberg manifest lists) so planning reads only the manifests whose
+aggregate bounds overlap — the same zone-map trick one level up. This
+module stops at one tier deliberately.
 """
 
 from __future__ import annotations
@@ -291,6 +299,16 @@ def merge_snapshot(
     At 100 TB a MERGE touching one day's key range costs that key
     range, not the table. The rewritten-file count is planned from the
     data actually rewritten. Returns the new version.
+
+    Pruning granularity, stated: "touched" is decided by the updates'
+    single [min, max] INTERVAL — right for the common contiguous-range
+    upsert (a day, an id block), pessimal for updates scattered across
+    the key domain (two far-apart keys mark everything between them
+    touched). Scattered workloads should either batch updates by range
+    or take the merge-on-read path (``delete_from_snapshot`` + append),
+    which touches nothing; a per-file key-set semi-join test would cost
+    a shuffle per MERGE to save rewrites the tombstone path avoids for
+    free.
     """
     manifest, prev = _manifest_rows(spark, path, None)
     bounds = updates.agg(
