@@ -316,6 +316,8 @@ HEADLINE = [
     # and the streaming snapshot-ingest replay
     "table_format_lifecycle",
     "stream_table_ingest_replay",
+    # Spark 4 VARIANT semi-structured extraction
+    "variant_props_extract",
 ]
 
 RUNS = 3

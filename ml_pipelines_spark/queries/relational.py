@@ -1456,3 +1456,42 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("market_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT-typed semi-structured extraction (Spark 4's parse_json /
+# variant_get — the open-ended-schema path for event properties where
+# from_json's fixed schema can't follow producer drift). The variant
+# binary is columnar and the typed extraction happens in codegen, so at
+# 100 TB this replaces the parse-per-query cost of string JSON with a
+# parse-once ingest. The oracle extracts the same path with DuckDB's
+# JSON machinery; the k values are exact integers.
+# ---------------------------------------------------------------------------
+@query(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias(
+            "k"
+        ),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
