@@ -71,3 +71,61 @@ def test_invalid_args(spark, skewed_inputs):
         salted_join(big, small, ["k"], factor=0)
     with pytest.raises(ValueError, match="how"):
         salted_join(big, small, ["k"], factor=2, how="full")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # The runtime half of the skew story (salted_join is the manual
+    # half): under AQE, a hot join key must be detected from runtime
+    # stats and the skewed partition SPLIT — the executed plan carries
+    # SortMergeJoin(skew=true) with an AQEShuffleRead marked skewed.
+    # Thresholds are lowered to make test-sized data exhibit the
+    # production shape; values are asserted against the plain join.
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32k",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        got = j.collect()[0]["s"]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        # and splitting never changes the answer
+        want = sum(
+            i + 2 * (7 if i % 10 < 9 else i % 100)
+            for i in range(300000)
+            if (7 if i % 10 < 9 else i % 100) < 100
+        )
+        assert got == want
+    finally:
+        for k, val in saved.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
