@@ -1,0 +1,145 @@
+"""Plan linter — catch 100 TB scale-killers before they ship.
+
+The difference between a plan that works at test scale and one that
+works at 100 TB is usually visible in the PHYSICAL PLAN long before it
+is visible in a timing: a CartesianProduct, a window with no partition
+keys funnelling the fact table through one task, a row-at-a-time Python
+UDF in the hot path, a scan whose filters never reached the reader.
+This module makes those checks programmatic — the same assertions the
+repo's plan-shape tests hand-roll, packaged for pipelines to run
+against their own DataFrames pre-submit.
+
+All checks read the EXECUTED plan string (post-AQE where applicable):
+text-level inspection is deliberately version-tolerant — node names are
+stable across Spark minors while internal tree APIs are not.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame) -> str:
+    """Executed-plan tree as text (pre-execution: the initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_formatted(df: DataFrame) -> str:
+    """`EXPLAIN FORMATTED` text — full attribute lists (PushedFilters,
+    ReadSchema) without the toString truncation."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_scans(df: DataFrame, table: str) -> int:
+    """Number of parquet scans of ``table`` in the plan."""
+    return len(re.findall(rf"Scan parquet .*{re.escape(table)}", plan_text(df)))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of hash-partitioning shuffles in the plan."""
+    return len(re.findall(r"Exchange hashpartitioning", plan_text(df)))
+
+
+def pushed_filters(df: DataFrame, table: str | None = None) -> list[str]:
+    """Non-empty PushedFilters entries, per scan node (optionally only
+    for scans whose node block mentions ``table``)."""
+    full = plan_formatted(df)
+    out = []
+    # formatted explain prints one attribute block per node, separated
+    # by blank lines; keep PushedFilters matched to their own scan
+    for block in full.split("\n\n"):
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        if not m or not m.group(1).strip():
+            continue
+        if table is not None and table not in block:
+            continue
+        out.append(m.group(1).strip())
+    return out
+
+
+@dataclass
+class Finding:
+    rule: str
+    detail: str
+
+    def __repr__(self) -> str:  # readable in assertion messages
+        return f"{self.rule}: {self.detail}"
+
+
+# Window node text: `Window [exprs], [partitionExprs], [orderExprs]` —
+# an unpartitioned window prints only TWO bracket groups.
+_WINDOW_RE = re.compile(r"\bWindow (\[.*)$")
+
+
+def _bracket_groups(s: str) -> int:
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def lint(df: DataFrame, max_unpartitioned_window_inputs: int = 0) -> list[Finding]:
+    """Scan the physical plan for scale-killers. Returns findings —
+    empty means clean.
+
+    Rules:
+    - ``cartesian``: CartesianProduct or BroadcastNestedLoopJoin
+      (quadratic row fan-out).
+    - ``global-window``: a Window node with no partition keys — every
+      row through ONE task. Dimension-sized inputs are legitimate;
+      callers who audited theirs pass
+      ``max_unpartitioned_window_inputs`` to allow that many.
+    - ``python-row-udf``: BatchEvalPython = row-at-a-time Python
+      (pickled rows, 10-100x slower than Arrow); ArrowEvalPython /
+      mapInPandas nodes are fine and not flagged.
+    - ``single-partition-exchange``: Exchange SinglePartition feeding a
+      non-aggregate (global sorts/limits funnel data; partial/final
+      aggregates legitimately produce 1-row exchanges and are not
+      flagged).
+    """
+    text = plan_text(df)
+    findings: list[Finding] = []
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if node in text:
+            findings.append(Finding("cartesian", node))
+    unpart = 0
+    for line in text.splitlines():
+        m = _WINDOW_RE.search(line)
+        if m and _bracket_groups(m.group(1)) == 2:
+            unpart += 1
+    if unpart > max_unpartitioned_window_inputs:
+        findings.append(
+            Finding(
+                "global-window",
+                f"{unpart} unpartitioned Window node(s), "
+                f"{max_unpartitioned_window_inputs} allowed",
+            )
+        )
+    if "BatchEvalPython" in text:
+        findings.append(
+            Finding("python-row-udf", "BatchEvalPython (row-at-a-time)")
+        )
+    # SinglePartition exchanges: flag only when the plan has no
+    # aggregate at all above them (a global sort/limit funnel).
+    if "Exchange SinglePartition" in text and "HashAggregate" not in text \
+            and "SortAggregate" not in text and "ObjectHashAggregate" not in text:
+        findings.append(
+            Finding(
+                "single-partition-exchange",
+                "SinglePartition exchange with no aggregate in plan",
+            )
+        )
+    return findings

@@ -1,0 +1,84 @@
+"""Plan linter: each rule fires on a plan built to violate it and is
+silent on the clean twin."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from ml_pipelines_spark.plans import (
+    count_exchanges,
+    count_scans,
+    lint,
+    pushed_filters,
+)
+
+
+def _rules(findings):
+    return {f.rule for f in findings}
+
+
+def test_lint_flags_cartesian(spark):
+    a = spark.range(0, 10)
+    b = spark.range(0, 10).select(F.col("id").alias("j"))
+    assert "cartesian" in _rules(lint(a.crossJoin(b)))
+    assert "cartesian" not in _rules(
+        lint(a.join(b, a.id == b.j))
+    )
+
+
+def test_lint_flags_global_window(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+    )
+    assert "global-window" in _rules(lint(bad))
+    assert "global-window" not in _rules(lint(good))
+    # audited dimension-sized windows can be allowed explicitly
+    assert "global-window" not in _rules(
+        lint(bad, max_unpartitioned_window_inputs=1)
+    )
+
+
+def test_lint_flags_row_at_a_time_python(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    df = spark.range(0, 50).select(F.col("id").alias("v"))
+
+    @udf("long")
+    def slow(v):
+        return v + 1
+
+    @pandas_udf("long")
+    def fast(v: pd.Series) -> pd.Series:
+        return v + 1
+
+    assert "python-row-udf" in _rules(lint(df.select(slow("v"))))
+    assert "python-row-udf" not in _rules(lint(df.select(fast("v"))))
+
+
+def test_counters_and_pushdown(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_quantity") < 10)
+        .groupBy("l_returnflag")
+        .count()
+    )
+    assert count_scans(q, "lineitem") == 1
+    assert count_exchanges(q) == 1
+    pushed = pushed_filters(q, "lineitem")
+    assert pushed and "l_quantity" in pushed[0]
+
+
+def test_lint_clean_on_registry_flagships(spark, sf_dir):
+    # the flagship and the forced-SMJ export both lint clean (coco's
+    # dictionary-sized windows are partitioned or dimension-fed)
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    assert lint(QUERIES["q1_pricing_summary"](spark, sf_dir)) == []
+    assert lint(QUERIES["star_join_revenue"](spark, sf_dir)) == []
