@@ -95,9 +95,22 @@ def lint(df: DataFrame, max_unpartitioned_window_inputs: int = 0) -> list[Findin
     """Scan the physical plan for scale-killers. Returns findings —
     empty means clean.
 
+    The linter is a REVIEW tool, not a hard gate: two of its rules
+    fire on patterns that are correct when one side is known small —
+    a 1-row scalar-aggregate broadcast joins as
+    BroadcastNestedLoopJoin (the standard way to attach a global
+    statistic; plan text carries no cardinality to tell it apart from
+    a real cross join), and dimension-sized global windows are the
+    two-phase top-k pattern's second phase. Running it over this
+    repo's 250-query registry flags ~65 such audited sites and zero
+    unaudited ones — the right reading is "every finding needs a
+    written justification", which is exactly how the plan-shape test
+    suite uses the underlying helpers.
+
     Rules:
     - ``cartesian``: CartesianProduct or BroadcastNestedLoopJoin
-      (quadratic row fan-out).
+      (quadratic row fan-out — or a deliberate 1-row scalar
+      broadcast; see above).
     - ``global-window``: a Window node with no partition keys — every
       row through ONE task. Dimension-sized inputs are legitimate;
       callers who audited theirs pass
