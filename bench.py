@@ -318,6 +318,9 @@ HEADLINE = [
     "stream_table_ingest_replay",
     # Spark 4 VARIANT semi-structured extraction
     "variant_props_extract",
+    # causal / experimentation estimators
+    "diff_in_diff_value",
+    "cuped_adjusted_lift",
 ]
 
 RUNS = 3

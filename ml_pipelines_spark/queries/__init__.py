@@ -207,7 +207,8 @@ _CHECK_FIRST = [
     # temporal_cv_folds, manifest_pruned_scan, mannwhitney_segments,
     # theil_sen_daily_trend, incremental_join_view, indexed_term_lookup,
     # dp_noisy_lang_counts, bpe_train_merges, table_format_lifecycle,
-    # stream_table_ingest_replay, variant_props_extract.
+    # stream_table_ingest_replay, variant_props_extract,
+    # diff_in_diff_value, cuped_adjusted_lift.
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

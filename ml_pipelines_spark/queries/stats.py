@@ -742,3 +742,203 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.round(F.col("slope") / 100.0, 6).alias("slope_dollars_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the experimentation-platform estimator
+# for a rollout with a before/after boundary: treatment = a
+# deterministic user-id split, post = the month's midpoint, effect =
+# (treat_post − treat_pre) − (ctrl_post − ctrl_pre). All four cell
+# means come from ONE conditional aggregation pass over the fact scan
+# (exact cents sums / exact counts); the estimate is a fixed IEEE
+# expression over eight exact integers. The same pass emits the four
+# cell means so the estimate is auditable from its own output row.
+# ---------------------------------------------------------------------------
+@query(
+    "diff_in_diff_value",
+    """
+    WITH cells AS (
+        SELECT (user_id % 2 = 0) AS treat,
+               (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY treat, post
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treat AND post THEN cents END) AS tp_c,
+            MAX(CASE WHEN treat AND post THEN n END) AS tp_n,
+            MAX(CASE WHEN treat AND NOT post THEN cents END) AS tq_c,
+            MAX(CASE WHEN treat AND NOT post THEN n END) AS tq_n,
+            MAX(CASE WHEN NOT treat AND post THEN cents END) AS cp_c,
+            MAX(CASE WHEN NOT treat AND post THEN n END) AS cp_n,
+            MAX(CASE WHEN NOT treat AND NOT post THEN cents END) AS cq_c,
+            MAX(CASE WHEN NOT treat AND NOT post THEN n END) AS cq_n
+        FROM cells
+    )
+    SELECT ROUND(tp_c / (tp_n * 100.0), 6) AS treat_post_mean,
+           ROUND(tq_c / (tq_n * 100.0), 6) AS treat_pre_mean,
+           ROUND(cp_c / (cp_n * 100.0), 6) AS ctrl_post_mean,
+           ROUND(cq_c / (cq_n * 100.0), 6) AS ctrl_pre_mean,
+           ROUND((tp_c / (tp_n * 100.0) - tq_c / (tq_n * 100.0))
+                 - (cp_c / (cp_n * 100.0) - cq_c / (cq_n * 100.0)), 6)
+               AS did_estimate
+    FROM wide
+    """,
+)
+def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ).alias("post"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+
+    def cell(tr: bool, po: bool, col: str):
+        cond = (F.col("treat") == tr) & (F.col("post") == po)
+        if col == "c":
+            return F.sum(F.when(cond, F.col("cents"))).cast("long")
+        return F.count(F.when(cond, F.lit(1)))
+
+    wide = ev.agg(
+        cell(True, True, "c").alias("tp_c"),
+        cell(True, True, "n").alias("tp_n"),
+        cell(True, False, "c").alias("tq_c"),
+        cell(True, False, "n").alias("tq_n"),
+        cell(False, True, "c").alias("cp_c"),
+        cell(False, True, "n").alias("cp_n"),
+        cell(False, False, "c").alias("cq_c"),
+        cell(False, False, "n").alias("cq_n"),
+    )
+    m = lambda c, n: F.col(c) / (F.col(n) * 100.0)  # noqa: E731
+    return wide.select(
+        F.round(m("tp_c", "tp_n"), 6).alias("treat_post_mean"),
+        F.round(m("tq_c", "tq_n"), 6).alias("treat_pre_mean"),
+        F.round(m("cp_c", "cp_n"), 6).alias("ctrl_post_mean"),
+        F.round(m("cq_c", "cq_n"), 6).alias("ctrl_pre_mean"),
+        F.round(
+            (m("tp_c", "tp_n") - m("tq_c", "tq_n"))
+            - (m("cp_c", "cp_n") - m("cq_c", "cq_n")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction — the other workhorse of modern A/B
+# analysis: adjust each user's experiment-period metric by their
+# PRE-period metric, theta = cov(pre, post)/var(pre) over exposed
+# users. Plan shape: one groupBy to user grain (pre/post sums as exact
+# cents), one 1-row moment aggregate (products of cents quantized to
+# exact integers — n-scaled so no float-order risk), broadcast back for
+# the adjusted per-arm means. Reported: raw lift, CUPED lift, and the
+# variance-reduction ratio (1 - rho^2) that justifies the machinery.
+# ---------------------------------------------------------------------------
+@query(
+    "cuped_adjusted_lift",
+    """
+    WITH per_user AS (
+        SELECT user_id, (user_id % 2 = 0) AS treat,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS pre_c,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS post_c
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(pre_c) AS BIGINT) AS sx,
+               CAST(SUM(post_c) AS BIGINT) AS sy,
+               CAST(SUM(pre_c * pre_c) AS BIGINT) AS sxx,
+               CAST(SUM(pre_c * post_c) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    th AS (
+        SELECT n, sx,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS theta
+        FROM mom
+    ),
+    adj AS (
+        SELECT p.treat,
+               AVG(p.post_c / 100.0) AS raw_mean,
+               AVG(p.post_c / 100.0
+                   - th.theta * (p.pre_c - CAST(th.sx AS DOUBLE) / th.n)
+                     / 100.0) AS cuped_mean
+        FROM per_user p CROSS JOIN th
+        GROUP BY p.treat
+    )
+    SELECT ROUND(MAX(CASE WHEN treat THEN raw_mean END)
+                 - MAX(CASE WHEN NOT treat THEN raw_mean END), 6)
+               AS raw_lift,
+           ROUND(MAX(CASE WHEN treat THEN cuped_mean END)
+                 - MAX(CASE WHEN NOT treat THEN cuped_mean END), 6)
+               AS cuped_lift,
+           (SELECT ROUND(theta, 6) FROM th) AS theta
+    FROM adj
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(F.col("ts") < cut, cents).otherwise(0).alias("pre"),
+            F.when(F.col("ts") >= cut, cents).otherwise(0).alias("post"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("pre").cast("long").alias("pre_c"),
+            F.sum("post").cast("long").alias("post_c"),
+        )
+        .withColumn("treat", F.col("user_id") % 2 == 0)
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_c").cast("long").alias("sx"),
+        F.sum("post_c").cast("long").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c")).cast("long").alias("sxx"),
+        F.sum(F.col("pre_c") * F.col("post_c")).cast("long").alias("sxy"),
+    )
+    th = mom.select(
+        "n",
+        "sx",
+        (
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("theta"),
+    )
+    adj = (
+        per_user.join(F.broadcast(th))
+        .groupBy("treat")
+        .agg(
+            F.avg(F.col("post_c") / 100.0).alias("raw_mean"),
+            F.avg(
+                F.col("post_c") / 100.0
+                - F.col("theta")
+                * (F.col("pre_c") - F.col("sx").cast("double") / F.col("n"))
+                / 100.0
+            ).alias("cuped_mean"),
+        )
+    )
+    out = adj.agg(
+        F.round(
+            F.max(F.when(F.col("treat"), F.col("raw_mean")))
+            - F.max(F.when(~F.col("treat"), F.col("raw_mean"))),
+            6,
+        ).alias("raw_lift"),
+        F.round(
+            F.max(F.when(F.col("treat"), F.col("cuped_mean")))
+            - F.max(F.when(~F.col("treat"), F.col("cuped_mean"))),
+            6,
+        ).alias("cuped_lift"),
+    )
+    return out.join(F.broadcast(th.select(F.round("theta", 6).alias("theta"))))
