@@ -321,6 +321,7 @@ HEADLINE = [
     # causal / experimentation estimators
     "diff_in_diff_value",
     "cuped_adjusted_lift",
+    "quantile_treatment_effects",
 ]
 
 RUNS = 3

@@ -402,3 +402,19 @@ def cdc_apply(
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(tmp)
         hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+
+
+def write_orc(df, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the columnar alternative bundled with Spark (no
+    external package). Same partitioned-layout contract as the parquet
+    writer; useful when a downstream consumer is ORC-native (Hive/Trino
+    stacks)."""
+    w = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_orc(spark, path: str):
+    """ORC source twin of ``write_orc``."""
+    return spark.read.format("orc").load(path)

@@ -208,7 +208,8 @@ _CHECK_FIRST = [
     # theil_sen_daily_trend, incremental_join_view, indexed_term_lookup,
     # dp_noisy_lang_counts, bpe_train_merges, table_format_lifecycle,
     # stream_table_ingest_replay, variant_props_extract,
-    # diff_in_diff_value, cuped_adjusted_lift.
+    # diff_in_diff_value, cuped_adjusted_lift,
+    # quantile_treatment_effects.
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

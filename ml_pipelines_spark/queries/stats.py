@@ -942,3 +942,91 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cuped_lift"),
     )
     return out.join(F.broadcast(th.select(F.round("theta", 6).alias("theta"))))
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects — the distributional companion to the mean
+# lift: at each decile, the EXACT order statistic of the treatment
+# arm's per-user value minus the control arm's. Exact selection (rank =
+# ceil(q*n), no interpolation) keeps every reported value an actual
+# observed data point and makes cross-engine agreement exact; the rank
+# window is keyed per arm over the user-grain aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_treatment_effects",
+    """
+    WITH per_user AS (
+        SELECT user_id, (user_id % 2 = 0) AS treat,
+               CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT treat, cents,
+               ROW_NUMBER() OVER (PARTITION BY treat
+                                  ORDER BY cents, user_id) AS rn,
+               COUNT(*) OVER (PARTITION BY treat) AS n
+        FROM per_user
+    ),
+    qs AS (
+        SELECT d.q, r.treat, MAX(r.cents) AS v
+        FROM ranked r
+        JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS q) d
+          ON r.rn = CAST(ceil(d.q * r.n / 10.0) AS BIGINT)
+        GROUP BY d.q, r.treat
+    )
+    SELECT q AS decile,
+           MAX(CASE WHEN treat THEN v END) / 100.0 AS treat_value,
+           MAX(CASE WHEN NOT treat THEN v END) / 100.0 AS ctrl_value,
+           (MAX(CASE WHEN treat THEN v END)
+            - MAX(CASE WHEN NOT treat THEN v END)) / 100.0 AS qte
+    FROM qs GROUP BY q
+    """,
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per_user = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .withColumn("treat", F.col("user_id") % 2 == 0)
+    )
+    w = Window.partitionBy("treat").orderBy("cents", "user_id")
+    ranked = per_user.select(
+        "treat",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("treat")).alias("n"),
+    )
+    deciles = t(spark, sf_dir, "events").sparkSession.range(1, 10).select(
+        F.col("id").alias("q")
+    )
+    qs = (
+        ranked.join(
+            F.broadcast(deciles),
+            F.col("rn")
+            == F.ceil(F.col("q") * F.col("n") / 10.0).cast("long"),
+        )
+        .groupBy("q", "treat")
+        .agg(F.max("cents").alias("v"))
+    )
+    return qs.groupBy(F.col("q").alias("decile")).agg(
+        (F.max(F.when(F.col("treat"), F.col("v"))) / 100.0).alias(
+            "treat_value"
+        ),
+        (F.max(F.when(~F.col("treat"), F.col("v"))) / 100.0).alias(
+            "ctrl_value"
+        ),
+        (
+            (
+                F.max(F.when(F.col("treat"), F.col("v")))
+                - F.max(F.when(~F.col("treat"), F.col("v")))
+            )
+            / 100.0
+        ).alias("qte"),
+    )

@@ -180,3 +180,38 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # and the result is correct
     want = sum(i * 3 for i in range(10000) if (i % 20) % 4 == 1)
     assert joined.collect()[0]["s"] == want
+
+
+def test_orc_round_trip_with_partitions(spark, tmp_path, sf_dir):
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.io import read_orc, write_orc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = str(tmp_path / "orders_orc")
+    write_orc(orders, d, partition_by=["o_orderstatus"])
+    back = read_orc(spark, d)
+    assert back.count() == orders.count()
+    got = {
+        r.o_orderstatus: r.s
+        for r in back.groupBy("o_orderstatus")
+        .agg(F.sum("o_orderkey").alias("s"))
+        .collect()
+    }
+    want = {
+        r.o_orderstatus: r.s
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.sum("o_orderkey").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # partition pruning works on the ORC layout too
+    plan = (
+        back.filter(F.col("o_orderstatus") == "O")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan or "o_orderstatus" in plan
