@@ -322,6 +322,8 @@ HEADLINE = [
     "diff_in_diff_value",
     "cuped_adjusted_lift",
     "quantile_treatment_effects",
+    # WebDataset tar shard export (multimodal training container)
+    "webdataset_export_manifest",
 ]
 
 RUNS = 3

@@ -164,3 +164,68 @@ def yolo_export_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yolo_lines(
         anno, _images_df(spark, sf_dir), coco_categories(anno), segmentation=False
     ).select("image_name", "line")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset shard export (sinks/webdataset.py): documents stream into
+# md5-sharded tar archives (text payload + a JSON sidecar per sample),
+# written executor-side; the query returns the per-shard manifest. The
+# oracle recomputes the same manifest declaratively — shard hash,
+# sample counts, and exact payload byte totals (octet_length of the
+# text member + the length of the identically-constructed JSON
+# sidecar). Tar structure (member pairing, sorted order, byte
+# determinism) is asserted in tests/test_export.py.
+# ---------------------------------------------------------------------------
+_WDS_DIRS: dict[tuple[str, str], object] = {}
+_WDS_SHARDS = 8
+
+
+@query(
+    "webdataset_export_manifest",
+    f"""
+    WITH staged AS (
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   % {_WDS_SHARDS} AS shard,
+               strlen(text)
+               + strlen('{{"doc_id": ' || CAST(doc_id AS VARCHAR)
+                        || ', "lang": "' || lang || '"}}')
+                   AS payload
+        FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_samples,
+           CAST(SUM(payload) AS BIGINT) AS payload_bytes
+    FROM staged GROUP BY shard
+    """,
+)
+def webdataset_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks.webdataset import write_webdataset
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("txt"),
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "lang": "'),
+            F.col("lang"),
+            F.lit('"}'),
+        ).alias("json"),
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WDS_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="wds_export_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        _WDS_DIRS[key] = out_dir
+    manifest = write_webdataset(
+        docs,
+        _WDS_DIRS[key],
+        key_col="doc_id",
+        payload_cols={"txt": "txt", "json": "json"},
+        num_shards=_WDS_SHARDS,
+    )
+    return manifest

@@ -121,3 +121,57 @@ class TestYoloFiles:
         for r in lines:
             parts = r["line"].split(" ")
             assert len(parts) == 1 + 8  # cat + 4 points x/y
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shard sink
+# ---------------------------------------------------------------------------
+
+
+def test_webdataset_shards_pair_members_and_are_deterministic(spark, tmp_path):
+    import hashlib
+    import os
+    import tarfile
+
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.sinks.webdataset import write_webdataset
+
+    rows = [
+        (i, f"text body {i}".encode(), f'{{"id": {i}}}') for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["sample_id", "img", "meta"])
+    d1 = str(tmp_path / "wds1")
+    m = write_webdataset(
+        df, d1, "sample_id", {"img": "img", "meta": "json"}, num_shards=4
+    ).collect()
+    # manifest covers every sample exactly once
+    assert sum(r.n_samples for r in m) == 60
+    shards = sorted(os.listdir(d1))
+    assert shards == [f"shard-{r.shard:05d}.tar" for r in sorted(m, key=lambda r: r.shard)]
+    seen = set()
+    for s in shards:
+        with tarfile.open(os.path.join(d1, s)) as tar:
+            names = tar.getnames()
+            # members arrive in sorted-key order, one .img + .json pair
+            # per sample, adjacent
+            stems = [n.rsplit(".", 1)[0] for n in names]
+            assert stems == sorted(stems, key=lambda x: (x, ))
+            for i in range(0, len(names), 2):
+                assert stems[i] == stems[i + 1]
+            # payload round-trips
+            for mem in tar.getmembers():
+                if mem.name.endswith(".img"):
+                    sid = int(mem.name.split(".")[0])
+                    assert tar.extractfile(mem).read() == f"text body {sid}".encode()
+                    seen.add(sid)
+    assert seen == set(range(60))
+    # byte determinism: a second write produces identical archives
+    d2 = str(tmp_path / "wds2")
+    write_webdataset(
+        df, d2, "sample_id", {"img": "img", "meta": "json"}, num_shards=4
+    ).collect()
+    for s in shards:
+        h1 = hashlib.md5(open(os.path.join(d1, s), "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(os.path.join(d2, s), "rb").read()).hexdigest()
+        assert h1 == h2, s
