@@ -324,6 +324,8 @@ HEADLINE = [
     "quantile_treatment_effects",
     # WebDataset tar shard export (multimodal training container)
     "webdataset_export_manifest",
+    # left-outer stream-stream interval join (sentinel-drained replay)
+    "stream_outer_join_replay",
 ]
 
 RUNS = 3

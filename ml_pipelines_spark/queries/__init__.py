@@ -209,7 +209,8 @@ _CHECK_FIRST = [
     # dp_noisy_lang_counts, bpe_train_merges, table_format_lifecycle,
     # stream_table_ingest_replay, variant_props_extract,
     # diff_in_diff_value, cuped_adjusted_lift,
-    # quantile_treatment_effects, webdataset_export_manifest.
+    # quantile_treatment_effects, webdataset_export_manifest,
+    # stream_outer_join_replay.
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

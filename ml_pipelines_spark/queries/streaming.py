@@ -711,3 +711,130 @@ def stream_table_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream interval join under the gate — the
+# click-attribution question the inner join can't answer: which clicks
+# found NO purchase within 24h. Outer emission is watermark-gated
+# (a click is declared unmatched only after both watermarks pass its
+# window), so the finite replay appends a far-future SENTINEL row to
+# both sides to flush the tail, then filters it out — the documented
+# pattern for draining outer state in bounded replays. The oracle is
+# the batch left range join; matched/unmatched per day must agree
+# exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_outer_join_replay",
+    """
+    WITH clicks AS (
+        SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    buys AS (
+        SELECT user_id AS b_user, ts AS b_ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.user_id, c.c_ts, b.b_user
+        FROM clicks c
+        LEFT JOIN buys b
+          ON b.b_user = c.user_id
+         AND b.b_ts >= c.c_ts
+         AND b.b_ts < c.c_ts + INTERVAL 24 HOUR
+    )
+    SELECT strftime(c_ts, '%Y-%m-%d') AS click_date,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN b_user IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_matched
+    FROM j GROUP BY click_date
+    """,
+)
+def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    d1 = tempfile.mkdtemp(prefix="mlps_soj_c_")
+    d2 = tempfile.mkdtemp(prefix="mlps_soj_b_")
+    name = f"soj_{uuid.uuid4().hex}"
+    try:
+        clicks.repartition(2).write.mode("overwrite").parquet(d1)
+        buys.repartition(2).write.mode("overwrite").parquet(d2)
+        sentinel_c = spark.createDataFrame(
+            [(-1, "2030-01-01 00:00:00")], ["user_id", "c_ts"]
+        ).select("user_id", F.col("c_ts").cast("timestamp").alias("c_ts"))
+        sentinel_b = spark.createDataFrame(
+            [(-1, "2030-01-01 00:00:00")], ["b_user", "b_ts"]
+        ).select("b_user", F.col("b_ts").cast("timestamp").alias("b_ts"))
+        # the sentinel must be the LAST file each source picks up:
+        # FileStreamSource orders by modification time
+        time.sleep(1.1)
+        sentinel_c.coalesce(1).write.mode("append").parquet(d1)
+        sentinel_b.coalesce(1).write.mode("append").parquet(d2)
+        s1 = (
+            spark.readStream.schema(spark.read.parquet(d1).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d1)
+        )
+        s2 = (
+            spark.readStream.schema(spark.read.parquet(d2).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d2)
+        )
+        # the attribution window is derived from c_ts (not a stored
+        # interval table), so the join is built inline; the generic
+        # stored-interval form is streaming.joins.
+        # outer_interval_join_streams, exercised in test_streaming
+        p = s1.withWatermark("c_ts", "1 hour")
+        i = s2.withWatermark("b_ts", "1 hour")
+        j = p.join(
+            i,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("c_ts"))
+            & (F.col("b_ts") < F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+            "leftOuter",
+        )
+        q = (
+            j.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)  # drop the sentinel
+            .groupBy(
+                F.date_format("c_ts", "yyyy-MM-dd").alias("click_date")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("b_user").isNull(), 0).otherwise(1)
+                )
+                .cast("long")
+                .alias("n_matched"),
+            )
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass

@@ -320,3 +320,111 @@ class TestTransformWithStateSeam:
             .collect()
         }
         assert got == want
+
+
+def test_outer_interval_join_matches_batch_left_join(spark, sf_dir):
+    # Stored-interval form: unmatched points emit null-padded once both
+    # watermarks pass their window; a far-future sentinel drains the
+    # tail in the finite replay.
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.streaming.joins import (
+        outer_interval_join_streams,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    points = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    intervals = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("i_end"),
+    )
+    d1 = tempfile.mkdtemp(prefix="mlps_oij_p_")
+    d2 = tempfile.mkdtemp(prefix="mlps_oij_i_")
+    name = f"oij_{uuid.uuid4().hex}"
+    try:
+        points.repartition(2).write.mode("overwrite").parquet(d1)
+        intervals.repartition(2).write.mode("overwrite").parquet(d2)
+        sp = spark.createDataFrame(
+            [(-1, "2030-01-01 00:00:00")], ["user_id", "p_ts"]
+        ).select("user_id", F.col("p_ts").cast("timestamp").alias("p_ts"))
+        si = spark.createDataFrame(
+            [(-1, "2030-01-01 00:00:00", "2030-01-01 00:00:01")],
+            ["user_id", "i_start", "i_end"],
+        ).select(
+            "user_id",
+            F.col("i_start").cast("timestamp").alias("i_start"),
+            F.col("i_end").cast("timestamp").alias("i_end"),
+        )
+        time.sleep(1.1)
+        sp.coalesce(1).write.mode("append").parquet(d1)
+        si.coalesce(1).write.mode("append").parquet(d2)
+        s1 = (
+            spark.readStream.schema(spark.read.parquet(d1).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d1)
+        )
+        s2 = (
+            spark.readStream.schema(spark.read.parquet(d2).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d2)
+        )
+        out = outer_interval_join_streams(
+            s1,
+            s2,
+            key_cols=["user_id"],
+            point_ts="p_ts",
+            start_ts="i_start",
+            end_ts="i_end",
+            point_watermark="1 hour",
+            interval_watermark="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = (
+            spark.table(name)
+            .filter("user_id >= 0")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("i_start").isNull(), 1).otherwise(0)
+                ).alias("unmatched"),
+            )
+            .collect()[0]
+        )
+        ip, ii = points.alias("p"), intervals.alias("i")
+        ref = ip.join(
+            ii,
+            (F.col("p.user_id") == F.col("i.user_id"))
+            & (F.col("p_ts") >= F.col("i_start"))
+            & (F.col("p_ts") < F.col("i_end")),
+            "left",
+        )
+        want_n = ref.count()
+        want_unmatched = ref.filter(F.col("i_start").isNull()).count()
+        assert (got.n, got.unmatched) == (want_n, want_unmatched)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
