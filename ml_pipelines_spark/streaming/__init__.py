@@ -5,7 +5,9 @@ from .joins import interval_join_streams  # noqa: F401
 from .stateful import (  # noqa: F401
     running_totals,
     running_totals_tws,
+    sessionize_with_timeout,
     stream_dedup,
+    stream_dedup_within_watermark,
     tws_available,
 )
 from .windows import (  # noqa: F401

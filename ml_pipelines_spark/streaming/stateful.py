@@ -191,3 +191,121 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Dedup where duplicates arrive with DIFFERENT event times (retry
+    storms, at-least-once producers): ``dropDuplicates`` keys state on
+    (keys, exact timestamp) when the ts column is part of the key set,
+    or keeps state forever when it isn't; Spark 3.5's
+    ``dropDuplicatesWithinWatermark`` instead suppresses any second
+    occurrence of the keys within the watermark horizon and evicts
+    state once the watermark passes — bounded state AND retry-tolerant
+    semantics. First occurrence (in arrival order) wins."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def sessionize_with_timeout(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int,
+    watermark: str,
+) -> DataFrame:
+    """Custom sessionizer on applyInPandasWithState with an EVENT-TIME
+    TIMEOUT — the GroupState feature the running-totals operator does
+    not exercise: a session EMITS when the watermark passes its gap
+    deadline (state.hasTimedOut), not when new data happens to arrive.
+    Emits one row per CLOSED session: (key, session_start, session_end,
+    n_events); sessions still open when the stream ends stay in state
+    (drain with a sentinel row past the deadline, as the outer-join
+    replay does).
+
+    State per key is one (start, last, count) tuple — O(keys), the
+    native session_window equivalent with custom emission control.
+    """
+    from pyspark.sql.types import TimestampType
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", TimestampType()),
+            StructField("last", TimestampType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows[ts_col].sort_values()
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        for t in ts:
+            if last is not None and (
+                t - last
+            ).total_seconds() * 1000 > gap_ms:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                start = t if start is None else start
+                last, n = t, n + 1
+        state.update((start, last, n))
+        # emit when the watermark passes last+gap
+        state.setTimeoutTimestamp(
+            int(last.timestamp() * 1000) + gap_ms
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -428,3 +428,105 @@ def test_outer_interval_join_matches_batch_left_join(spark, sf_dir):
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+def test_dedup_within_watermark_suppresses_retries(spark, tmp_path):
+    # duplicates with DIFFERENT event times (retries) must be dropped —
+    # the case plain dropDuplicates on (key, ts) cannot handle
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.streaming import stateful
+
+    rows = [
+        ("a", "2024-01-01 10:00:00"),
+        ("a", "2024-01-01 10:00:05"),  # retry, later event time
+        ("b", "2024-01-01 10:00:01"),
+        ("b", "2024-01-01 10:00:02"),  # retry
+        ("c", "2024-01-01 10:00:03"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    d = str(tmp_path / "ddw")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    out = stateful.stream_dedup_within_watermark(
+        stream, ["k"], "ts", "10 minutes"
+    )
+    name = f"ddw_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r.k for r in spark.table(name).collect())
+    assert got == ["a", "b", "c"]
+
+
+def test_sessionize_with_timeout_emits_on_watermark(spark, tmp_path):
+    # two micro-batches: user x's first session must EMIT via the
+    # event-time timeout once batch 2's sentinel advances the watermark
+    # past its gap deadline — not because more x-data arrived.
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.streaming.stateful import sessionize_with_timeout
+
+    b1 = [
+        ("x", "2024-01-01 10:00:00"),
+        ("x", "2024-01-01 10:05:00"),
+        ("y", "2024-01-01 10:02:00"),
+    ]
+    b2 = [("z", "2024-01-02 09:00:00")]  # watermark pusher
+    d = str(tmp_path / "sess")
+    import time
+
+    mk = lambda rows: spark.createDataFrame(rows, ["key", "ts"]).select(  # noqa: E731
+        "key", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mk(b1).coalesce(1).write.mode("overwrite").parquet(d)
+    time.sleep(1.1)
+    mk(b2).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = sessionize_with_timeout(
+        stream, "key", "ts", gap_minutes=30, watermark="1 minute"
+    )
+    name = f"sto_{uuid.uuid4().hex}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.key: (str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table(name).collect()
+    }
+    assert got.get("x") == (
+        "2024-01-01 10:00:00",
+        "2024-01-01 10:05:00",
+        2,
+    ), got
+    assert got.get("y") == (
+        "2024-01-01 10:02:00",
+        "2024-01-01 10:02:00",
+        1,
+    ), got
