@@ -326,6 +326,8 @@ HEADLINE = [
     "webdataset_export_manifest",
     # left-outer stream-stream interval join (sentinel-drained replay)
     "stream_outer_join_replay",
+    # event-time-timeout custom sessionizer (full session-row parity)
+    "stream_timeout_sessions_replay",
 ]
 
 RUNS = 3

@@ -838,3 +838,111 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessionizer under the gate: events replay as a
+# 2-file stream through streaming.stateful.sessionize_with_timeout
+# (6-hour gap), a far-future sentinel row drains every open session
+# (emission happens when the WATERMARK passes a session's gap deadline
+# — state.hasTimedOut — not when new data arrives), and the closed
+# sessions must equal the batch gaps-and-islands segmentation exactly,
+# timestamps included. The native-API twin is stream_session_replay;
+# this one proves the CUSTOM-state route end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_timeout_sessions_replay",
+    """
+    WITH ordered AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 6 HOUR
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT key, ts,
+               SUM(new_session) OVER (PARTITION BY key ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM ordered
+    )
+    SELECT key,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM tagged
+    GROUP BY key, session_id
+    """,
+)
+def stream_timeout_sessions_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from ..streaming.stateful import sessionize_with_timeout
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="mlps_sts_")
+    name = f"sts_{uuid.uuid4().hex}"
+    try:
+        # time-partitioned replay files: the sessionizer's order
+        # contract is per-key time order ACROSS batches
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ev.filter(F.col("ts") < cut).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        time.sleep(1.1)
+        ev.filter(F.col("ts") >= cut).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        sentinel = spark.createDataFrame(
+            [("__sentinel__", "2030-01-01 00:00:00")], ["key", "ts"]
+        ).select("key", F.col("ts").cast("timestamp").alias("ts"))
+        time.sleep(1.1)
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(d).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        out = sessionize_with_timeout(
+            stream, "key", "ts", gap_minutes=360, watermark="1 minute"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.table(name).filter(
+            F.col("key") != "__sentinel__"
+        ).select(
+            "key",
+            F.date_format("session_start", _TS_FMT_US).alias(
+                "session_start"
+            ),
+            F.date_format("session_end", _TS_FMT_US).alias("session_end"),
+            "n_events",
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass

@@ -228,6 +228,12 @@ def sessionize_with_timeout(
     (drain with a sentinel row past the deadline, as the outer-join
     replay does).
 
+    ORDER CONTRACT: a key's events must arrive time-ordered ACROSS
+    micro-batches (within a batch they are sorted here) — the operator
+    extends sessions forward from stored state, the same contract as
+    any incremental sessionizer. Replays must split files on event
+    time, not randomly.
+
     State per key is one (start, last, count) tuple — O(keys), the
     native session_window equivalent with custom emission control.
     """
@@ -284,10 +290,13 @@ def sessionize_with_timeout(
                 start = t if start is None else start
                 last, n = t, n + 1
         state.update((start, last, n))
-        # emit when the watermark passes last+gap
-        state.setTimeoutTimestamp(
-            int(last.timestamp() * 1000) + gap_ms
-        )
+        # emit when the watermark passes last+gap; a session whose
+        # deadline is ALREADY behind the watermark (late-arriving tail
+        # data) times out at the next watermark tick instead — Spark
+        # rejects timeout timestamps in the past
+        deadline = int(last.timestamp() * 1000) + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
         if closed:
             yield pd.DataFrame(
                 {
