@@ -324,10 +324,12 @@ HEADLINE = [
     "quantile_treatment_effects",
     # WebDataset tar shard export (multimodal training container)
     "webdataset_export_manifest",
-    # left-outer stream-stream interval join (sentinel-drained replay)
-    "stream_outer_join_replay",
-    # event-time-timeout custom sessionizer (full session-row parity)
-    "stream_timeout_sessions_replay",
+    # NOT in the headline: stream_outer_join_replay and
+    # stream_timeout_sessions_replay run REAL multi-batch streams whose
+    # wall time is micro-batch/state-store latency (~20 s each at
+    # sf0.1), not engine throughput — the correctness gate runs them at
+    # sf0.01 where that latency is the point (same exclusion rationale
+    # as the approx_distinct_users invariant twin).
 ]
 
 RUNS = 3
