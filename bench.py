@@ -324,6 +324,9 @@ HEADLINE = [
     "quantile_treatment_effects",
     # WebDataset tar shard export (multimodal training container)
     "webdataset_export_manifest",
+    # change-data-feed between table versions; exact higher moments
+    "table_change_feed",
+    "moments_by_segment",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

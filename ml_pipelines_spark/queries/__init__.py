@@ -210,7 +210,8 @@ _CHECK_FIRST = [
     # stream_table_ingest_replay, variant_props_extract,
     # diff_in_diff_value, cuped_adjusted_lift,
     # quantile_treatment_effects, webdataset_export_manifest,
-    # stream_outer_join_replay, stream_timeout_sessions_replay.
+    # stream_outer_join_replay, stream_timeout_sessions_replay,
+    # table_change_feed, moments_by_segment.
     "bfs_hops_near_dup",
     "temporal_join_scd2",
     "bootstrap_ci_mean",

@@ -330,3 +330,59 @@ def table_format_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("cents").cast("long") / 100.0).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between table versions: diff the lifecycle table's
+# v1 (initial write) against its latest (after the CoW merge and the
+# MoR delete) — the "what changed since I last read" API a downstream
+# incremental consumer needs, derived purely from the two snapshot
+# reads (no change log was kept; at scale the zone maps narrow the diff
+# join to overlapping files). The oracle re-derives each key's fate
+# declaratively: updated (%13, surviving), deleted (%17), unchanged
+# otherwise — so a wrong merge carry or resurrected tombstone shows up
+# as a misclassified key.
+# ---------------------------------------------------------------------------
+@query(
+    "table_change_feed",
+    """
+    SELECT CASE WHEN o_orderkey % 17 = 0 THEN 'delete'
+                WHEN o_orderkey % 13 = 0 THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 17 <> 0 AND o_orderkey % 13 = 0
+                         THEN 100000 ELSE 0 END) AS BIGINT) / 100.0
+               AS value_delta
+    FROM orders
+    GROUP BY change_type
+    """,
+)
+def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _table_lifecycle_dir(spark, sf_dir)
+    v1 = read_snapshot(spark, path, 1).select(
+        "o_orderkey", F.col("cents").alias("old_cents")
+    )
+    latest = read_snapshot(spark, path).select(
+        "o_orderkey", F.col("cents").alias("new_cents")
+    )
+    joined = v1.join(latest, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("new_cents").isNull(), "delete")
+        .when(F.col("new_cents") != F.col("old_cents"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.coalesce(
+                F.col("new_cents") - F.col("old_cents"), F.lit(0)
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("delta").cast("long") / 100.0).alias("value_delta"),
+        )
+    )

@@ -1030,3 +1030,78 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("qte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments per segment — skewness and excess kurtosis from
+# EXACT raw power sums: x is requoted to whole dollars (documented
+# quantization), SUM(x), SUM(x^2), SUM(x^3), SUM(x^4) are exact wide
+# integers on both engines (decimal(38,0) / HUGEINT — x^4*n stays
+# ~2e26, far under both caps; int64 would overflow, which is the whole
+# point of the wide-integer lane), and the central-moment closed form
+# evaluates ONCE per group as a fixed double expression over those
+# exact inputs — deterministic cancellation, identical on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "moments_by_segment",
+    """
+    WITH j AS (
+        SELECT c_mktsegment AS segment,
+               CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    m AS (
+        SELECT segment, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS s1,
+               CAST(SUM(x * x) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+        FROM j GROUP BY segment
+    )
+    SELECT segment, n,
+           ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                  + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                  + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+               AS excess_kurtosis
+    FROM m
+    """,
+)
+def moments_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("x"),
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    m = j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+        F.sum(xd * xd * xd).cast("double").alias("s3"),
+        F.sum(xd * xd * xd * xd).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3.0 * mu * (F.col("s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * (F.col("s3") / n)
+        + 6.0 * mu * mu * (F.col("s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return m.select(
+        "segment",
+        "n",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    )
