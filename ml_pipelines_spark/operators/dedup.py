@@ -894,3 +894,53 @@ def prefix_filter_jaccard(
             F.round(F.col("inter") / union_size, 5).alias("jaccard"),
         )
     )
+
+
+def lsh_plan(
+    threshold: float,
+    num_perm: int,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Choose (bands, rows_per_band) for a MinHash LSH at a target
+    Jaccard ``threshold`` — the tuning knob every LSH deployment needs
+    and usually hand-waves. For b bands of r rows the collision
+    probability of a pair at similarity s is P(s) = 1 − (1 − s^r)^b;
+    this picks the factorization of ``num_perm`` minimizing the
+    weighted error integral (datasketch's strategy):
+
+        fn_weight · ∫₀^t (1 − P(s)) · 0 ds-part above t is the FN mass
+        ∫_t^1 (1 − P(s)) ds  +  fp_weight · ∫₀^t P(s) ds
+
+    evaluated by fixed-step quadrature (deterministic — no RNG). Also
+    reports the S-curve midpoint (1/b)^(1/r), the similarity at which
+    collision probability crosses ~0.5, so callers can sanity-check
+    the plan against their threshold. Pure driver-side arithmetic.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    steps = 1000
+    best = None
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best["error"]:
+            best = {
+                "bands": b,
+                "rows_per_band": r,
+                "error": err,
+                "fp_mass": fp,
+                "fn_mass": fn,
+                "s_curve_midpoint": (1.0 / b) ** (1.0 / r),
+            }
+    return best

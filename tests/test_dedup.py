@@ -369,3 +369,29 @@ def test_prefix_filter_candidate_join_is_prefix_only(spark):
     # and the physical plan carries the row_number prefix gate
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in plan
+
+
+def test_lsh_plan_matches_known_optima():
+    from ml_pipelines_spark.operators.dedup import lsh_plan
+
+    # equal weights at tau=0.8 favor precision: (2 bands x 8 rows),
+    # midpoint 0.917 (collisions mostly ABOVE the threshold)
+    plan = lsh_plan(0.8, 16)
+    assert (plan["bands"], plan["rows_per_band"]) == (2, 8)
+    assert abs(plan["s_curve_midpoint"] - 0.917) < 0.01
+    # a recall-weighted objective (missed near-dups cost more than
+    # false candidates, the dedup norm) recovers the (4 x 4) setting
+    # minhash_near_dup actually ships with — midpoint 0.707 < tau
+    recall_plan = lsh_plan(0.8, 16, fn_weight=5.0)
+    assert (recall_plan["bands"], recall_plan["rows_per_band"]) == (4, 4)
+    assert abs(recall_plan["s_curve_midpoint"] - 0.7071) < 0.01
+    # a LOW threshold prefers many bands of few rows (recall-heavy)...
+    low = lsh_plan(0.2, 16)
+    assert low["bands"] > low["rows_per_band"]
+    # ...and a HIGH threshold the reverse
+    high = lsh_plan(0.95, 16)
+    assert high["rows_per_band"] >= high["bands"]
+    # fp/fn weighting shifts the factorization toward precision
+    precise = lsh_plan(0.5, 16, fp_weight=10.0)
+    recall = lsh_plan(0.5, 16, fn_weight=10.0)
+    assert precise["rows_per_band"] >= recall["rows_per_band"]
