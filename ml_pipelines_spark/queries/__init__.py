@@ -124,98 +124,94 @@ from . import stats  # noqa: E402,F401
 #     stale-but-green r1/r2 rows. Round 7's rule 4 order is pinned in
 #     the (a) note above.
 # ---------------------------------------------------------------------------
+# Round-8 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: EXACTLY 49 queries have no driver
+#     row (every round-7 second/third-wave registration; the full list
+#     below), which together with the flagship fills the window with
+#     zero slack. Rule 1 outranks everything else, so rule 2's
+#     round-7 swap_cache re-evidence (near_dup_components,
+#     entity_resolution_suppliers, ngram_jaccard_pairs) and the rule-4
+#     tail displaced from round 7 (ann_ivf_topk, embedding_near_dup,
+#     embedding_centroids, ann_quantized_topk, ann_lsh_topk, then the
+#     r3 window/geometry/udaf/asof block pinned in the round-7 note)
+#     carry to round 9, where they lead after any round-8
+#     registrations. All carried queries keep local parity coverage
+#     via tests/test_oracle_parity.py every pytest run.
+#     (approx_distinct_users_sketch is NOT in rule 1: it is the
+#     rows-only sketch query and holds its r06 rows-only driver row.)
+# (b) rule 2 — code touched this round coincides with rule 1: the
+#     ADVICE fixes land in manifest.py (table_format_lifecycle,
+#     table_change_feed, manifest_pruned_scan), invindex.py
+#     (indexed_term_lookup), webdataset.py (webdataset_export_manifest)
+#     and the bpe lineage fix in lm.py (bpe_train_merges) — all six
+#     queries are already rule-1 members of this window.
+# (c) the flagship.
+# (d) rule 4 — no slots this round (rule 1 fills 49 of 49 non-flagship
+#     slots). Round-9 rule 4 order: the round-7 carryover above, then
+#     oldest-evidence family-balanced.
 _CHECK_FIRST = [
-    # (a) rule 1: never driver-checked (1 carryover + 12 new this round)
-    "q11_important_stock",
-    "peak_concurrency",
-    "seasonal_naive_forecast",
-    "bm25_top_docs",
-    "rrf_hybrid_search",
-    "pmi_bigrams",
-    "skew_report_keys",
-    "stratified_kfold_assign",
-    "kcore_near_dup",
-    "item_item_cosine",
-    "naive_bayes_langid",
-    "rolling_distinct_users_hll",
-    "grid_density_clusters",
-    # (b) rule 2: implementation or oracle changed this round
-    "geo_nearest_city",
-    "pagerank_near_dup",
-    # (c) flagship
+    # (c) flagship rides every round
     "q1_pricing_summary",
-    # (d) rule 4: oldest driver evidence first — the ten r2-evidenced
-    "filter_isin",
-    "filter_eq",
-    "distinct_keys",
-    "count_per_group",
-    "regex_extract",
-    "filename_normalize",
-    "json_extract",
-    "scalar_funcs",
-    "array_restructure",
-    "union_all",
-    # (d) rule 4 continued: r3 streaming/multimodal/mixture/packing
-    "session_window",
-    "tumbling_window",
-    "sliding_window",
-    "image_meta_decode",
-    "image_exif_normalize",
-    "audio_frame_features",
-    "epoch_repeat_docs",
-    "token_budget_per_source",
-    "training_order_docs",
-    "mixture_temperature_sample",
-    "lm_perplexity_docs",
-    "chunk_documents",
-    "pii_redact_docs",
-    "decontaminate_train",
-    # (d) rule 4 continued: r3 dedup/similarity remainder
-    "dedup_exact_docs",
-    "minhash_signature",
-    "simhash_docs",
-    "simhash_near_dup",
-    "knn_bruteforce",
-    # rule 2 (late): the minhash candidate stage was factored out as
-    # minhash_lsh_candidates for dedup_recall_eval — minhash_near_dup
-    # re-evidences the refactored pairs path, displacing ann_lsh_topk
-    # (r3-stale, unchanged code) to round 8 rule 4.
-    "minhash_near_dup",
-    # (a/b-late) registered after the round-7 window was first sealed —
-    # rule 1 (bfs_hops_near_dup, temporal_join_scd2, bootstrap_ci_mean)
-    # and rule 2 (scd2_orders_history: its oracle was re-composed around
-    # the shared _SCD2_CTES block and its body refactored through
-    # _scd2_history_df). These displace the four oldest rule-4 tail
-    # entries (ann_ivf_topk, embedding_near_dup, embedding_centroids,
-    # ann_quantized_topk), which lead round 8's rule 4 together with
-    # ann_lsh_topk and the r3 window/geometry/udaf/asof block. Round-8
-    # rule 1: cusum_change_points, histogram_equi_depth,
-    # link_prediction_copurchase, dedup_recall_eval, ann_recall_eval,
-    # psi_drift_orders, decayed_popularity, watermark_lateness_audit,
-    # feature_ablation_importance (registered after this window
-    # sealed), plus the round-7 second-wave registrations:
-    # q6_forecast_revenue, q15_top_supplier, gini_revenue_concentration,
-    # benford_first_digit, kaplan_meier_churn, acf_daily_revenue,
-    # shortest_path_copurchase, kmv_set_ops_users,
-    # als_matrix_factorization, conformal_forecast_band,
-    # hard_negative_mining (link_prediction_copurchase also qualifies
-    # under rule 2 — it now reads the shared _copurchase_pairs cache),
-    # and the round-7 third-wave registrations: q2_min_cost_supplier,
-    # q4_order_priority, q12_shipmode_priority, q14_promo_revenue,
-    # q20_dominant_suppliers, prefix_jaccard_pairs, kneser_ney_bigrams,
-    # k_anonymity_audit, ks_test_segments, target_encode_segments,
-    # temporal_cv_folds, manifest_pruned_scan, mannwhitney_segments,
-    # theil_sen_daily_trend, incremental_join_view, indexed_term_lookup,
-    # dp_noisy_lang_counts, bpe_train_merges, table_format_lifecycle,
-    # stream_table_ingest_replay, variant_props_extract,
-    # diff_in_diff_value, cuped_adjusted_lift,
-    # quantile_treatment_effects, webdataset_export_manifest,
-    # stream_outer_join_replay, stream_timeout_sessions_replay,
-    # table_change_feed, moments_by_segment.
-    "bfs_hops_near_dup",
-    "temporal_join_scd2",
-    "bootstrap_ci_mean",
-    "scd2_orders_history",
+    # (a) rule 1: TPC-H shapes registered round 7
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_dominant_suppliers",
+    # (a) rule 1: table format + manifest + IVM (also rule 2 — the
+    # ADVICE tombstone fix re-evidences through these rows)
+    "table_format_lifecycle",
+    "table_change_feed",
+    "manifest_pruned_scan",
+    "incremental_join_view",
+    # (a) rule 1: streaming replays + lateness audit
+    "stream_table_ingest_replay",
+    "stream_outer_join_replay",
+    "stream_timeout_sessions_replay",
+    "watermark_lateness_audit",
+    # (a) rule 1: dedup/ANN evaluation + text/LM + privacy (rule 2
+    # coincides: invindex fix → indexed_term_lookup, bpe lineage fix →
+    # bpe_train_merges)
+    "dedup_recall_eval",
+    "ann_recall_eval",
+    "prefix_jaccard_pairs",
+    "hard_negative_mining",
+    "kneser_ney_bigrams",
+    "bpe_train_merges",
+    "indexed_term_lookup",
+    "dp_noisy_lang_counts",
+    "k_anonymity_audit",
+    # (a) rule 1: export + feature engineering + validation (rule 2
+    # coincides: webdataset atomic-write fix)
+    "webdataset_export_manifest",
+    "variant_props_extract",
+    "temporal_cv_folds",
+    "target_encode_segments",
+    "feature_ablation_importance",
+    "psi_drift_orders",
+    "histogram_equi_depth",
+    # (a) rule 1: statistics / causal / time-series family
+    "ks_test_segments",
+    "mannwhitney_segments",
+    "moments_by_segment",
+    "diff_in_diff_value",
+    "cuped_adjusted_lift",
+    "quantile_treatment_effects",
+    "cusum_change_points",
+    "conformal_forecast_band",
+    "gini_revenue_concentration",
+    "benford_first_digit",
+    "kaplan_meier_churn",
+    "acf_daily_revenue",
+    "theil_sen_daily_trend",
+    # (a) rule 1: sketches + graph + recsys
+    "kmv_set_ops_users",
+    "decayed_popularity",
+    "link_prediction_copurchase",
+    "shortest_path_copurchase",
+    "als_matrix_factorization",
 ]
 
 
