@@ -332,7 +332,17 @@ HEADLINE = [
     # wall time is micro-batch/state-store latency (~20 s each at
     # sf0.1), not engine throughput — the correctness gate runs them at
     # sf0.01 where that latency is the point (same exclusion rationale
-    # as the approx_distinct_users invariant twin).
+    # as the approx_distinct_users invariant twin). They ARE still
+    # timed each round (once, no warm-up — latency is the quantity)
+    # and recorded under BENCH_FULL's "latency_bound" key, outside the
+    # headline total, so a micro-batch-latency regression stays
+    # visible without polluting throughput ratios.
+]
+
+# Timed once per bench run, recorded outside the headline total.
+LATENCY_BOUND = [
+    "stream_outer_join_replay",
+    "stream_timeout_sessions_replay",
 ]
 
 RUNS = 3
@@ -431,6 +441,14 @@ def main() -> None:
         # slots are bounded (one live entry per key, queries/registry
         # swap_cache), so accumulation is capped without it.
 
+    latency: dict[str, float] = {}
+    for name in LATENCY_BOUND:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        latency[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
@@ -438,6 +456,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # micro-batch replays: wall time is state-store/trigger latency,
+        # not throughput — tracked for regressions, excluded from value.
+        "latency_bound": latency,
     }
     # BENCH_FULL.json is the committed sf0.1 record; a contract check at
     # another scale factor must not clobber it.

@@ -55,11 +55,30 @@ def write_inverted_index(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def normalize_query_terms(
+    spark: SparkSession, terms: list[str]
+) -> list[str]:
+    """Run the caller's raw terms through the SAME trim+lower+tokenize
+    expression the write path applies to documents (1-row Spark job),
+    so a query term with stray case or whitespace hashes to the bucket
+    its postings actually live in — the two sides can never drift."""
+    df = spark.createDataFrame([(t,) for t in terms], ["raw"])
+    rows = (
+        df.select(
+            F.explode(tokens(F.trim(F.lower(F.col("raw"))))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .collect()
+    )
+    return sorted({r["term"] for r in rows})
+
+
 def term_buckets(
     spark: SparkSession, terms: list[str], num_buckets: int
 ) -> list[int]:
-    """The hash buckets the given terms live in — computed BY SPARK
-    (1-row job) so write and search use the identical xxhash64."""
+    """The hash buckets the given (already-normalized) terms live in —
+    computed BY SPARK (1-row job) so write and search use the identical
+    xxhash64."""
     df = spark.createDataFrame([(t,) for t in terms], ["term"])
     rows = df.select(_bucket(F.col("term"), num_buckets)).collect()
     return sorted({int(r[0]) for r in rows})
@@ -79,17 +98,29 @@ def search_indexed(
     B buckets. ``require_all`` = boolean AND (the document must contain
     every term); otherwise OR. Output: (doc_id, n_terms, total_tf)
     with n_terms = distinct query terms present.
+
+    Raw terms are first normalized through the write path's own
+    trim+lower+tokenize expression (a multi-word raw term contributes
+    each of its tokens), so casing/whitespace in the query never
+    silently matches zero postings.
     """
-    buckets = term_buckets(spark, terms, num_buckets)
+    qterms = normalize_query_terms(spark, terms)
+    if not qterms:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty.groupBy("doc_id").agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+    buckets = term_buckets(spark, qterms, num_buckets)
     postings = (
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
+        .filter(F.col("term").isin(qterms))
     )
     out = postings.groupBy("doc_id").agg(
         F.countDistinct("term").alias("n_terms"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
     if require_all:
-        out = out.filter(F.col("n_terms") == len(set(terms)))
+        out = out.filter(F.col("n_terms") == len(qterms))
     return out

@@ -171,6 +171,12 @@ def kneser_ney_bigrams(
     )
 
 
+# Truncate bpe_train_merges' per-round lineage at this depth: deep
+# enough to amortize the materialization, shallow enough that plan
+# compile stays O(k) overall.
+_BPE_CKPT_EVERY = 8
+
+
 def bpe_train_merges(
     words: DataFrame,
     k: int = 6,
@@ -244,4 +250,13 @@ def bpe_train_merges(
                 F.col("s"), F.lit(f"({l})({r})"), F.lit(f"({l}{r})")
             ),
         )
+        # Lineage hygiene: each round chains another replace stage onto
+        # ``seg``, and round t's argmax job re-compiles the whole
+        # t-stage chain — O(k^2) plan compile at production merge
+        # counts (10k+). Truncate like the components/incremental
+        # loops: an eager localCheckpoint of the VOCABULARY-sized
+        # frame every few rounds keeps compile depth bounded without
+        # touching the corpus.
+        if step % _BPE_CKPT_EVERY == 0:
+            seg = seg.localCheckpoint(eager=True)
     return merges

@@ -123,9 +123,11 @@ def read_pruned(
         # empty result with the snapshot's schema (lazy probe)
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     out = spark.read.parquet(*keep).filter(band)
-    dels = _delete_keys(spark, path, v)
+    dels = _delete_keys(
+        spark, path, v, min_origin=min(_file_origin(f) for f in keep)
+    )
     if dels is not None:
-        out = out.join(dels.select(sort_col), sort_col, "left_anti")
+        out = _apply_tombstones(out, dels, sort_col)
     return out
 
 
@@ -156,10 +158,12 @@ def read_snapshot(
     if not files:
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     out = spark.read.parquet(*files)
-    dels = _delete_keys(spark, path, v)
+    dels = _delete_keys(
+        spark, path, v, min_origin=min(_file_origin(f) for f in files)
+    )
     if dels is not None:
         key = [c for c in dels.columns if c != "v"][0]
-        out = out.join(dels.select(key), key, "left_anti")
+        out = _apply_tombstones(out, dels, key)
     return out
 
 
@@ -324,13 +328,19 @@ def merge_snapshot(
     version = prev + 1
     data_dir = f"{path}/v={version}"
     if touched:
-        old_rows = spark.read.parquet(*[r["file"] for r in touched])
-        dels = _delete_keys(spark, path, prev)
+        touched_files = [r["file"] for r in touched]
+        old_rows = spark.read.parquet(*touched_files)
+        dels = _delete_keys(
+            spark,
+            path,
+            prev,
+            min_origin=min(_file_origin(f) for f in touched_files),
+        )
         if dels is not None:
-            # honor tombstones: a rewrite must not resurrect deleted rows
-            old_rows = old_rows.join(
-                dels.select(sort_col), sort_col, "left_anti"
-            )
+            # honor tombstones: a rewrite must not resurrect deleted
+            # rows — origin-scoped, so a key re-inserted after its
+            # delete is NOT re-killed here
+            old_rows = _apply_tombstones(old_rows, dels, sort_col)
         survivors = old_rows.join(
             updates.select(sort_col).distinct(), sort_col, "left_anti"
         )
@@ -371,15 +381,65 @@ def merge_snapshot(
     return version
 
 
+def _file_origin(file: str) -> int:
+    """Version whose write created ``file`` — the last ``v=N`` path
+    segment. Every writer here lands data under ``<path>/v=N/``, so the
+    origin is recoverable from the path alone (no footer read)."""
+    import re
+
+    return int(re.findall(r"/v=(\d+)/", file)[-1])
+
+
 def _delete_keys(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession,
+    path: str,
+    version: int,
+    min_origin: int | None = None,
 ) -> DataFrame | None:
+    """Tombstones visible to a reader of ``version``. A tombstone of
+    version D only applies to rows from files written BEFORE D
+    (Delta/Iceberg delete semantics — see ``_apply_tombstones``), so
+    when the caller knows the snapshot's oldest file origin, tombstones
+    with ``v <= min_origin`` match nothing and are pruned here; after a
+    compaction (all origins = compacted version) that prunes EVERY
+    older tombstone, which is how compaction clears delete debt without
+    mutating ``_deletes``."""
     try:
         dels = spark.read.parquet(f"{path}/_deletes")
     except Exception:
         return None
     dels = dels.filter(F.col("v") <= version)
+    if min_origin is not None:
+        dels = dels.filter(F.col("v") > min_origin)
     return dels if dels.limit(1).count() else None
+
+
+def _apply_tombstones(out: DataFrame, dels: DataFrame, key: str) -> DataFrame:
+    """Anti-join ``out`` against tombstones, scoped by origin: a
+    tombstone of version D removes a key only from rows whose file was
+    written before D. A later append/merge that re-inserts the key
+    lands in a file with origin >= D and survives — matching
+    ``merge_snapshot``'s upsert contract and Delta/Iceberg semantics
+    (a delete applies to the data that existed when it was issued)."""
+    d = dels.select(
+        F.col(key).alias("_del_key"), F.col("v").alias("_del_v")
+    )
+    out = out.withColumn(
+        "_origin",
+        F.regexp_extract(F.input_file_name(), r".*/v=(\d+)/", 1).cast(
+            "long"
+        ),
+    )
+    # key equality keeps this a hash anti-join (the version bound rides
+    # as a residual condition); AQE broadcasts when the tombstones are
+    # small, so no hint — delete-heavy tables shouldn't be forced to
+    # broadcast millions of keys.
+    return out.join(
+        d,
+        (F.col(key) == F.col("_del_key"))
+        & (F.col("_origin") < F.col("_del_v")),
+        "left_anti",
+    ).drop("_origin")
 
 
 def delete_from_snapshot(

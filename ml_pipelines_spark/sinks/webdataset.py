@@ -77,11 +77,22 @@ def write_webdataset(
     exts = dict(payload_cols)
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+
         shard = int(pdf["__shard"].iloc[0])
         pdf = pdf.sort_values("__key")
         out = os.path.join(path, f"shard-{shard:05d}.tar")
+        # Task retries / speculative attempts may run this group twice,
+        # concurrently: each attempt writes its own temp file and
+        # atomically renames into place, so shard-N.tar is always ONE
+        # complete attempt's bytes, never an interleaving.
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
+        tmp = os.path.join(
+            path, f".shard-{shard:05d}.tar.attempt-{attempt}"
+        )
         total = 0
-        with tarfile.open(out, "w") as tar:
+        with tarfile.open(tmp, "w") as tar:
             for _, row in pdf.iterrows():
                 for col, ext in exts.items():
                     data = row[col]
@@ -98,6 +109,7 @@ def write_webdataset(
 
                     tar.addfile(info, io.BytesIO(data))
                     total += len(data)
+        os.replace(tmp, out)
         return pd.DataFrame(
             {
                 "shard": [shard],
@@ -106,6 +118,13 @@ def write_webdataset(
             }
         )
 
-    return staged.groupBy("__shard").applyInPandas(
-        _write, schema=_MANIFEST_SCHEMA
+    # Run the write pass EAGERLY, exactly once: the tar write is a side
+    # effect, and returning the lazy frame would re-run it on every
+    # action against the manifest. The collected manifest is one row
+    # per shard — bounded by num_shards, a client-edge read.
+    rows = (
+        staged.groupBy("__shard")
+        .applyInPandas(_write, schema=_MANIFEST_SCHEMA)
+        .collect()
     )
+    return df.sparkSession.createDataFrame(rows, _MANIFEST_SCHEMA)

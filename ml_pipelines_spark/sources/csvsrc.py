@@ -34,9 +34,13 @@ def read_csv_audited(
     Returns ``(valid, quarantine)``: valid rows with exactly the schema
     columns; quarantine rows as (raw_line,) for every line that failed
     to parse or type-check. With ``header=True`` the header line is
-    recognized BY CONTENT (any line equal to the declared column list),
-    so the filter works on every partition without a driver-side
-    first-line read.
+    recognized BY CONTENT (a line equal to the declared column list),
+    so recognition works on every partition without a driver-side
+    first-line read — but exactly ONE such line is dropped PER FILE:
+    a legitimate data row that happens to equal the header (possible
+    with all-string schemas) parses as data instead of vanishing.
+    Header-matching lines are byte-identical, so which physical line
+    is treated as "the" header cannot change the surviving multiset.
     """
     if any(f.name == _CORRUPT for f in schema.fields):
         raise ValueError(f"schema must not declare {_CORRUPT}")
@@ -45,8 +49,22 @@ def read_csv_audited(
     )
     lines = spark.read.text(path)
     if header:
+        from pyspark.sql import Window
+
         header_line = sep.join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("value") != header_line)
+        is_header = F.col("value") == F.lit(header_line)
+        # rank only the (few-per-file) header-matching lines and keep
+        # all but one per file; the non-matching branch passes through
+        # without a shuffle. Two narrow text scans beat shuffling the
+        # whole read on (file, match) at scale.
+        w = Window.partitionBy(F.input_file_name()).orderBy(F.lit(1))
+        extra = (
+            lines.filter(is_header)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .drop("__rn")
+        )
+        lines = lines.filter(~is_header).unionByName(extra)
     # from_csv takes a DDL string, not a StructType
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields

@@ -175,3 +175,26 @@ def test_webdataset_shards_pair_members_and_are_deterministic(spark, tmp_path):
         h1 = hashlib.md5(open(os.path.join(d1, s), "rb").read()).hexdigest()
         h2 = hashlib.md5(open(os.path.join(d2, s), "rb").read()).hexdigest()
         assert h1 == h2, s
+
+
+def test_webdataset_write_is_eager_and_single_shot(spark, tmp_path):
+    """The tar write is a side effect: it must run exactly once at call
+    time, leave no temp files, and re-actions on the returned manifest
+    must NOT rewrite the shards (a lazy manifest would re-run the pass
+    on every count/collect, letting retries interleave writers)."""
+    import os
+
+    from ml_pipelines_spark.sinks.webdataset import write_webdataset
+
+    rows = [(i, f"payload {i}".encode()) for i in range(20)]
+    df = spark.createDataFrame(rows, ["sample_id", "img"])
+    d = str(tmp_path / "wds_eager")
+    m = write_webdataset(df, d, "sample_id", {"img": "img"}, num_shards=2)
+    tars = sorted(os.listdir(d))
+    assert tars == ["shard-00000.tar", "shard-00001.tar"]  # no temps
+    stamps = {s: os.stat(os.path.join(d, s)).st_mtime_ns for s in tars}
+    # act on the manifest repeatedly — shards must not be rewritten
+    assert m.count() == 2
+    assert sum(r.n_samples for r in m.collect()) == 20
+    after = {s: os.stat(os.path.join(d, s)).st_mtime_ns for s in tars}
+    assert after == stamps

@@ -85,3 +85,26 @@ def test_tf_counts_are_term_frequencies(spark):
         assert got == {1: (2, 4), 2: (2, 3)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_raw_query_terms_are_normalized_like_the_write_path(spark):
+    """A query term with uppercase, stray whitespace, or multiple words
+    matches the postings the write path's trim+lower+tokenize produced
+    — it must not silently match zero documents."""
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta"), (2, "alpha gamma"), (3, "beta gamma")],
+        ["doc_id", "text"],
+    )
+    d = tempfile.mkdtemp(prefix="mlps_inv_n_")
+    try:
+        write_inverted_index(docs, d, num_buckets=8)
+        # uppercase + padding: same result as the clean lowercase query
+        messy = search_indexed(spark, d, ["  ALPHA "], 8)
+        assert sorted(r.doc_id for r in messy.collect()) == [1, 2]
+        # a multi-word raw term contributes each token (AND semantics)
+        phrase = search_indexed(spark, d, ["Alpha  Beta"], 8)
+        assert [r.doc_id for r in phrase.collect()] == [1]
+        # a term that normalizes to nothing -> empty result, not a crash
+        assert search_indexed(spark, d, ["   "], 8).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -107,3 +107,35 @@ def test_read_csv_audited_rejects_corrupt_column_in_schema(spark):
             "/nonexistent",
             StructType([StructField("_corrupt_record", StringType())]),
         )
+
+
+def test_read_csv_audited_drops_one_header_per_file_only(spark, tmp_path):
+    """With an all-string schema a data row can equal the header line;
+    exactly ONE header-matching line is dropped per file, so that row
+    parses as data instead of vanishing from both outputs — and a
+    second file keeps its own header handling independent."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ml_pipelines_spark.sources.csvsrc import read_csv_audited
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "a,b\n"      # header
+        "x,y\n"      # ok
+        "a,b\n"      # DATA row identical to the header -> must survive
+        "z,w\n"      # ok
+    )
+    (d / "b.csv").write_text(
+        "a,b\n"      # header
+        "p,q\n"      # ok
+    )
+    schema = StructType(
+        [StructField("a", StringType()), StructField("b", StringType())]
+    )
+    valid, quarantine = read_csv_audited(
+        spark, str(d), schema, header=True
+    )
+    got = sorted((r.a, r.b) for r in valid.collect())
+    assert got == [("a", "b"), ("p", "q"), ("x", "y"), ("z", "w")]
+    assert quarantine.count() == 0

@@ -163,3 +163,27 @@ def test_bpe_greedy_overlap_application(spark):
     df = spark.createDataFrame([("aaaa", 5)], ["word", "freq"])
     got = bpe_train_merges(df, k=2)
     assert got == [(1, "a", "a", 15), (2, "aa", "aa", 5)]
+
+
+def test_bpe_checkpoint_boundary_is_equivalence_preserving(spark, monkeypatch):
+    """The lineage-truncation boundary (localCheckpoint every N rounds)
+    must never change the learned merge table: run the same training
+    with the boundary forced onto every round vs. effectively disabled
+    and against the serial reference, across the boundary step."""
+    from ml_pipelines_spark.operators import lm
+
+    freqs = {
+        "banana": 7,
+        "bandana": 5,
+        "cabana": 4,
+        "abba": 3,
+        "cabal": 2,
+        "canal": 2,
+    }
+    df = spark.createDataFrame(list(freqs.items()), ["word", "freq"])
+    k = 10  # crosses the default boundary (8) and several forced ones
+    monkeypatch.setattr(lm, "_BPE_CKPT_EVERY", 1)
+    every_round = lm.bpe_train_merges(df, k=k)
+    monkeypatch.setattr(lm, "_BPE_CKPT_EVERY", 10**9)
+    never = lm.bpe_train_merges(df, k=k)
+    assert every_round == never == _serial_bpe(freqs, k)

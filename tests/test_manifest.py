@@ -260,3 +260,68 @@ def test_delete_tombstones_are_merge_on_read(spark):
         assert read_snapshot(spark, d, v3).count() == 1900
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tombstones_are_version_scoped_to_older_data(spark):
+    """A delete applies only to data that existed when it was issued
+    (Delta/Iceberg semantics): a later MERGE or append that re-inserts
+    a deleted key must survive reads of the later snapshot, while the
+    delete-time snapshot still time-travels correctly."""
+    d = tempfile.mkdtemp(prefix="mlps_manifest_rs_")
+    try:
+        from ml_pipelines_spark.operators.manifest import (
+            append_snapshot,
+            compact_snapshot,
+            delete_from_snapshot,
+            merge_snapshot,
+            read_pruned,
+            read_snapshot,
+        )
+
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("old").alias("tag")
+        )
+        write_manifest_table(base, d, "k", num_files=4)           # v1
+        dels = spark.range(10, 20).select(F.col("id").alias("k"))
+        delete_from_snapshot(spark, d, "k", dels)                 # v2
+        assert read_snapshot(spark, d, 2).count() == 90
+        # v3: MERGE re-inserts 5 of the deleted keys
+        ups = spark.range(10, 15).select(
+            F.col("id").alias("k"), F.lit("new").alias("tag")
+        )
+        v3 = merge_snapshot(spark, d, "k", ups, num_files=2)
+        got = {
+            (r.k, r.tag)
+            for r in read_snapshot(spark, d, v3).filter("k < 25").collect()
+        }
+        expect = (
+            {(k, "old") for k in range(10)}
+            | {(k, "new") for k in range(10, 15)}
+            | {(k, "old") for k in range(20, 25)}
+        )
+        assert got == expect
+        assert read_snapshot(spark, d, v3).count() == 95
+        # pruned band read agrees
+        assert read_pruned(spark, d, "k", 0, 24, version=v3).count() == 20
+        # time travel: the delete-time snapshot still hides all 10 keys
+        assert read_snapshot(spark, d, 2).count() == 90
+        # v4: plain append re-inserts 2 more deleted keys — survives too
+        app = spark.range(15, 17).select(
+            F.col("id").alias("k"), F.lit("app").alias("tag")
+        )
+        v4 = append_snapshot(app, d, "k", num_files=1)
+        assert read_snapshot(spark, d, v4).count() == 97
+        # a FRESH delete still removes a re-inserted key going forward
+        v5 = delete_from_snapshot(
+            spark, d, "k", spark.range(10, 11).select(F.col("id").alias("k"))
+        )
+        assert read_snapshot(spark, d, v5).count() == 96
+        # compaction clears delete debt: after the rewrite every file's
+        # origin is the compacted version, so no tombstone applies
+        v6 = compact_snapshot(spark, d, "k", target_rows=1000)
+        assert read_snapshot(spark, d, v6).count() == 96
+        from ml_pipelines_spark.operators.manifest import _delete_keys
+
+        assert _delete_keys(spark, d, v6, min_origin=v6) is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
