@@ -1,0 +1,150 @@
+"""Registry-wide plan-lint gate (VERDICT r07 item 3).
+
+Every registered query's plan is linted for 100 TB scale-killers
+(plans/audit.lint). Two of the four rules fire on patterns that are
+correct when one side is known bounded — those occurrences are WAIVED
+individually below, with the justification for each group; the other
+two rules (row-at-a-time Python, single-partition funnel) are never
+waivable. The gate asserts both directions:
+
+- no query carries an unwaivered finding (a new scale-killer fails CI);
+- no waiver is stale (a fixed plan must drop its waiver, so the list
+  can only shrink unless a new query justifies a new entry).
+
+Waiver semantics, per group:
+
+- CARTESIAN_SCALAR — BroadcastNestedLoopJoin attaching a GLOBAL
+  STATISTIC (a 1-row aggregate: corpus size, total revenue, pooled
+  variance, IDF denominator, band edges). The build side is exactly
+  one row; plan text carries no cardinality, so the linter cannot
+  tell it from a real cross join. The standard Spark shape for
+  "divide every row by a global sum".
+- CARTESIAN_DIM — crossJoin against a BOUNDED DIMENSION (k-means
+  centroids, ANN anchor/probe tables, quantile grids, per-segment
+  EDF step lists, candidate-rule brand lists). Cardinality is capped
+  by an algorithm constant (k, n_anchors, n_bins), never data-sized;
+  the fact side streams through once.
+- GLOBAL_WINDOW — an unpartitioned Window whose INPUT is
+  dimension-sized: the second phase of two-phase top-k (rank over
+  the per-group winners), dense_rank dictionary encoding over a
+  sorted-distinct set, EDF/rank steps over an aggregated segment, or
+  a deterministic output ordering over a k-row result. The
+  data-sized phase is always partitioned; only the reduced frame
+  funnels through one task.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ml_pipelines_spark.plans.audit import lint
+from ml_pipelines_spark.queries import QUERIES
+
+CARTESIAN_SCALAR = {
+    "basket_brand_rules",
+    "bm25_top_docs",
+    "conformal_forecast_band",
+    "cuped_adjusted_lift",
+    "curate_corpus_v2",
+    "decayed_popularity",
+    "dedup_recall_eval",
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "histogram_equi_depth",
+    "kaplan_meier_churn",
+    "kmv_set_ops_users",
+    "kneser_ney_bigrams",
+    "ks_test_segments",
+    "mannwhitney_segments",
+    "naive_bayes_langid",
+    "neyman_allocation_sample",
+    "pmi_bigrams",
+    "profile_orders",
+    "psi_drift_orders",
+    "q11_important_stock",
+    "q22_idle_balance",
+    "quantile_treatment_effects",
+    "rrf_hybrid_search",
+    "seasonal_naive_forecast",
+    "seeded_nested_split",
+    "source_mix_kl",
+    "target_encode_segments",
+    "theil_sen_daily_trend",
+    "watermark_lateness_audit",
+}
+
+CARTESIAN_DIM = {
+    "ann_ivf_topk",
+    "item_item_cosine",
+    "kmeans_inertia",
+    "quantile_normalize_lengths",
+    "rfm_segments",
+    "triangle_count_near_dup",
+}
+
+GLOBAL_WINDOW = {
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_multiprobe_topk",
+    "ann_pq_topk",
+    "ann_quantized_topk",
+    "ann_recall_eval",
+    "bm25_top_docs",
+    "coco_records",
+    "conformal_forecast_band",
+    "decayed_popularity",
+    "dict_encode",
+    "embedding_outliers",
+    "event_transitions",
+    "item_item_cosine",
+    "kaplan_meier_churn",
+    "knn_bruteforce",
+    "ks_test_segments",
+    "lang_source_chisq",
+    "length_bucket_batches",
+    "link_prediction_copurchase",
+    "mannwhitney_segments",
+    "peak_concurrency",
+    "pmi_bigrams",
+    "q20_dominant_suppliers",
+    "q21_late_sole_supplier",
+    "q2_min_cost_supplier",
+    "quantile_normalize_lengths",
+    "quantile_treatment_effects",
+    "rfm_segments",
+    "rrf_hybrid_search",
+    "theil_sen_daily_trend",
+    "top_bigram_share",
+    "training_order_docs",
+    "vocab_topk",
+    "weighted_sample_docs",
+    "yolo_export_lines",
+}
+
+WAIVERS: dict[str, set[str]] = {}
+for name in CARTESIAN_SCALAR | CARTESIAN_DIM:
+    WAIVERS.setdefault(name, set()).add("cartesian")
+for name in GLOBAL_WINDOW:
+    WAIVERS.setdefault(name, set()).add("global-window")
+
+# Never waivable: there is no bounded-input justification for
+# row-at-a-time Python or an aggregate-free single-partition funnel.
+_UNWAIVABLE = {"python-row-udf", "single-partition-exchange"}
+assert not any(r & _UNWAIVABLE for r in WAIVERS.values())
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_plan_is_lint_clean_or_waived(name, spark, sf_dir):
+    findings = lint(QUERIES[name](spark, sf_dir))
+    rules = {f.rule for f in findings}
+    waived = WAIVERS.get(name, set())
+    unwaivered = rules - waived
+    assert not unwaivered, (
+        f"{name}: unwaivered scale-killer(s) {sorted(unwaivered)} — "
+        f"findings: {findings}"
+    )
+    stale = waived - rules
+    assert not stale, (
+        f"{name}: stale waiver(s) {sorted(stale)} — the plan no longer "
+        "fires this rule; remove the waiver so the list only shrinks"
+    )
