@@ -33,10 +33,11 @@ affects only which files can be skipped, never the result.
 Scale bound, stated: planning collects the manifest to the driver —
 O(files) rows of a few hundred bytes. That holds comfortably to ~10^6
 files per snapshot (the compactor exists precisely to keep file counts
-there); past that, real table formats add a manifest-of-manifests tier
-(Iceberg manifest lists) so planning reads only the manifests whose
-aggregate bounds overlap — the same zone-map trick one level up. This
-module stops at one tier deliberately.
+there); past that, ``build_manifest_list`` adds the manifest-of-
+manifests tier (Iceberg manifest lists): the manifest itself is
+range-sharded and a tiny per-shard bounds table lets
+``read_pruned_two_tier`` plan a band read touching only the metadata
+shards the band overlaps — the same zone-map trick one level up.
 """
 
 from __future__ import annotations
@@ -379,6 +380,128 @@ def merge_snapshot(
         f"{path}/_manifest/v={version}"
     )
     return version
+
+
+def build_manifest_list(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    num_shards: int = 8,
+) -> int:
+    """Second metadata tier — the Iceberg "manifest list" shape. The
+    one-tier layout collects the WHOLE manifest to the driver at plan
+    time, which is fine to ~10^6 files and a metadata storm past it.
+    This call rewrites one snapshot's manifest as ``num_shards``
+    range-sharded parquet files (``_manifest_shards/v=N/``, ranged on
+    ``min_v`` so each shard owns a contiguous slice of the key domain)
+    plus a tiny MANIFEST LIST (``_manifest_list/v=N/``): one row per
+    shard file with that shard's aggregate [min(min_v), max(max_v)]
+    bounds and file/row counts — the same zone-map trick one level up.
+    Planning then reads the list (O(shards) rows), opens only the
+    shards whose aggregate interval overlaps the predicate band, and
+    never touches the rest of the metadata — so plan cost scales with
+    the band's share of the table, not the table's file count.
+    Returns the number of shard files written."""
+    manifest, v = _manifest_rows(spark, path, version)
+    rows = spark.createDataFrame(
+        [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
+        "file string, min_v bigint, max_v bigint, n_rows bigint",
+    )
+    shards_dir = f"{path}/_manifest_shards/v={v}"
+    (
+        rows.repartitionByRange(num_shards, "min_v")
+        .sortWithinPartitions("min_v")
+        .write.mode("errorifexists")
+        .parquet(shards_dir)
+    )
+    listing = (
+        spark.read.parquet(shards_dir)
+        .select(
+            F.input_file_name().alias("shard_file"),
+            "min_v",
+            "max_v",
+            "n_rows",
+        )
+        .groupBy("shard_file")
+        .agg(
+            F.min("min_v").alias("shard_min"),
+            F.max("max_v").alias("shard_max"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    listing.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest_list/v={v}"
+    )
+    return spark.read.parquet(f"{path}/_manifest_list/v={v}").count()
+
+
+def _list_rows(spark: SparkSession, path: str, version: int | None):
+    lst = spark.read.parquet(f"{path}/_manifest_list")
+    v = version if version is not None else versions(spark, path)[-1]
+    return [r for r in lst.collect() if int(r["v"]) == v], v
+
+
+def read_pruned_two_tier(
+    spark: SparkSession,
+    path: str,
+    sort_col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Band read planned through the manifest LIST: collect the list
+    (O(shards) rows), open ONLY the manifest shards whose aggregate
+    interval overlaps [lo, hi], prune data files from those shards'
+    rows, then read the surviving data files with the band re-applied
+    as a residual filter (and tombstones honored, like ``read_pruned``).
+    Shards — and therefore the file-level metadata of everything
+    outside the band — are never opened. Conservative-correct: a data
+    file overlapping the band forces its shard's aggregate bounds to
+    overlap too, so shard pruning can skip only shards with no
+    qualifying file."""
+    listing, v = _list_rows(spark, path, version)
+    shard_files = [
+        r["shard_file"]
+        for r in listing
+        if not (r["shard_max"] < lo or r["shard_min"] > hi)
+    ]
+    band = (F.col(sort_col) >= F.lit(lo)) & (F.col(sort_col) <= F.lit(hi))
+    if not shard_files:
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+    manifest = spark.read.parquet(*shard_files).collect()
+    keep = [
+        r["file"]
+        for r in manifest
+        if not (r["max_v"] < lo or r["min_v"] > hi)
+    ]
+    if not keep:
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+    out = spark.read.parquet(*keep).filter(band)
+    dels = _delete_keys(
+        spark, path, v, min_origin=min(_file_origin(f) for f in keep)
+    )
+    if dels is not None:
+        out = _apply_tombstones(out, dels, sort_col)
+    return out
+
+
+def pruned_shard_count(
+    spark: SparkSession,
+    path: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(manifest shards opened, shards total) for a band — the
+    second-tier skipping evidence, parallel to ``pruned_file_count``."""
+    listing, _ = _list_rows(spark, path, version)
+    kept = sum(
+        1
+        for r in listing
+        if not (r["shard_max"] < lo or r["shard_min"] > hi)
+    )
+    return kept, len(listing)
 
 
 def _file_origin(file: str) -> int:

@@ -149,6 +149,10 @@ from . import stats  # noqa: E402,F401
 # (d) rule 4 — no slots this round (rule 1 fills 49 of 49 non-flagship
 #     slots). Round-9 rule 4 order: the round-7 carryover above, then
 #     oldest-evidence family-balanced.
+#
+# Round-9 rule 1 (registered AFTER the round-8 window sealed, driver row
+# pending; local parity green via tests/test_oracle_parity.py):
+# manifest_two_tier_scan (manifest-of-manifests tier, this round).
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

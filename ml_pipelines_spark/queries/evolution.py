@@ -260,6 +260,66 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Manifest-of-manifests (Iceberg manifest-list) tier under the oracle
+# gate: the same orders projection is written as 64 range-laid files,
+# the manifest itself is sharded into 8 range shards with a per-shard
+# bounds list, and a narrow price band is planned by opening ONLY the
+# overlapping manifest shards (pruned_shard_count proves shards were
+# skipped in tests/test_manifest.py) before pruning data files. The
+# oracle computes the band aggregate straight from the source table —
+# two tiers of metadata pruning must be invisible in the values.
+# ---------------------------------------------------------------------------
+_2T_LO, _2T_HI = 2_000_00, 8_000_00  # $2,000 .. $8,000 in cents
+_MANIFEST2_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _manifest_two_tier_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import build_manifest_list, write_manifest_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MANIFEST2_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="manifest2_orders_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        write_manifest_table(orders, out_dir, "price_cents", num_files=64)
+        build_manifest_list(spark, out_dir, num_shards=8)
+        _MANIFEST2_DIRS[key] = out_dir
+    return _MANIFEST2_DIRS[key]
+
+
+@query(
+    "manifest_two_tier_scan",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS band_revenue
+    FROM orders
+    WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+          BETWEEN {_2T_LO} AND {_2T_HI}
+    GROUP BY o_orderstatus
+    """,
+)
+def manifest_two_tier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_pruned_two_tier
+
+    path = _manifest_two_tier_dir(spark, sf_dir)
+    band = read_pruned_two_tier(
+        spark, path, "price_cents", _2T_LO, _2T_HI
+    )
+    return band.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price_cents").cast("long") / 100.0).alias("band_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Table-format lifecycle under the oracle gate: v1 = full snapshot of
 # the orders projection, v2 = copy-on-write MERGE (price bump on
 # o_orderkey%13=0 — overlapping files rewritten, rest carried), v3 =

@@ -325,3 +325,70 @@ def test_tombstones_are_version_scoped_to_older_data(spark):
         assert _delete_keys(spark, d, v6, min_origin=v6) is None
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_list_two_tier_prunes_shards(spark):
+    """Second tier: a narrow band opens only the manifest SHARDS whose
+    aggregate bounds overlap — metadata for the rest of the table is
+    never read — and the result still equals the unpruned filter."""
+    from ml_pipelines_spark.operators.manifest import (
+        build_manifest_list,
+        pruned_shard_count,
+        read_pruned_two_tier,
+    )
+
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 40000).alias("x")
+    )
+    d = tempfile.mkdtemp(prefix="mlps_manifest_2t_")
+    try:
+        assert write_manifest_table(df, d, "k", num_files=64) == 1
+        n_shards = build_manifest_list(spark, d, num_shards=8)
+        assert n_shards == 8
+        lo, hi = 5000, 9000
+        s_kept, s_total = pruned_shard_count(spark, d, lo, hi)
+        assert s_total == 8
+        # a 10% band over a range-sharded manifest: most shards skipped
+        assert s_kept <= 3, f"shard pruning ineffective: {s_kept}/{s_total}"
+        got = sorted(
+            r.k
+            for r in read_pruned_two_tier(spark, d, "k", lo, hi).collect()
+        )
+        assert got == list(range(lo, hi + 1))
+        # two-tier result == one-tier result == plain filter
+        one = sorted(r.k for r in read_pruned(spark, d, "k", lo, hi).collect())
+        assert got == one
+        # empty band outside the domain: zero shards opened
+        assert pruned_shard_count(spark, d, 10**9, 2 * 10**9)[0] == 0
+        empty = read_pruned_two_tier(spark, d, "k", 10**9, 2 * 10**9)
+        assert empty.count() == 0
+        assert empty.columns == ["k", "x"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_list_honors_tombstones(spark):
+    """The two-tier read path applies MoR tombstones exactly like the
+    one-tier path: deleted keys inside the band are absent."""
+    from ml_pipelines_spark.operators.manifest import (
+        build_manifest_list,
+        delete_from_snapshot,
+        read_pruned_two_tier,
+    )
+
+    df = spark.range(0, 8000).select(F.col("id").alias("k"))
+    d = tempfile.mkdtemp(prefix="mlps_manifest_2t_del_")
+    try:
+        write_manifest_table(df, d, "k", num_files=16)
+        dels = spark.range(1000, 1100).select(F.col("id").alias("k"))
+        v2 = delete_from_snapshot(spark, d, "k", dels)
+        build_manifest_list(spark, d, version=v2, num_shards=4)
+        got = sorted(
+            r.k
+            for r in read_pruned_two_tier(
+                spark, d, "k", 900, 1200, version=v2
+            ).collect()
+        )
+        assert got == list(range(900, 1000)) + list(range(1100, 1201))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
