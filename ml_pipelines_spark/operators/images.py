@@ -7,12 +7,15 @@ operation runs as an Arrow-batched ``mapInPandas`` over those columns, so
 the plumbing (schema, batching, partitioning) is exactly what a 100 TB
 multimodal pipeline needs.
 
-Codec strategy: this container has no PIL/libjpeg, so pixel work runs on
+Codec strategy: PIL is preferred when installed; without it (this
+container) real JPEG bytes are handled by the pure-numpy baseline codec
+in ``jpegmini.py`` (4:4:4/grayscale sequential, EXIF orientation), and
 the deterministic **FIMG fake codec** below (magic ``FIMG`` + u16 dims +
-channels + EXIF-style orientation + raw payload). Real JPEG/PNG bytes are
-detected and rejected with a clearly-marked ``NotImplementedError`` —
-swapping ``decode_image``/``encode_image`` for PIL-backed versions is the
-only change needed in production; every Spark-side signature stays put.
+channels + EXIF-style orientation + raw payload) remains the fast
+oracle-checked test carrier. Only PNG and exotic JPEG variants
+(progressive, subsampled) still require PIL and raise a clearly-marked
+``NotImplementedError``; every Spark-side signature stays put across
+backends.
 
 Reference behaviors re-expressed:
 - EXIF-orientation normalize + re-encode  CvatApi.py:223-239 (G7/S13)
@@ -77,9 +80,17 @@ def encode_image(
             np.uint8
         ).tobytes()
     if not HAS_PIL:
+        if fmt == "jpeg":
+            from .jpegmini import encode_baseline_jpeg
+
+            return encode_baseline_jpeg(
+                pixels[:, :, 0] if c == 1 else pixels,
+                orientation=orientation,
+            )
         raise NotImplementedError(
             f"STUB: encoding {fmt!r} requires PIL, which is not installed "
-            "in this container. FIMG is the available fallback."
+            "in this container. JPEG (jpegmini baseline codec) and FIMG "
+            "are the available fallbacks."
         )
     import io
 
@@ -109,10 +120,18 @@ def decode_image(data: bytes) -> tuple[np.ndarray, int]:
                 if px.ndim == 2:
                     px = px[:, :, None]
                 return px.copy(), orientation
+            if head[:3] == b"\xff\xd8\xff":
+                # no PIL: the pure-numpy baseline codec decodes real
+                # JPEG bytes (4:4:4/grayscale sequential; EXIF
+                # orientation) — progressive/subsampled raise there.
+                from .jpegmini import decode_baseline_jpeg
+
+                return decode_baseline_jpeg(bytes(data))
             raise NotImplementedError(
-                "STUB: real JPEG/PNG decode requires PIL/libjpeg, which is "
-                "not installed in this container. Swap decode_image/"
-                "encode_image for PIL-backed versions in production."
+                "STUB: PNG decode requires PIL, which is not installed "
+                "in this container. JPEG decodes via the jpegmini "
+                "baseline codec; swap in PIL-backed versions for full "
+                "format coverage in production."
             )
         raise ValueError("not a FIMG image")
     _, w, h, c, orientation = _HEADER.unpack(bytes(data[: _HEADER.size]))

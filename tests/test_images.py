@@ -43,9 +43,24 @@ class TestCodec:
         assert orientation == 6
         assert np.array_equal(out, px)
 
-    def test_real_jpeg_is_clearly_stubbed(self):
-        with pytest.raises(NotImplementedError, match="STUB"):
+    def test_real_jpeg_decodes_and_png_is_clearly_stubbed(self):
+        # real JPEG bytes decode (PIL when installed, jpegmini baseline
+        # codec otherwise); truncated JPEG garbage is a hard error, and
+        # PNG without PIL is the remaining documented stub.
+        from ml_pipelines_spark.operators.jpegmini import (
+            encode_baseline_jpeg,
+        )
+
+        px = synth_pixels(9, 7, 1, seed=2)[:, :, 0]
+        out, orientation = decode_image(encode_baseline_jpeg(px))
+        assert orientation == 1 and out.shape == (7, 9, 1)
+        with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        from ml_pipelines_spark.operators.images import HAS_PIL
+
+        if not HAS_PIL:
+            with pytest.raises(NotImplementedError, match="STUB"):
+                decode_image(b"\x89PNG" + b"\x00" * 32)
 
     def test_garbage_rejected(self):
         with pytest.raises(ValueError):
@@ -194,10 +209,15 @@ def test_real_codec_seam():
         synth_pixels,
     )
 
-    jpeg_head = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     if not HAS_PIL:
-        with pytest.raises(NotImplementedError):
-            decode_image(jpeg_head)
+        # real JPEG bytes decode without PIL via the jpegmini baseline
+        # codec; PNG remains PIL-only and raises the documented stub.
+        px = synth_pixels(12, 8, channels=1)
+        data = encode_image(px, orientation=6, fmt="jpeg")
+        assert bytes(data[:3]) == b"\xff\xd8\xff"
+        out, orientation = decode_image(data)
+        assert orientation == 6
+        assert out.shape == px.shape
         with pytest.raises(NotImplementedError):
             encode_image(synth_pixels(4, 4), fmt="png")
         return
