@@ -420,7 +420,18 @@ def main() -> None:
 
     from ml_pipelines_spark.queries import QUERIES
 
+    # Optional subset (comma-separated names): scale-contract runs time
+    # a handful of superlinear-risk queries at a generated scale factor
+    # without paying for the whole headline suite (BASELINE.md "Scale
+    # stress"). Headline records (sf0.1, no env var) are unaffected.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
     names = [n for n in HEADLINE if n in QUERIES]
+    if subset:
+        wanted = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = wanted
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
@@ -442,7 +453,7 @@ def main() -> None:
         # swap_cache), so accumulation is capped without it.
 
     latency: dict[str, float] = {}
-    for name in LATENCY_BOUND:
+    for name in LATENCY_BOUND if not subset else []:
         if name not in QUERIES:
             continue
         t0 = time.perf_counter()
@@ -465,6 +476,9 @@ def main() -> None:
     full_name = (
         "BENCH_FULL.json" if sf == 0.1 else f"BENCH_FULL_sf{sf}.json"
     )
+    if subset:
+        # a subset run must never clobber a full record
+        full_name = f"BENCH_SUBSET_sf{sf}.json"
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name),
         "w",
