@@ -97,9 +97,15 @@ def write_manifest_table(
 
 
 def _manifest_rows(spark: SparkSession, path: str, version: int | None):
-    mf = spark.read.parquet(f"{path}/_manifest")
-    v = version if version is not None else versions(spark, path)[-1]
-    return [r for r in mf.collect() if int(r["v"]) == v], v
+    rows = spark.read.parquet(f"{path}/_manifest").collect()
+    vs = sorted({int(r["v"]) for r in rows})
+    v = version if version is not None else vs[-1]
+    if v not in vs:
+        # expired by ``expire_snapshots`` or never written — an error
+        # beats silently returning an empty frame for a version the
+        # caller believes exists
+        raise ValueError(f"no snapshot v={v} at {path}")
+    return [r for r in rows if int(r["v"]) == v], v
 
 
 def read_pruned(
@@ -504,6 +510,176 @@ def pruned_shard_count(
     return kept, len(listing)
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution — metadata-only ADD/RENAME/DROP COLUMN, the Delta/
+# Iceberg ALTER TABLE shape. Each schema change appends a new version
+# that carries the previous manifest verbatim (zero data files touched)
+# and records one EVENT row under ``_schema_events``; readers replay,
+# per file-origin group, exactly the events issued AFTER that origin
+# (events at or before a file's origin are already baked into its
+# physical schema, because writers always write the current logical
+# schema). At 100 TB this is the only viable ALTER: rewriting data for
+# a column add would cost the table; replaying a handful of events at
+# plan time costs nothing.
+# ---------------------------------------------------------------------------
+def _schema_events(spark: SparkSession, path: str, version: int):
+    """Schema events visible at ``version``, ascending by version —
+    restore-aware: events shadowed by a RESTORE (see
+    ``_visible_intervals``) are invisible, so restoring to a
+    pre-rename version really shows the old schema."""
+    try:
+        ev = spark.read.parquet(f"{path}/_schema_events")
+    except Exception:
+        return []
+    vis = _visible_intervals(spark, path, version)
+    rows = [
+        r
+        for r in ev.collect()
+        if any(lo < int(r["v"]) <= hi for lo, hi in vis)
+    ]
+    return sorted(rows, key=lambda r: int(r["v"]))
+
+
+def _append_schema_event(
+    spark: SparkSession, path: str, kind: str, **fields
+) -> int:
+    manifest, prev = _manifest_rows(spark, path, None)
+    version = prev + 1
+    row = {
+        "v": version,
+        "kind": kind,
+        "name": fields.get("name"),
+        "old_name": fields.get("old_name"),
+        "dtype": fields.get("dtype"),
+        "default_sql": fields.get("default_sql"),
+    }
+    spark.createDataFrame(
+        [tuple(row.values())],
+        "v bigint, kind string, name string, old_name string, "
+        "dtype string, default_sql string",
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_schema_events")
+    carried = spark.createDataFrame(
+        [
+            (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+            for r in manifest
+        ],
+        "file string, min_v bigint, max_v bigint, n_rows bigint",
+    )
+    carried.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    return version
+
+
+def add_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    dtype: str,
+    default_sql: str | None = None,
+) -> int:
+    """ALTER TABLE ADD COLUMN, metadata-only: rows in files older than
+    this version read as ``default_sql`` (a SQL literal/expression) or
+    NULL; files written afterwards carry the column physically.
+    Returns the new version."""
+    return _append_schema_event(
+        spark, path, "add", name=name, dtype=dtype, default_sql=default_sql
+    )
+
+
+def rename_column(
+    spark: SparkSession, path: str, old_name: str, new_name: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN, metadata-only: older files keep the
+    old physical name and readers alias it at plan time. Returns the
+    new version."""
+    return _append_schema_event(
+        spark, path, "rename", name=new_name, old_name=old_name
+    )
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN, metadata-only: the column stays in old
+    files' bytes but no reader of this or a later version sees it.
+    Returns the new version."""
+    return _append_schema_event(spark, path, "drop", name=name)
+
+
+def _replay_events(df: DataFrame, events, origin: int) -> DataFrame:
+    """Apply the schema events issued after ``origin`` to a frame read
+    from files of that origin."""
+    for r in events:
+        if int(r["v"]) <= origin:
+            continue  # baked into the physical schema already
+        if r["kind"] == "add":
+            col = (
+                F.expr(r["default_sql"]).cast(r["dtype"])
+                if r["default_sql"] is not None
+                else F.lit(None).cast(r["dtype"])
+            )
+            df = df.withColumn(r["name"], col)
+        elif r["kind"] == "rename":
+            df = df.withColumnRenamed(r["old_name"], r["name"])
+        elif r["kind"] == "drop":
+            df = df.drop(r["name"])
+    return df
+
+
+def _current_key_name(events, key: str, from_version: int) -> str:
+    """Forward-map a column name through renames issued after
+    ``from_version`` (tombstones store the key under its name at
+    delete time)."""
+    for r in events:
+        if (
+            int(r["v"]) > from_version
+            and r["kind"] == "rename"
+            and r["old_name"] == key
+        ):
+            key = r["name"]
+    return key
+
+
+def read_snapshot_evolved(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Full snapshot read honoring the schema-event log: files are
+    grouped by origin version, each group replays the events issued
+    after its origin (adds fill defaults, renames alias, drops prune),
+    and the groups union by name. Tombstone keys are forward-mapped
+    through renames issued after the delete. Without a ``_schema_events``
+    log this equals ``read_snapshot``."""
+    manifest, v = _manifest_rows(spark, path, version)
+    files = [r["file"] for r in manifest]
+    if not files:
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+    events = _schema_events(spark, path, v)
+    by_origin: dict[int, list[str]] = {}
+    for f in files:
+        by_origin.setdefault(_file_origin(f), []).append(f)
+    parts = [
+        _replay_events(spark.read.parquet(*grp), events, origin)
+        for origin, grp in sorted(by_origin.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    dels = _delete_keys(
+        spark, path, v, min_origin=min(by_origin)
+    )
+    if dels is not None:
+        key = [c for c in dels.columns if c != "v"][0]
+        # the read-side frame knows the key by its CURRENT name; split
+        # tombstones by delete version so each batch maps through only
+        # the renames issued after it
+        for dv in sorted({int(r["v"]) for r in dels.select("v").collect()}):
+            batch = dels.filter(F.col("v") == dv)
+            cur = _current_key_name(events, key, dv)
+            out = _apply_tombstones(
+                out, batch.withColumnRenamed(key, cur), cur
+            )
+    return out
+
+
 def _file_origin(file: str) -> int:
     """Version whose write created ``file`` — the last ``v=N`` path
     segment. Every writer here lands data under ``<path>/v=N/``, so the
@@ -526,12 +702,20 @@ def _delete_keys(
     with ``v <= min_origin`` match nothing and are pruned here; after a
     compaction (all origins = compacted version) that prunes EVERY
     older tombstone, which is how compaction clears delete debt without
-    mutating ``_deletes``."""
+    mutating ``_deletes``. Restore-aware: tombstones issued inside an
+    interval shadowed by a RESTORE (see ``_visible_intervals``) are
+    invisible, so restoring to a pre-delete version resurrects the
+    rows — and a fresh delete after the restore applies again."""
     try:
         dels = spark.read.parquet(f"{path}/_deletes")
     except Exception:
         return None
-    dels = dels.filter(F.col("v") <= version)
+    vis = _visible_intervals(spark, path, version)
+    cond = None
+    for lo, hi in vis:
+        c = (F.col("v") > lo) & (F.col("v") <= hi)
+        cond = c if cond is None else (cond | c)
+    dels = dels.filter(cond if cond is not None else F.lit(False))
     if min_origin is not None:
         dels = dels.filter(F.col("v") > min_origin)
     return dels if dels.limit(1).count() else None
@@ -602,3 +786,307 @@ def delete_from_snapshot(
         f"{path}/_manifest/v={version}"
     )
     return version
+
+
+# ---------------------------------------------------------------------------
+# RESTORE / EXPIRE / WRITE-AUDIT-PUBLISH — the table-maintenance trio
+# that completes the lifecycle (Delta RESTORE + VACUUM, Iceberg
+# expire_snapshots, the WAP staging pattern). All three are
+# metadata-first: RESTORE copies one manifest (zero data reads/writes),
+# EXPIRE plans deletions from manifests alone and touches only
+# unreferenced bytes, and a staged snapshot becomes visible by a single
+# metadata rename. At 100 TB that is the difference between an O(table)
+# operation and an O(metadata) one.
+# ---------------------------------------------------------------------------
+def _restore_map(spark: SparkSession, path: str) -> dict[int, int]:
+    """{restore version -> restored-from version}, empty if none."""
+    try:
+        rows = spark.read.parquet(f"{path}/_restores").collect()
+    except Exception:
+        return {}
+    return {int(r["v"]): int(r["source_v"]) for r in rows}
+
+
+def _visible_intervals(
+    spark: SparkSession, path: str, version: int
+) -> list[tuple[int, int]]:
+    """Half-open ``(lo, hi]`` version intervals whose metadata events
+    (tombstones, schema events) a reader of ``version`` sees. Without
+    restores this is ``[(0, version)]``. A restore at R from S makes
+    the table state at R EQUAL the state at S, so metadata issued in
+    ``(S, R]`` is shadowed — recursively, since S may itself sit above
+    an older restore. Events issued after R apply normally."""
+    rmap = _restore_map(spark, path)
+    intervals: list[tuple[int, int]] = []
+    hi = version
+    while hi > 0:
+        cand = [rv for rv in rmap if rv <= hi]
+        if not cand:
+            intervals.append((0, hi))
+            break
+        r = max(cand)
+        if r < hi:
+            intervals.append((r, hi))
+        hi = rmap[r]  # strictly < r (enforced by restore_snapshot)
+    return intervals
+
+
+def restore_snapshot(
+    spark: SparkSession, path: str, source_version: int
+) -> int:
+    """Delta-style RESTORE: append a new version whose manifest is the
+    ``source_version`` manifest VERBATIM — zero data files read or
+    written — and record the restore so tombstones and schema events
+    issued after the source version stop applying (state at the new
+    version equals state at the source, exactly). History stays intact:
+    every intermediate version still time-travels, and new writes /
+    deletes / ALTERs after the restore apply normally. Returns the new
+    version."""
+    manifest, _ = _manifest_rows(spark, path, source_version)
+    latest = versions(spark, path)[-1]
+    if not manifest:
+        raise ValueError(f"no snapshot v={source_version} to restore to")
+    if source_version >= latest:
+        raise ValueError("restore target must be an earlier version")
+    version = latest + 1
+    spark.createDataFrame(
+        [(version, source_version)], "v bigint, source_v bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_restores")
+    carried = spark.createDataFrame(
+        [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
+        "file string, min_v bigint, max_v bigint, n_rows bigint",
+    )
+    carried.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    return version
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — works for local paths, file://
+    and any configured remote scheme (the scale-correct deletion API;
+    never shell out or assume a local mount)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _norm_uri(u: str) -> str:
+    """Scheme-insensitive file identity (input_file_name yields
+    file:///a/b, Hadoop Path prints file:/a/b — same file)."""
+    from urllib.parse import urlparse
+
+    p = urlparse(u)
+    return p.path if p.scheme else u
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> tuple[int, int]:
+    """Iceberg ``expire_snapshots`` / Delta VACUUM: keep the newest
+    ``keep_last`` versions, drop every older version's manifest (ending
+    its time travel), and physically delete the data files no retained
+    manifest references. Files carried forward by metadata-only appends
+    / ALTERs / restores survive even though they live under an expired
+    version's directory — reference-counting is BY MANIFEST, never by
+    directory age. Tombstone sidecars whose version no retained reader
+    can observe an effect from (every retained manifest's files are all
+    newer) are purged too, bounding the delete-debt metadata.
+
+    Planning is manifest-only (O(retained files) driver rows, the same
+    bound as a read); deletion I/O is proportional to the bytes
+    reclaimed. Returns ``(versions_expired, data_files_deleted)``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    all_vs = versions(spark, path)
+    retained = all_vs[-keep_last:]
+    expired = [v for v in all_vs if v not in retained]
+    if not expired:
+        return (0, 0)
+    referenced: set[str] = set()
+    min_origin: dict[int, int] = {}
+    for v in retained:
+        manifest, _ = _manifest_rows(spark, path, v)
+        for r in manifest:
+            referenced.add(_norm_uri(r["file"]))
+        if manifest:
+            min_origin[v] = min(_file_origin(r["file"]) for r in manifest)
+    fs, jvm = _fs(spark, path)
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    latest = all_vs[-1]
+    # metadata trees: drop every non-retained version's entries (this
+    # run's expired set AND strays from earlier expire runs)
+    for sub in ("_manifest", "_manifest_shards", "_manifest_list"):
+        subroot = _p(f"{path}/{sub}")
+        if not fs.exists(subroot):
+            continue
+        for st in fs.listStatus(subroot):
+            name = st.getPath().getName()
+            if not name.startswith("v="):
+                continue
+            dv = int(name.split("=", 1)[1])
+            if dv <= latest and dv not in retained:
+                fs.delete(st.getPath(), True)
+    # data GC: scan EVERY v=* dir at the root (a dir whose manifest
+    # expired in an earlier run can still hold orphans) and delete the
+    # files no retained manifest references. Dirs numbered past the
+    # current latest belong to a pending staged snapshot — untouched.
+    files_deleted = 0
+    for st in fs.listStatus(_p(path)):
+        name = st.getPath().getName()
+        if not name.startswith("v=") or not st.isDirectory():
+            continue
+        dv = int(name.split("=", 1)[1])
+        if dv > latest:
+            continue  # pending WAP stage
+        keep_any = False
+        for fst in fs.listStatus(st.getPath()):
+            fp = fst.getPath().toString()
+            if not fp.endswith(".parquet"):
+                continue
+            if _norm_uri(fp) in referenced:
+                keep_any = True
+            else:
+                fs.delete(fst.getPath(), False)
+                files_deleted += 1
+        if not keep_any and dv not in retained:
+            fs.delete(st.getPath(), True)  # also clears _SUCCESS markers
+    # tombstone GC: version D is dead when every retained version either
+    # predates it or contains only files written at/after it
+    dels_root = _p(f"{path}/_deletes")
+    if fs.exists(dels_root):
+        for st in fs.listStatus(dels_root):
+            name = st.getPath().getName()
+            if not name.startswith("v="):
+                continue
+            d = int(name.split("=", 1)[1])
+            dead = all(
+                v < d or min_origin.get(v, d) >= d for v in retained
+            )
+            if dead:
+                fs.delete(st.getPath(), True)
+    return (len(expired), files_deleted)
+
+
+def stage_snapshot(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_files: int = 4,
+) -> int:
+    """WRITE step of write-audit-publish: write ``df``'s files and the
+    would-be manifest (prior manifest + new files, the append shape)
+    under ``_staged_manifest/`` — INVISIBLE to every reader, ``versions``
+    and time travel included. Audit the exact bytes with
+    ``read_staged``; make them live with ``publish_staged`` (one
+    metadata rename — the files never move or rewrite) or discard with
+    ``abort_staged``. Single-writer, like every writer here. Returns
+    the staged version number."""
+    spark = df.sparkSession
+    try:
+        prev = versions(spark, path)[-1]
+    except Exception:
+        prev = None
+    version = (prev or 0) + 1
+    data_dir = f"{path}/v={version}"
+    (
+        df.repartitionByRange(num_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("errorifexists")
+        .parquet(data_dir)
+    )
+    new_rows = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(sort_col).alias("v_"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    if prev is not None:
+        carried = (
+            spark.read.parquet(f"{path}/_manifest")
+            .filter(F.col("v") == prev)
+            .select("file", "min_v", "max_v", "n_rows")
+        )
+        new_rows = carried.unionByName(new_rows)
+    new_rows.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_staged_manifest/v={version}"
+    )
+    return version
+
+
+def read_staged(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame:
+    """AUDIT step: the exact table state ``publish_staged`` would make
+    live — the staged manifest's files with the table's current
+    tombstones applied. Quality gates run here; a failure costs an
+    abort, never a bad published version."""
+    manifest = [
+        r
+        for r in spark.read.parquet(f"{path}/_staged_manifest").collect()
+        if int(r["v"]) == version
+    ]
+    files = [r["file"] for r in manifest]
+    out = spark.read.parquet(*files)
+    dels = _delete_keys(
+        spark,
+        path,
+        version,
+        min_origin=min(_file_origin(f) for f in files),
+    )
+    if dels is not None:
+        key = [c for c in dels.columns if c != "v"][0]
+        out = _apply_tombstones(out, dels, key)
+    return out
+
+
+def publish_staged(spark: SparkSession, path: str, version: int) -> int:
+    """PUBLISH step: one atomic metadata rename
+    (``_staged_manifest/v=N`` -> ``_manifest/v=N``) makes the audited
+    snapshot the table's latest. Refuses if the table advanced past the
+    staged version while the audit ran (the audit would be stale) —
+    re-stage on top of the new latest instead."""
+    try:
+        latest = versions(spark, path)[-1]
+    except Exception:
+        latest = 0
+    if latest >= version:
+        raise ValueError(
+            f"table advanced to v{latest} >= staged v{version}; re-stage"
+        )
+    fs, jvm = _fs(spark, path)
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    src = _p(f"{path}/_staged_manifest/v={version}")
+    if not fs.exists(src):
+        raise ValueError(f"no staged snapshot v={version}")
+    fs.mkdirs(_p(f"{path}/_manifest"))
+    if not fs.rename(src, _p(f"{path}/_manifest/v={version}")):
+        raise IOError(f"publish rename failed for v={version}")
+    return version
+
+
+def abort_staged(spark: SparkSession, path: str, version: int) -> None:
+    """Discard a staged snapshot: delete its data directory and staged
+    manifest. Published versions are untouched (their files live under
+    other version directories or are referenced by ``_manifest``)."""
+    fs, jvm = _fs(spark, path)
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs.delete(_p(f"{path}/_staged_manifest/v={version}"), True)
+    fs.delete(_p(f"{path}/v={version}"), True)

@@ -152,7 +152,11 @@ from . import stats  # noqa: E402,F401
 #
 # Round-9 rule 1 (registered AFTER the round-8 window sealed, driver row
 # pending; local parity green via tests/test_oracle_parity.py):
-# manifest_two_tier_scan (manifest-of-manifests tier, this round).
+# manifest_two_tier_scan (manifest-of-manifests tier),
+# schema_evolution_orders (metadata-only ALTER TABLE lifecycle),
+# table_restore_orders (RESTORE with shadowed tombstones/events), and
+# table_expire_maintenance (WAP stage/audit/publish + expire_snapshots
+# GC) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -393,6 +393,92 @@ def table_format_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution under the oracle gate: v1 = orders snapshot
+# (o_orderkey, cents), v2 = metadata-only ADD COLUMN channel DEFAULT
+# 'store', v3 = append of NEW keys (offset) carrying channel='web'
+# physically, v4 = RENAME cents -> price_cents (old files keep the old
+# physical name; readers alias at plan time), v5 = MoR delete of
+# o_orderkey % 7 = 0. The query reads the LATEST version and
+# aggregates by channel over the renamed column; the oracle re-derives
+# the same final state declaratively from the source table — a miss in
+# default fill, alias mapping, per-origin replay, or tombstone scoping
+# breaks the hash. Per-op physical claims (zero files touched by
+# ALTERs, time travel to the pre-evolution schema, rename-crossing
+# tombstones) are pytest-asserted in tests/test_manifest.py.
+# ---------------------------------------------------------------------------
+_EVO_DIRS: dict[tuple[str, str], str] = {}
+_EVO_OFFSET = 3_000_000
+
+
+def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        add_column,
+        append_snapshot,
+        delete_from_snapshot,
+        rename_column,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVO_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="schema_evo_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(orders, out_dir, "o_orderkey", num_files=16)
+        add_column(spark, out_dir, "channel", "string", "'store'")
+        web = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            (F.col("o_orderkey") + _EVO_OFFSET).alias("o_orderkey"),
+            "cents",
+            F.lit("web").alias("channel"),
+        )
+        append_snapshot(web, out_dir, "o_orderkey", num_files=4)
+        rename_column(spark, out_dir, "cents", "price_cents")
+        dels = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey"
+        )
+        delete_from_snapshot(spark, out_dir, "o_orderkey", dels)
+        _EVO_DIRS[key] = out_dir
+    return _EVO_DIRS[key]
+
+
+@query(
+    "schema_evolution_orders",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT channel,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value
+    FROM (
+        SELECT 'store' AS channel, cents
+        FROM base WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT 'web' AS channel, cents
+        FROM base WHERE o_orderkey % 10 = 0
+    )
+    GROUP BY channel
+    """,
+)
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot_evolved
+
+    path = _schema_evolution_dir(spark, sf_dir)
+    latest = read_snapshot_evolved(spark, path)
+    return latest.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("price_cents").cast("long") / 100.0).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Change data feed between table versions: diff the lifecycle table's
 # v1 (initial write) against its latest (after the CoW merge and the
 # MoR delete) — the "what changed since I last read" API a downstream
@@ -445,4 +531,187 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             (F.sum("delta").cast("long") / 100.0).alias("value_delta"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RESTORE under the oracle gate: v1 = orders snapshot, v2 = CoW MERGE
+# (price bump on o_orderkey%11=0), v3 = MoR DELETE (%13=0), v4 =
+# RESTORE to v1 (metadata-only — the merge and the delete stop
+# applying), v5 = a FRESH MoR delete (%7=0) that must apply to the
+# restored state. The query reads the latest version; the oracle is the
+# ORIGINAL orders values minus the fresh delete — if the restore leaks
+# the v2 merge, fails to shadow the v3 tombstones, or the post-restore
+# delete misses, the hash breaks. Physical claims (no data reads or
+# writes during restore, intact history) are pytest-asserted in
+# tests/test_manifest.py.
+# ---------------------------------------------------------------------------
+_RESTORE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _table_restore_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        delete_from_snapshot,
+        merge_snapshot,
+        restore_snapshot,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RESTORE_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_restore_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(orders, out_dir, "o_orderkey", num_files=16)
+        updates = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "cents", F.col("cents") + 50000
+        )
+        merge_snapshot(spark, out_dir, "o_orderkey", updates, num_files=4)
+        delete_from_snapshot(
+            spark,
+            out_dir,
+            "o_orderkey",
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                "o_orderkey"
+            ),
+        )
+        restore_snapshot(spark, out_dir, 1)
+        delete_from_snapshot(
+            spark,
+            out_dir,
+            "o_orderkey",
+            orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        )
+        _RESTORE_DIRS[key] = out_dir
+    return _RESTORE_DIRS[key]
+
+
+@query(
+    "table_restore_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def table_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _table_restore_dir(spark, sf_dir)
+    latest = read_snapshot(spark, path)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXPIRE + WAP under the oracle gate: v1 = orders snapshot (16 small
+# files), v2 = staged-audited-published append of NEW keys (offset,
+# write-audit-publish — a staged-but-ABORTED bad batch must leave no
+# trace), v3 = compaction, then expire_snapshots(keep_last=1) physically
+# reclaims v1/v2's unreferenced bytes. The query reads the surviving
+# latest version; the oracle re-derives it from the source — a GC bug
+# that deletes a still-referenced file surfaces as missing rows, an
+# aborted stage that leaks surfaces as phantom rows. Physical claims
+# (files actually deleted, expired time travel raising) are
+# pytest-asserted in tests/test_manifest.py.
+# ---------------------------------------------------------------------------
+_EXPIRE_DIRS: dict[tuple[str, str], str] = {}
+_EXP_OFFSET = 4_000_000
+
+
+def _table_expire_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        abort_staged,
+        compact_snapshot,
+        expire_snapshots,
+        publish_staged,
+        read_staged,
+        stage_snapshot,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXPIRE_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_expire_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(orders, out_dir, "o_orderkey", num_files=16)
+        # a bad batch: staged, audited (negative prices), ABORTED
+        bad = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            (F.col("o_orderkey") + _EXP_OFFSET).alias("o_orderkey"),
+            "o_orderstatus",
+            (-F.col("cents")).alias("cents"),
+        )
+        sv = stage_snapshot(bad, out_dir, "o_orderkey", num_files=2)
+        audit_bad = read_staged(spark, out_dir, sv).filter(
+            F.col("cents") < 0
+        )
+        assert audit_bad.limit(1).count() > 0  # audit catches it
+        abort_staged(spark, out_dir, sv)
+        # the good batch: staged, audited, PUBLISHED
+        good = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            (F.col("o_orderkey") + _EXP_OFFSET).alias("o_orderkey"),
+            "o_orderstatus",
+            "cents",
+        )
+        sv = stage_snapshot(good, out_dir, "o_orderkey", num_files=2)
+        assert (
+            read_staged(spark, out_dir, sv)
+            .filter(F.col("cents") < 0)
+            .limit(1)
+            .count()
+            == 0
+        )
+        publish_staged(spark, out_dir, sv)
+        compact_snapshot(spark, out_dir, "o_orderkey", target_rows=200000)
+        expire_snapshots(spark, out_dir, keep_last=1)
+        _EXPIRE_DIRS[key] = out_dir
+    return _EXPIRE_DIRS[key]
+
+
+@query(
+    "table_expire_maintenance",
+    """
+    WITH base AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value
+    FROM base
+    GROUP BY o_orderstatus
+    """,
+)
+def table_expire_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _table_expire_dir(spark, sf_dir)
+    latest = read_snapshot(spark, path)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
     )

@@ -392,3 +392,267 @@ def test_manifest_list_honors_tombstones(spark):
         assert got == list(range(900, 1000)) + list(range(1100, 1201))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schema_evolution_add_rename_drop(spark):
+    """Metadata-only ALTER TABLE: add (with default), rename, drop —
+    zero data files touched; per-origin event replay; time travel
+    shows the pre-evolution schema."""
+    from ml_pipelines_spark.operators.manifest import (
+        add_column,
+        append_snapshot,
+        drop_column,
+        read_snapshot_evolved,
+        rename_column,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("cents")
+    )
+    d = tempfile.mkdtemp(prefix="mlps_manifest_evo_")
+    try:
+        write_manifest_table(df, d, "k", num_files=4)
+        import os
+
+        files_v1 = {
+            f for f in os.listdir(f"{d}/v=1") if f.endswith(".parquet")
+        }
+        v2 = add_column(spark, d, "channel", "string", "'store'")
+        # new files carry the column physically
+        batch = spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("cents"),
+            F.lit("web").alias("channel"),
+        )
+        append_snapshot(batch, d, "k", num_files=2)
+        rename_column(spark, d, "cents", "price_cents")
+        latest = read_snapshot_evolved(spark, d)
+        assert set(latest.columns) == {"k", "price_cents", "channel"}
+        rows = {r.k: (r.price_cents, r.channel) for r in latest.collect()}
+        assert len(rows) == 120
+        assert rows[5] == (10, "store")  # old rows read the default
+        assert rows[110] == (220, "web")  # new rows keep their value
+        # time travel to before the evolution: original schema
+        v1 = read_snapshot_evolved(spark, d, version=1)
+        assert set(v1.columns) == {"k", "cents"}
+        # add/rename touched zero v=1 data files
+        assert {
+            f for f in os.listdir(f"{d}/v=1") if f.endswith(".parquet")
+        } == files_v1
+        # drop is metadata-only too
+        drop_column(spark, d, "channel")
+        assert set(read_snapshot_evolved(spark, d).columns) == {
+            "k",
+            "price_cents",
+        }
+        # the evolved reader at v2 sees the add but not the rename
+        at_v2 = read_snapshot_evolved(spark, d, version=v2)
+        assert set(at_v2.columns) == {"k", "cents", "channel"}
+        assert all(r.channel == "store" for r in at_v2.collect())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schema_evolution_tombstones_across_rename(spark):
+    """A MoR delete issued under the OLD key name still applies after
+    the key column is renamed (tombstone keys forward-map through
+    renames issued after the delete)."""
+    from ml_pipelines_spark.operators.manifest import (
+        delete_from_snapshot,
+        read_snapshot_evolved,
+        rename_column,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    d = tempfile.mkdtemp(prefix="mlps_manifest_evo_del_")
+    try:
+        write_manifest_table(df, d, "k", num_files=4)
+        dels = spark.range(10, 15).select(F.col("id").alias("k"))
+        delete_from_snapshot(spark, d, "k", dels)
+        rename_column(spark, d, "k", "key_id")
+        got = sorted(r.key_id for r in read_snapshot_evolved(spark, d).collect())
+        assert got == [x for x in range(50) if not (10 <= x < 15)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_restore_snapshot_metadata_only(spark):
+    """RESTORE rolls the table state back to an earlier version without
+    reading or writing any data file; deletes and schema events issued
+    after the source version stop applying; post-restore writes and
+    deletes apply normally; full history still time-travels."""
+    import os
+
+    from ml_pipelines_spark.operators.manifest import (
+        delete_from_snapshot,
+        merge_snapshot,
+        read_snapshot,
+        restore_snapshot,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    d = tempfile.mkdtemp(prefix="mlps_manifest_restore_")
+    try:
+        write_manifest_table(df, d, "k", num_files=4)
+        dirs_before = sorted(
+            p for p in os.listdir(d) if p.startswith("v=")
+        )
+        # v2: upsert changes 50..59; v3: MoR delete 0..9
+        upd = spark.range(50, 60).select(
+            F.col("id").alias("k"), F.lit(-1).alias("val")
+        )
+        merge_snapshot(spark, d, "k", upd)
+        dels = spark.range(0, 10).select(F.col("id").alias("k"))
+        v3 = delete_from_snapshot(spark, d, "k", dels)
+        assert read_snapshot(spark, d, v3).count() == 90
+        # v4: restore to v1 — exact original state
+        v4 = restore_snapshot(spark, d, 1)
+        got = {r.k: r.val for r in read_snapshot(spark, d, v4).collect()}
+        assert got == {k: k * 10 for k in range(100)}
+        # metadata-only: no new data directory appeared for v4
+        assert sorted(
+            p
+            for p in os.listdir(d)
+            if p.startswith("v=") and p != "v=2"
+        ) == dirs_before
+        # intermediate history still time-travels
+        at_v2 = {r.k: r.val for r in read_snapshot(spark, d, 2).collect()}
+        assert at_v2[55] == -1 and len(at_v2) == 100
+        assert read_snapshot(spark, d, v3).count() == 90
+        # a FRESH delete after the restore applies
+        delete_from_snapshot(
+            spark, d, "k", spark.range(0, 5).select(F.col("id").alias("k"))
+        )
+        assert read_snapshot(spark, d).count() == 95
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_restore_shadows_schema_events(spark):
+    """Restoring to a pre-rename version shows the original schema;
+    ALTERs issued after the restore apply again."""
+    from ml_pipelines_spark.operators.manifest import (
+        add_column,
+        read_snapshot_evolved,
+        rename_column,
+        restore_snapshot,
+    )
+
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    d = tempfile.mkdtemp(prefix="mlps_manifest_restore_schema_")
+    try:
+        write_manifest_table(df, d, "k", num_files=2)
+        rename_column(spark, d, "k", "key_id")
+        assert set(read_snapshot_evolved(spark, d).columns) == {"key_id"}
+        restore_snapshot(spark, d, 1)
+        assert set(read_snapshot_evolved(spark, d).columns) == {"k"}
+        add_column(spark, d, "tag", "string", "'x'")
+        assert set(read_snapshot_evolved(spark, d).columns) == {"k", "tag"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_expire_snapshots_gc(spark):
+    """EXPIRE drops old manifests (ending their time travel), deletes
+    only UNREFERENCED data files (metadata-carried files survive), and
+    purges dead tombstone sidecars after compaction."""
+    import os
+
+    import pytest
+
+    from ml_pipelines_spark.operators.manifest import (
+        append_snapshot,
+        compact_snapshot,
+        delete_from_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        versions,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    d = tempfile.mkdtemp(prefix="mlps_manifest_expire_")
+    try:
+        write_manifest_table(df, d, "k", num_files=4)
+        batch = spark.range(100, 120).select(F.col("id").alias("k"))
+        append_snapshot(batch, d, "k", num_files=2)  # v2 carries v1 files
+        # expire keeping v2 only: v1's manifest goes but its FILES stay
+        # (v2's manifest references them)
+        n_exp, n_del = expire_snapshots(spark, d, keep_last=1)
+        assert (n_exp, n_del) == (1, 0)
+        assert versions(spark, d) == [2]
+        assert os.path.isdir(f"{d}/v=1")  # carried files survive
+        assert read_snapshot(spark, d).count() == 120
+        with pytest.raises(Exception):
+            read_snapshot(spark, d, 1).count()
+        # now delete + compact: compaction rewrites everything, so a
+        # second expire reclaims v1/v2 data files AND the tombstones
+        dels = spark.range(0, 10).select(F.col("id").alias("k"))
+        delete_from_snapshot(spark, d, "k", dels)  # v3
+        compact_snapshot(spark, d, "k", target_rows=60)  # v4
+        n_exp, n_del = expire_snapshots(spark, d, keep_last=1)
+        assert versions(spark, d) == [4]
+        assert n_exp == 2 and n_del > 0
+        assert not os.path.isdir(f"{d}/v=1")
+        assert not os.path.isdir(f"{d}/v=2")
+        assert not os.path.exists(f"{d}/_deletes/v=3")  # debt purged
+        got = sorted(r.k for r in read_snapshot(spark, d).collect())
+        assert got == list(range(10, 120))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_audit_publish(spark):
+    """Staged snapshots are invisible until published; a failed audit
+    aborts without a trace; publish is a metadata rename that refuses
+    stale stages."""
+    import os
+
+    import pytest
+
+    from ml_pipelines_spark.operators.manifest import (
+        abort_staged,
+        delete_from_snapshot,
+        publish_staged,
+        read_snapshot,
+        read_staged,
+        stage_snapshot,
+        versions,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    d = tempfile.mkdtemp(prefix="mlps_manifest_wap_")
+    try:
+        write_manifest_table(df, d, "k", num_files=2)
+        bad = spark.range(1000, 1020).select(F.col("id").alias("k"))
+        sv = stage_snapshot(bad, d, "k", num_files=1)
+        # invisible to readers
+        assert versions(spark, d) == [1]
+        assert read_snapshot(spark, d).count() == 50
+        # audit sees the would-be state
+        assert read_staged(spark, d, sv).count() == 70
+        # audit fails -> abort removes data + staged manifest
+        abort_staged(spark, d, sv)
+        assert not os.path.isdir(f"{d}/v={sv}")
+        assert versions(spark, d) == [1]
+        # stage again, audit passes, publish
+        good = spark.range(50, 70).select(F.col("id").alias("k"))
+        sv2 = stage_snapshot(good, d, "k", num_files=1)
+        assert publish_staged(spark, d, sv2) == sv2
+        assert versions(spark, d) == [1, sv2]
+        assert read_snapshot(spark, d).count() == 70
+        # stale stage: the table advances (here by a metadata-only
+        # delete that claims the version slot) while a stage is pending
+        sv3 = stage_snapshot(
+            spark.range(70, 80).select(F.col("id").alias("k")), d, "k", 1
+        )
+        delete_from_snapshot(
+            spark, d, "k", spark.range(0, 5).select(F.col("id").alias("k"))
+        )
+        with pytest.raises(ValueError):
+            publish_staged(spark, d, sv3)
+        abort_staged(spark, d, sv3)
+        assert read_snapshot(spark, d).count() == 65
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
