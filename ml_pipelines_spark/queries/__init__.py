@@ -45,6 +45,7 @@ from . import timeseries  # noqa: E402,F401
 from . import search  # noqa: E402,F401
 from . import recsys  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
+from . import journeys  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -154,9 +155,10 @@ from . import stats  # noqa: E402,F401
 # pending; local parity green via tests/test_oracle_parity.py):
 # manifest_two_tier_scan (manifest-of-manifests tier),
 # schema_evolution_orders (metadata-only ALTER TABLE lifecycle),
-# table_restore_orders (RESTORE with shadowed tombstones/events), and
+# table_restore_orders (RESTORE with shadowed tombstones/events),
 # table_expire_maintenance (WAP stage/audit/publish + expire_snapshots
-# GC) — all round-8 registrations.
+# GC), and sequence_match_funnel (MATCH_RECOGNIZE-style row patterns) —
+# all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
