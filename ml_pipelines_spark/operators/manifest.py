@@ -905,11 +905,13 @@ def expire_snapshots(
     if not expired:
         return (0, 0)
     referenced: set[str] = set()
+    referenced_raw: set[str] = set()
     min_origin: dict[int, int] = {}
     for v in retained:
         manifest, _ = _manifest_rows(spark, path, v)
         for r in manifest:
             referenced.add(_norm_uri(r["file"]))
+            referenced_raw.add(r["file"])
         if manifest:
             min_origin[v] = min(_file_origin(r["file"]) for r in manifest)
     fs, jvm = _fs(spark, path)
@@ -955,6 +957,23 @@ def expire_snapshots(
                 files_deleted += 1
         if not keep_any and dv not in retained:
             fs.delete(st.getPath(), True)  # also clears _SUCCESS markers
+    # sidecar GC: file-keyed stats/bloom rows (operators.filestats) for
+    # files no retained manifest references are dead — rewrite the
+    # (metadata-sized) sidecar keeping live rows, swap via rename
+    for sub in ("_filestats", "_filebloom"):
+        subroot = _p(f"{path}/{sub}")
+        if not fs.exists(subroot):
+            continue
+        ref_df = spark.createDataFrame(
+            [(f,) for f in sorted(referenced_raw)], "file string"
+        )
+        kept_rows = spark.read.parquet(f"{path}/{sub}").join(
+            ref_df, "file", "left_semi"
+        )
+        tmp = f"{path}/{sub}__gc_tmp"
+        kept_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(subroot, True)
+        fs.rename(_p(tmp), subroot)
     # tombstone GC: version D is dead when every retained version either
     # predates it or contains only files written at/after it
     dels_root = _p(f"{path}/_deletes")

@@ -157,8 +157,10 @@ from . import journeys  # noqa: E402,F401
 # schema_evolution_orders (metadata-only ALTER TABLE lifecycle),
 # table_restore_orders (RESTORE with shadowed tombstones/events),
 # table_expire_maintenance (WAP stage/audit/publish + expire_snapshots
-# GC), and sequence_match_funnel (MATCH_RECOGNIZE-style row patterns) —
-# all round-8 registrations.
+# GC), sequence_match_funnel (MATCH_RECOGNIZE-style row patterns),
+# manifest_stats_scan (secondary-column file skipping), and
+# manifest_bloom_lookup (per-file bloom point lookup) — all round-8
+# registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

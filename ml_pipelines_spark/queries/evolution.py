@@ -715,3 +715,141 @@ def table_expire_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("cents").cast("long") / 100.0).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Secondary-column file skipping under the oracle gate: the events
+# projection is range-laid on event_id; event time correlates with
+# event_id (ingest order), so per-file [min,max] stats on t_us
+# (operators/filestats.write_file_stats) prune a time-band read down to
+# the few files whose interval overlaps — pruning on a column the
+# manifest's sort key does NOT cover. The band is derived from the
+# table's own [min,max] span with integer arithmetic (identical on both
+# engines); the oracle recomputes the aggregate from the source table.
+# Physical skipping (kept << total) is pytest-asserted in
+# tests/test_filestats.py.
+# ---------------------------------------------------------------------------
+_FSTATS_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _filestats_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.filestats import write_file_stats
+    from ..operators.manifest import write_manifest_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FSTATS_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_fstats_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5)
+            .cast("long")
+            .alias("value_cents"),
+        )
+        write_manifest_table(ev, out_dir, "event_id", num_files=16)
+        write_file_stats(spark, out_dir, ["t_us"])
+        _FSTATS_DIRS[key] = out_dir
+    return _FSTATS_DIRS[key]
+
+
+@query(
+    "manifest_stats_scan",
+    """
+    WITH span AS (
+        SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+        FROM events
+    ), band AS (
+        SELECT mn + (mx - mn) // 5 AS lo,
+               mn + (3 * (mx - mn)) // 10 AS hi
+        FROM span
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS band_value
+    FROM events, band
+    WHERE epoch_us(ts) BETWEEN lo AND hi
+    GROUP BY event_type
+    """,
+)
+def manifest_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import read_pruned_stats
+
+    path = _filestats_dir(spark, sf_dir)
+    span = (
+        t(spark, sf_dir, "events")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+        .collect()[0]
+    )
+    mn, mx = int(span["mn"]), int(span["mx"])
+    lo = mn + (mx - mn) // 5
+    hi = mn + (3 * (mx - mn)) // 10
+    band = read_pruned_stats(spark, path, "t_us", lo, hi)
+    return band.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("value_cents").cast("long") / 100.0).alias("band_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom point-lookup under the oracle gate: orders are range-laid on
+# o_orderkey, then looked up by o_custkey — a column the layout
+# scatters, where range stats prune nothing. The per-file bloom sidecar
+# (operators/filestats.write_file_bloom) keeps only files whose bitmap
+# contains all k probe positions; the equality residual keeps it exact
+# (no false negatives by construction). The probe key is the table's
+# own MIN customer key, derived identically on both engines. Skipping
+# evidence is pytest-asserted on clustered synthetic data.
+# ---------------------------------------------------------------------------
+_FBLOOM_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _filebloom_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.filestats import write_file_bloom
+    from ..operators.manifest import write_manifest_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FBLOOM_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_fbloom_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(orders, out_dir, "o_orderkey", num_files=16)
+        write_file_bloom(spark, out_dir, "o_custkey")
+        _FBLOOM_DIRS[key] = out_dir
+    return _FBLOOM_DIRS[key]
+
+
+@query(
+    "manifest_bloom_lookup",
+    """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) / 100.0
+               AS order_value
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+)
+def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import point_lookup
+
+    path = _filebloom_dir(spark, sf_dir)
+    probe = (
+        t(spark, sf_dir, "orders")
+        .agg(F.min("o_custkey").alias("k"))
+        .collect()[0]["k"]
+    )
+    hits = point_lookup(spark, path, "o_custkey", int(probe))
+    return hits.select(
+        "o_orderkey", (F.col("cents").cast("long") / 100.0).alias("order_value")
+    )
