@@ -327,6 +327,18 @@ HEADLINE = [
     # change-data-feed between table versions; exact higher moments
     "table_change_feed",
     "moments_by_segment",
+    # round-8 table-lifecycle completion: metadata-only ALTERs, RESTORE,
+    # WAP stage/audit/publish + expire GC, secondary-column stats prune,
+    # per-file bloom point lookup — each timing includes its one-time
+    # table construction (write + maintenance ops), which IS the cost
+    # being measured for a lifecycle query
+    "schema_evolution_orders",
+    "table_restore_orders",
+    "table_expire_maintenance",
+    "manifest_stats_scan",
+    "manifest_bloom_lookup",
+    # MATCH_RECOGNIZE-style journey pattern matching over events
+    "sequence_match_funnel",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at
