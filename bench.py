@@ -337,6 +337,7 @@ HEADLINE = [
     "table_expire_maintenance",
     "manifest_stats_scan",
     "manifest_bloom_lookup",
+    "zorder_rectangle_scan",
     # MATCH_RECOGNIZE-style journey pattern matching over events
     "sequence_match_funnel",
     # NOT in the headline: stream_outer_join_replay and

@@ -369,3 +369,112 @@ def point_lookup_file_count(
     hit = {r["file"] for r in rows if r["hit"]}
     keep = sum(1 for f in files if f not in indexed or f in hit)
     return keep, len(files)
+
+
+def write_manifest_table_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 16,
+    bits: int = 8,
+) -> int:
+    """Append a snapshot clustered by the MORTON KEY of (col_a, col_b)
+    instead of a linear sort — each file then owns a small RECTANGLE of
+    (a, b) space, so per-file stats prune scans filtered on EITHER
+    column (a linearly-sorted table prunes only its sort column; the
+    other axis reads everything). The primary manifest zone map records
+    col_a's interval per file; ``write_file_stats`` records both axes,
+    and ``read_pruned_stats`` serves band reads on either. This is the
+    OPTIMIZE ZORDER BY shape for the manifest table — the layout for
+    tables queried along two axes (user x time, key x date) at 100 TB.
+    Returns the new version."""
+    from .layout import zorder_key
+    from .manifest import versions
+
+    spark = df.sparkSession
+    try:
+        version = versions(spark, path)[-1] + 1
+    except Exception:
+        version = 1
+    data_dir = f"{path}/v={version}"
+    z = df.withColumn("__z", zorder_key(df, col_a, col_b, bits))
+    (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("errorifexists")
+        .parquet(data_dir)
+    )
+    zone_map = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(col_a).alias("v_"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    zone_map.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={version}"
+    )
+    write_file_stats(spark, path, [col_a, col_b], version)
+    return version
+
+
+def read_pruned_rect(
+    spark: SparkSession,
+    path: str,
+    band_a: tuple[str, float, float],
+    band_b: tuple[str, float, float],
+    version: int | None = None,
+) -> DataFrame:
+    """Rectangle read: open only files whose recorded [min, max]
+    overlaps BOTH bands (the Z-order payoff — the keep set is the
+    intersection of the two axes' keep sets), both bands re-applied as
+    residual filters, tombstones honored."""
+    manifest, v = _manifest_rows(spark, path, version)
+    files = [r["file"] for r in manifest]
+    if not files:
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+    bounds: dict[tuple[str, str], tuple[float, float]] = {}
+    try:
+        for r in (
+            spark.read.parquet(f"{path}/_filestats")
+            .filter(F.col("col").isin([band_a[0], band_b[0]]))
+            .collect()
+        ):
+            bounds[(r["file"], r["col"])] = (r["min_d"], r["max_d"])
+    except Exception:
+        pass
+
+    def _ok(f: str, col: str, lo: float, hi: float) -> bool:
+        b = bounds.get((f, col))
+        return b is None or not (b[1] < float(lo) or b[0] > float(hi))
+
+    keep = [
+        f
+        for f in files
+        if _ok(f, *band_a) and _ok(f, *band_b)
+    ]
+    ca, cb = F.col(band_a[0]), F.col(band_b[0])
+    rect = (
+        (ca >= F.lit(band_a[1]))
+        & (ca <= F.lit(band_a[2]))
+        & (cb >= F.lit(band_b[1]))
+        & (cb <= F.lit(band_b[2]))
+    )
+    if not keep:
+        return spark.read.parquet(*files).filter(F.lit(False))
+    out = spark.read.parquet(*keep).filter(rect)
+    dels = _delete_keys(
+        spark, path, v, min_origin=min(_file_origin(f) for f in keep)
+    )
+    if dels is not None:
+        key = [c for c in dels.columns if c != "v"][0]
+        out = _apply_tombstones(out, dels, key)
+    return out

@@ -158,9 +158,10 @@ from . import journeys  # noqa: E402,F401
 # table_restore_orders (RESTORE with shadowed tombstones/events),
 # table_expire_maintenance (WAP stage/audit/publish + expire_snapshots
 # GC), sequence_match_funnel (MATCH_RECOGNIZE-style row patterns),
-# manifest_stats_scan (secondary-column file skipping), and
-# manifest_bloom_lookup (per-file bloom point lookup) — all round-8
-# registrations.
+# manifest_stats_scan (secondary-column file skipping),
+# manifest_bloom_lookup (per-file bloom point lookup), and
+# zorder_rectangle_scan (Morton-laid snapshot, two-axis intersection
+# prune) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -853,3 +853,93 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "o_orderkey", (F.col("cents").cast("long") / 100.0).alias("order_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered rectangle scan under the oracle gate: orders are laid out
+# by the MORTON KEY of (o_custkey, cents) — each file owns a small
+# rectangle of (customer, price) space, so the keep set for a
+# two-sided band is the INTERSECTION of both axes' file prunes
+# (operators/filestats.read_pruned_rect). A linear layout prunes one
+# axis and scans the other; Z-order is how two-axis workloads scale.
+# The rectangle is the lower 25% of each axis derived from the table's
+# own min/max spans with integer arithmetic (identical on both
+# engines); the oracle recomputes from the source. Two-axis pruning is
+# pytest-asserted on uniform synthetic data.
+# ---------------------------------------------------------------------------
+_ZORD_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _zorder_rect_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.filestats import write_manifest_table_zordered
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZORD_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_zorder_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table_zordered(
+            orders, out_dir, "o_custkey", "cents", num_files=16
+        )
+        _ZORD_DIRS[key] = out_dir
+    return _ZORD_DIRS[key]
+
+
+@query(
+    "zorder_rectangle_scan",
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), span AS (
+        SELECT MIN(o_custkey) AS ka, MAX(o_custkey) AS kb,
+               MIN(cents) AS ca, MAX(cents) AS cb
+        FROM src
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS rect_value,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM src, span
+    WHERE o_custkey BETWEEN ka AND ka + (kb - ka) // 4
+      AND cents BETWEEN ca AND ca + (cb - ca) // 4
+    """,
+)
+def zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import read_pruned_rect
+
+    path = _zorder_rect_dir(spark, sf_dir)
+    span = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(
+            F.min("o_custkey").alias("ka"),
+            F.max("o_custkey").alias("kb"),
+            F.min("cents").alias("ca"),
+            F.max("cents").alias("cb"),
+        )
+        .collect()[0]
+    )
+    ka, kb, ca, cb = (int(span[c]) for c in ("ka", "kb", "ca", "cb"))
+    rect = read_pruned_rect(
+        spark,
+        path,
+        ("o_custkey", ka, ka + (kb - ka) // 4),
+        ("cents", ca, ca + (cb - ca) // 4),
+    )
+    return rect.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("rect_value"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )

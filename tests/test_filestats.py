@@ -132,3 +132,34 @@ def test_expire_gc_sweeps_sidecars(spark):
         assert total == 2 and kept == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zordered_manifest_two_axis_prune(spark):
+    """A Z-ordered snapshot prunes band reads on BOTH axes; a linear
+    sort prunes only its sort column. Results stay exact either way."""
+    from ml_pipelines_spark.operators.filestats import (
+        write_manifest_table_zordered,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    d = tempfile.mkdtemp(prefix="mlps_zorder_manifest_")
+    try:
+        write_manifest_table_zordered(df, d, "a", "b", num_files=16, bits=6)
+        # ~12% band on each axis: a Z-layout keeps a minority of files
+        ka, total = pruned_stats_file_count(spark, d, "a", 0, 7)
+        kb, _ = pruned_stats_file_count(spark, d, "b", 0, 7)
+        assert total == 16 and ka <= 8 and kb <= 8
+        got_a = sorted(
+            r.payload for r in read_pruned_stats(spark, d, "a", 0, 7).collect()
+        )
+        assert got_a == sorted(i for i in range(4096) if i % 64 <= 7)
+        got_b = sorted(
+            r.payload for r in read_pruned_stats(spark, d, "b", 0, 7).collect()
+        )
+        assert got_b == list(range(0, 8 * 64))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
