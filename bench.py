@@ -340,6 +340,16 @@ HEADLINE = [
     "zorder_rectangle_scan",
     # MATCH_RECOGNIZE-style journey pattern matching over events
     "sequence_match_funnel",
+    # partition-spec evolution scan (per-file tuples, per-spec pruning;
+    # timing includes the two-spec table construction it measures)
+    "partition_spec_evolution_scan",
+    # GDPR erasure cascade (three-table MoR tombstone deletes + orphan
+    # audit; construction cost IS the measured lifecycle)
+    "gdpr_erasure_audit",
+    # optimistic-concurrency branch publish (stage x3, validate, rebase)
+    "wap_branch_publish_audit",
+    # lossless ORC round-trip with portable row checksum
+    "orc_roundtrip_docs",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -1109,3 +1109,137 @@ def abort_staged(spark: SparkSession, path: str, version: int) -> None:
 
     fs.delete(_p(f"{path}/_staged_manifest/v={version}"), True)
     fs.delete(_p(f"{path}/v={version}"), True)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency — named append branches with conflict
+# validation. ``stage_snapshot`` is single-writer by construction (its
+# data dir is the next version number, so two concurrent stagers
+# collide on the filesystem). Branches remove that limit the way
+# Iceberg/Delta do: each writer stages files under its OWN name
+# against the base version it read, and commit-time validation decides
+# — if the table advanced while the branch was open, the branch
+# publishes anyway IFF its new files' key intervals are disjoint from
+# every file committed after its base (a pure append rebase: one
+# directory rename, zero data rewritten); an interval overlap is a
+# real write-write conflict and the branch is refused. This is the
+# serializable-append subset of Iceberg's commit validation: appends
+# to disjoint key ranges commute, overlapping ones do not.
+# ---------------------------------------------------------------------------
+def stage_branch(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    branch: str,
+    num_files: int = 4,
+) -> int:
+    """Stage ``df`` as append branch ``branch`` against the table's
+    CURRENT latest version (the branch's base). Invisible to every
+    reader until ``publish_branch``. Returns the base version."""
+    spark = df.sparkSession
+    try:
+        base = versions(spark, path)[-1]
+    except Exception:
+        base = 0
+    data_dir = f"{path}/_branches/{branch}/data"
+    (
+        df.repartitionByRange(num_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("errorifexists")
+        .parquet(data_dir)
+    )
+    rows = (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(sort_col).alias("v_"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("base_v", F.lit(base))
+    )
+    rows.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_branches/{branch}/manifest"
+    )
+    return base
+
+
+def publish_branch(
+    spark: SparkSession, path: str, branch: str
+) -> tuple[int | None, str]:
+    """Commit-time validation + publish for an append branch.
+
+    Returns ``(new_version, "published")`` when the table never moved,
+    ``(new_version, "rebased")`` when it advanced but every interloping
+    file's [min,max] key interval is disjoint from the branch's files
+    (the append commutes — data dir renamed into place, manifest merged
+    on top of the REAL latest), and ``(None, "conflict")`` when an
+    interval overlaps (the branch stays staged for abort/retry)."""
+    staged = spark.read.parquet(
+        f"{path}/_branches/{branch}/manifest"
+    ).collect()
+    base = int(staged[0]["base_v"])
+    try:
+        latest = versions(spark, path)[-1]
+    except Exception:
+        latest = 0
+    status = "published"
+    if latest > base:
+        current, _ = _manifest_rows(spark, path, latest)
+        interlopers = [
+            r for r in current if _file_origin(r["file"]) > base
+        ]
+        for s in staged:
+            for r in interlopers:
+                if not (
+                    s["max_v"] < r["min_v"] or s["min_v"] > r["max_v"]
+                ):
+                    return None, "conflict"
+        status = "rebased"
+    new_v = latest + 1
+    fs, jvm = _fs(spark, path)
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    src = f"{path}/_branches/{branch}/data"
+    dst = f"{path}/v={new_v}"
+    if not fs.rename(_p(src), _p(dst)):
+        raise IOError(f"branch data rename failed for {branch}")
+    moved = [
+        (
+            s["file"].replace("/_branches/" + branch + "/data/", f"/v={new_v}/"),
+            s["min_v"],
+            s["max_v"],
+            s["n_rows"],
+        )
+        for s in staged
+    ]
+    new_rows = spark.createDataFrame(
+        moved, "file string, min_v bigint, max_v bigint, n_rows bigint"
+    )
+    if latest > 0:
+        carried = (
+            spark.read.parquet(f"{path}/_manifest")
+            .filter(F.col("v") == latest)
+            .select("file", "min_v", "max_v", "n_rows")
+        )
+        new_rows = carried.unionByName(new_rows)
+    new_rows.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/_manifest/v={new_v}"
+    )
+    fs.delete(_p(f"{path}/_branches/{branch}"), True)
+    return new_v, status
+
+
+def abort_branch(spark: SparkSession, path: str, branch: str) -> None:
+    """Discard a staged branch (conflict resolution path): delete its
+    data and staged manifest; published versions are untouched."""
+    fs, jvm = _fs(spark, path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_branches/{branch}"), True
+    )

@@ -46,6 +46,7 @@ from . import search  # noqa: E402,F401
 from . import recsys  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
 from . import journeys  # noqa: E402,F401
+from . import formats  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -159,9 +160,16 @@ from . import journeys  # noqa: E402,F401
 # table_expire_maintenance (WAP stage/audit/publish + expire_snapshots
 # GC), sequence_match_funnel (MATCH_RECOGNIZE-style row patterns),
 # manifest_stats_scan (secondary-column file skipping),
-# manifest_bloom_lookup (per-file bloom point lookup), and
+# manifest_bloom_lookup (per-file bloom point lookup),
 # zorder_rectangle_scan (Morton-laid snapshot, two-axis intersection
-# prune) — all round-8 registrations.
+# prune), partition_spec_evolution_scan (Iceberg-style per-file
+# partition tuples; status-spec v1 + month-spec v2 pruned per-spec),
+# gdpr_erasure_audit (right-to-be-forgotten cascaded customer ->
+# orders -> lineitem through MoR tombstones, orphan counts read back
+# through the tombstone filter), wap_branch_publish_audit (optimistic-
+# concurrency append branches: publish / range-conflict / rebase), and
+# orc_roundtrip_docs (lossless ORC round-trip with a portable row
+# checksum) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -943,3 +943,346 @@ def zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").cast("long") / 100.0).alias("rect_value"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution under the oracle gate: v1 writes the odd
+# half of orders partitioned by o_orderstatus (the GB-scale layout),
+# v2 appends the even half partitioned by order month (the TB-scale
+# layout) WITHOUT touching v1's files — per-file partition tuples in
+# the manifest, the Iceberg "Partition Evolution" contract. The scan
+# predicates on BOTH partition columns: status prunes only files whose
+# spec recorded status, month prunes only month-spec files, and the
+# residual filter restores exactness on the survivors. The oracle is
+# the plain declarative filter over the source table — a file pruned
+# under the wrong spec, a tuple recorded against the wrong file, or a
+# missing residual breaks the hash. Physical skipping is asserted in
+# tests/test_partspec.py.
+# ---------------------------------------------------------------------------
+_SPEC_DIRS: dict[tuple[str, str], str] = {}
+_SPEC_MONTH = "1996-03"
+
+
+def _partition_spec_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.partspec import write_spec_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPEC_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="partspec_orders_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_spec_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            out_dir,
+            ["o_orderstatus"],
+        )
+        write_spec_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            out_dir,
+            ["o_month"],
+        )
+        _SPEC_DIRS[key] = out_dir
+    return _SPEC_DIRS[key]
+
+
+@query(
+    "partition_spec_evolution_scan",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND strftime(o_orderdate, '%Y-%m') = '{_SPEC_MONTH}'
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_spec_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.partspec import read_spec_pruned
+
+    path = _partition_spec_dir(spark, sf_dir)
+    scan = read_spec_pruned(
+        spark, path, {"o_orderstatus": "F", "o_month": _SPEC_MONTH}
+    )
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure cascade under the oracle gate: the right-to-be-forgotten
+# propagated THROUGH the table layer. Three manifest tables (customer,
+# orders, lineitem) are snapshotted; an erasure set (c_custkey%50=7) is
+# cascaded customer -> orders -> lineitem by key joins, and each table
+# takes a MERGE-ON-READ tombstone delete — zero data files rewritten,
+# which is what erasure must cost at 100 TB until the next compaction
+# purges the bytes (compact_snapshot reads through tombstones, so the
+# physical purge is the existing maintenance pass). The audit row per
+# table reports before/deleted/after counts FROM THE TABLE LAYER (the
+# after-count is a real read of the post-delete snapshot) plus an
+# orphan count — surviving rows that still reference an erased parent,
+# read back through the tombstone filter. The oracle re-derives every
+# number declaratively from the source tables; a leaked tombstone, an
+# unscoped delete, or a missed cascade level breaks the hash (orphans
+# would go nonzero on the Spark side only).
+# ---------------------------------------------------------------------------
+_GDPR_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _gdpr_tables_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        delete_from_snapshot,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GDPR_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="gdpr_tables_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        write_manifest_table(cust, f"{out_dir}/customer", "c_custkey", 4)
+        write_manifest_table(orders, f"{out_dir}/orders", "o_orderkey", 8)
+        write_manifest_table(li, f"{out_dir}/lineitem", "l_orderkey", 8)
+        erased = cust.filter(F.col("c_custkey") % 50 == 7).select(
+            "c_custkey"
+        )
+        erased_orders = (
+            orders.join(
+                F.broadcast(erased),
+                orders.o_custkey == erased.c_custkey,
+                "left_semi",
+            )
+            .select("o_orderkey")
+        )
+        erased_li_keys = erased_orders.select(
+            F.col("o_orderkey").alias("l_orderkey")
+        )
+        delete_from_snapshot(
+            spark, f"{out_dir}/customer", "c_custkey", erased
+        )
+        delete_from_snapshot(
+            spark, f"{out_dir}/orders", "o_orderkey", erased_orders
+        )
+        delete_from_snapshot(
+            spark, f"{out_dir}/lineitem", "l_orderkey", erased_li_keys
+        )
+        _GDPR_DIRS[key] = out_dir
+    return _GDPR_DIRS[key]
+
+
+@query(
+    "gdpr_erasure_audit",
+    """
+    WITH erased AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 50 = 7
+    ),
+    eo AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased)
+    )
+    SELECT * FROM (
+        SELECT 'customer' AS table_name,
+               (SELECT COUNT(*) FROM customer) AS rows_before,
+               (SELECT COUNT(*) FROM erased) AS rows_deleted,
+               (SELECT COUNT(*) FROM customer)
+                   - (SELECT COUNT(*) FROM erased) AS rows_after,
+               0 AS orphans
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM eo),
+               (SELECT COUNT(*) FROM orders)
+                   - (SELECT COUNT(*) FROM eo),
+               0
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+               (SELECT COUNT(*) FROM lineitem)
+                   - (SELECT COUNT(*) FROM lineitem
+                      WHERE l_orderkey IN (SELECT o_orderkey FROM eo)),
+               0
+    ) ORDER BY table_name
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _gdpr_tables_dir(spark, sf_dir)
+    erased = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 7)
+        .select("c_custkey")
+    )
+    rows = []
+    survivors = {}
+    for name, keycol in (
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+    ):
+        before = read_snapshot(spark, f"{path}/{name}", version=1).count()
+        after_df = read_snapshot(spark, f"{path}/{name}")
+        survivors[name] = after_df
+        after = after_df.count()
+        rows.append([name, before, before - after, after])
+    # orphan audit: surviving children that still reference an erased
+    # parent, read back THROUGH the tombstone filter on both levels
+    orphan_orders = (
+        survivors["orders"]
+        .join(
+            F.broadcast(erased),
+            survivors["orders"].o_custkey == erased.c_custkey,
+            "left_semi",
+        )
+        .count()
+    )
+    live_orderkeys = survivors["orders"].select("o_orderkey")
+    orphan_li = (
+        survivors["lineitem"]
+        .join(
+            live_orderkeys,
+            survivors["lineitem"].l_orderkey
+            == live_orderkeys.o_orderkey,
+            "left_anti",
+        )
+        .count()
+    )
+    orphans = {"customer": 0, "orders": orphan_orders, "lineitem": orphan_li}
+    data = [
+        (name, before, deleted, after, orphans[name])
+        for name, before, deleted, after in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "table_name string, rows_before bigint, rows_deleted bigint,"
+        " rows_after bigint, orphans bigint",
+    ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Optimistic-concurrency branch publish under the oracle gate: three
+# writers stage append branches against the SAME base (v1 = orderkeys
+# <= q). alpha appends (q, 2q] and publishes first; beta staged an
+# overlapping range (q + q/2, 2q + q/2] and must be REFUSED at commit
+# validation (write-write conflict on the key interval); gamma staged
+# the disjoint (3q, m] and REBASES onto alpha's commit (directory
+# rename, zero data rewritten). The audit reports each branch's staged
+# row count and the table's row count after its publish attempt, all
+# read back from the table layer; the oracle re-derives the counts
+# declaratively and pins the expected statuses — a false conflict, a
+# missed conflict, or a rebase that dropped/duplicated rows breaks the
+# hash. Physical claims (rename not rewrite, conflict leaves the table
+# untouched) are pytest-asserted in tests/test_manifest_branches.py.
+# ---------------------------------------------------------------------------
+_WAP_AUDITS: dict[tuple[str, str], list] = {}
+
+
+def _wap_branch_audit(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators.manifest import (
+        abort_branch,
+        publish_branch,
+        read_snapshot,
+        stage_branch,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAP_AUDITS:
+        out_dir = tempfile.mkdtemp(prefix="wap_branches_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        m = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        q = m // 4
+        write_manifest_table(
+            orders.filter(F.col("o_orderkey") <= q), out_dir, "o_orderkey", 4
+        )
+        ranges = {
+            "alpha": (q, 2 * q),
+            "beta": (q + q // 2, 2 * q + q // 2),
+            "gamma": (3 * q, m),
+        }
+        staged_rows = {}
+        for name, (lo, hi) in ranges.items():
+            part = orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            )
+            staged_rows[name] = part.count()
+            stage_branch(part, out_dir, "o_orderkey", name, num_files=2)
+        audit = []
+        for name in ("alpha", "beta", "gamma"):
+            v, status = publish_branch(spark, out_dir, name)
+            if status == "conflict":
+                abort_branch(spark, out_dir, name)
+            table_rows = read_snapshot(spark, out_dir).count()
+            audit.append((name, status, staged_rows[name], table_rows))
+        _WAP_AUDITS[key] = audit
+    return _WAP_AUDITS[key]
+
+
+@query(
+    "wap_branch_publish_audit",
+    """
+    WITH b AS (
+        SELECT MAX(o_orderkey) // 4 AS q, MAX(o_orderkey) AS m
+        FROM orders
+    ),
+    counts AS (
+        SELECT
+            (SELECT COUNT(*) FROM orders, b
+             WHERE o_orderkey <= q) AS base_n,
+            (SELECT COUNT(*) FROM orders, b
+             WHERE o_orderkey > q AND o_orderkey <= 2 * q) AS alpha_n,
+            (SELECT COUNT(*) FROM orders, b
+             WHERE o_orderkey > q + q // 2
+               AND o_orderkey <= 2 * q + q // 2) AS beta_n,
+            (SELECT COUNT(*) FROM orders, b
+             WHERE o_orderkey > 3 * q AND o_orderkey <= m) AS gamma_n
+    )
+    SELECT * FROM (
+        SELECT 'alpha' AS branch, 'published' AS status,
+               alpha_n AS branch_rows,
+               base_n + alpha_n AS table_rows_after
+        FROM counts
+        UNION ALL
+        SELECT 'beta', 'conflict', beta_n, base_n + alpha_n FROM counts
+        UNION ALL
+        SELECT 'gamma', 'rebased', gamma_n,
+               base_n + alpha_n + gamma_n
+        FROM counts
+    ) ORDER BY branch
+    """,
+)
+def wap_branch_publish_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    audit = _wap_branch_audit(spark, sf_dir)
+    return spark.createDataFrame(
+        audit,
+        "branch string, status string, branch_rows bigint,"
+        " table_rows_after bigint",
+    ).orderBy("branch")

@@ -1,0 +1,142 @@
+"""Partition-spec evolution: per-file tuples, per-spec pruning,
+time travel, and value equality with the plain declarative filter."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.partspec import (
+    read_spec_pruned,
+    spec_pruned_file_count,
+    spec_versions,
+    write_spec_snapshot,
+)
+from ml_pipelines_spark.queries.relational import t
+
+
+@pytest.fixture(scope="module")
+def spec_table(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="partspec_test_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    v1 = write_spec_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        out,
+        ["o_orderstatus"],
+    )
+    v2 = write_spec_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        out,
+        ["o_month"],
+    )
+    yield out, orders, v1, v2
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_versions_and_single_tuple_per_file(spark, spec_table):
+    out, _, v1, v2 = spec_table
+    assert (v1, v2) == (1, 2)
+    assert spec_versions(spark, out) == [1, 2]
+    man = (
+        spark.read.parquet(f"{out}/_specmanifest")
+        .filter(F.col("v") == 2)
+        .collect()
+    )
+    # every file records exactly the columns of the spec it was
+    # written under, and files are distinct per tuple within a spec
+    specs = {frozenset((r["part"] or {}).keys()) for r in man}
+    assert specs == {
+        frozenset({"o_orderstatus"}),
+        frozenset({"o_month"}),
+    }
+
+
+def test_pruning_is_per_spec(spark, spec_table):
+    out, _, _, _ = spec_table
+    man = (
+        spark.read.parquet(f"{out}/_specmanifest")
+        .filter(F.col("v") == 2)
+        .collect()
+    )
+    n_status_files = sum(
+        1 for r in man if "o_orderstatus" in (r["part"] or {})
+    )
+    n_month_files = sum(1 for r in man if "o_month" in (r["part"] or {}))
+    # a status predicate prunes only status-spec files: every
+    # month-spec file survives
+    kept, total = spec_pruned_file_count(
+        spark, out, {"o_orderstatus": "F"}
+    )
+    assert total == n_status_files + n_month_files
+    assert n_month_files <= kept < total
+    # a month predicate prunes only month-spec files symmetric-ly
+    kept_m, _ = spec_pruned_file_count(spark, out, {"o_month": "1996-03"})
+    assert n_status_files <= kept_m < total
+    # both predicates intersect the kept sets
+    kept_b, _ = spec_pruned_file_count(
+        spark, out, {"o_orderstatus": "F", "o_month": "1996-03"}
+    )
+    assert kept_b <= min(kept, kept_m)
+
+
+def test_values_match_plain_filter(spark, spec_table):
+    out, orders, _, _ = spec_table
+    got = (
+        read_spec_pruned(
+            spark, out, {"o_orderstatus": "F", "o_month": "1996-03"}
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("c"),
+        )
+        .collect()[0]
+    )
+    want = (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_month") == "1996-03")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .collect()[0]
+    )
+    assert (got["n"], got["c"]) == (want["n"], want["c"])
+    assert got["n"] > 0
+
+
+def test_time_travel_sees_only_v1(spark, spec_table):
+    out, orders, v1, _ = spec_table
+    old = read_spec_pruned(spark, out, {}, version=v1)
+    assert old.filter(F.col("o_orderkey") % 2 == 0).count() == 0
+    assert (
+        old.count()
+        == orders.filter(F.col("o_orderkey") % 2 == 1).count()
+    )
+
+
+def test_no_shadow_columns_leak(spark, spec_table):
+    out, orders, _, _ = spec_table
+    scan = read_spec_pruned(spark, out, {"o_orderstatus": "O"})
+    assert not [c for c in scan.columns if c.startswith("_p_")]
+    assert set(scan.columns) == set(orders.columns)
+
+
+def test_null_partition_value_rejected(spark, spec_table):
+    out, orders, _, _ = spec_table
+    bad = orders.withColumn(
+        "o_month",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_month")
+        ),
+    )
+    with pytest.raises(ValueError, match="null partition value"):
+        write_spec_snapshot(bad, out + "_null", ["o_month"])
