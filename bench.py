@@ -350,6 +350,9 @@ HEADLINE = [
     "wap_branch_publish_audit",
     # lossless ORC round-trip with portable row checksum
     "orc_roundtrip_docs",
+    # unigram-LM (SentencePiece-style) tokenizer: one corpus pass,
+    # then 2 hard-EM rounds on the distinct-word table
+    "unigram_tokenizer_train",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

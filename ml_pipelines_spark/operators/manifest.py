@@ -706,7 +706,11 @@ def _delete_keys(
     interval shadowed by a RESTORE (see ``_visible_intervals``) are
     invisible, so restoring to a pre-delete version resurrects the
     rows — and a fresh delete after the restore applies again."""
+    if not _sidecar_exists(spark, path, "_deletes"):
+        return None
     try:
+        # the dir can exist but hold zero files (expire_snapshots
+        # purged every tombstone) — schema inference then throws
         dels = spark.read.parquet(f"{path}/_deletes")
     except Exception:
         return None
@@ -798,12 +802,20 @@ def delete_from_snapshot(
 # metadata rename. At 100 TB that is the difference between an O(table)
 # operation and an O(metadata) one.
 # ---------------------------------------------------------------------------
+def _sidecar_exists(spark: SparkSession, path: str, name: str) -> bool:
+    """Filesystem existence probe for an optional metadata sidecar —
+    milliseconds, vs the ~100ms analysis-exception path of attempting
+    a parquet read on a directory that isn't there (tables without
+    restores/deletes pay that probe on EVERY snapshot read)."""
+    fs, jvm = _fs(spark, path)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"))
+
+
 def _restore_map(spark: SparkSession, path: str) -> dict[int, int]:
     """{restore version -> restored-from version}, empty if none."""
-    try:
-        rows = spark.read.parquet(f"{path}/_restores").collect()
-    except Exception:
+    if not _sidecar_exists(spark, path, "_restores"):
         return {}
+    rows = spark.read.parquet(f"{path}/_restores").collect()
     return {int(r["v"]): int(r["source_v"]) for r in rows}
 
 
@@ -1243,3 +1255,26 @@ def abort_branch(spark: SparkSession, path: str, branch: str) -> None:
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(f"{path}/_branches/{branch}"), True
     )
+
+
+def snapshot_row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """COUNT(*) of one snapshot, answered from METADATA when possible:
+    the manifest already stores per-file row counts, so a snapshot with
+    no visible tombstones costs zero data reads — the Iceberg/Delta
+    count-from-manifest fast path a 100 TB table depends on. Snapshots
+    carrying merge-on-read delete debt fall back to the tombstone-
+    filtered read (the debt compaction clears)."""
+    manifest, v = _manifest_rows(spark, path, version)
+    if not manifest:
+        return 0
+    files = [r["file"] for r in manifest]
+    dels = _delete_keys(
+        spark, path, v, min_origin=min(_file_origin(f) for f in files)
+    )
+    if dels is None:
+        return sum(int(r["n_rows"]) for r in manifest)
+    out = spark.read.parquet(*files)
+    key = [c for c in dels.columns if c != "v"][0]
+    return _apply_tombstones(out, dels, key).count()

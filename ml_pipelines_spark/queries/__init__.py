@@ -169,7 +169,9 @@ from . import formats  # noqa: E402,F401
 # through the tombstone filter), wap_branch_publish_audit (optimistic-
 # concurrency append branches: publish / range-conflict / rebase), and
 # orc_roundtrip_docs (lossless ORC round-trip with a portable row
-# checksum) — all round-8 registrations.
+# checksum), and unigram_tokenizer_train (SentencePiece-style hard-EM
+# unigram tokenizer, integer-exact objective replayed bit-for-bit by a
+# recursive-CTE DuckDB oracle) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -1133,18 +1133,39 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 50 == 7)
         .select("c_custkey")
     )
-    rows = []
-    survivors = {}
-    for name, keycol in (
-        ("customer", "c_custkey"),
-        ("orders", "o_orderkey"),
-        ("lineitem", "l_orderkey"),
-    ):
-        before = read_snapshot(spark, f"{path}/{name}", version=1).count()
-        after_df = read_snapshot(spark, f"{path}/{name}")
-        survivors[name] = after_df
-        after = after_df.count()
-        rows.append([name, before, before - after, after])
+    from ..operators.manifest import snapshot_row_count
+
+    # v1 predates every tombstone, so the before-counts come straight
+    # from the manifest's per-file row counts — zero data reads (the
+    # count-from-metadata fast path); the after-counts pay one
+    # tombstone-filtered union job across all three tables
+    survivors = {
+        name: read_snapshot(spark, f"{path}/{name}")
+        for name in ("customer", "orders", "lineitem")
+    }
+    counts = {
+        (name, "before"): snapshot_row_count(
+            spark, f"{path}/{name}", version=1
+        )
+        for name in ("customer", "orders", "lineitem")
+    }
+    legs = [
+        survivors[name].select(
+            F.lit(name).alias("tbl"), F.lit("after").alias("phase")
+        )
+        for name in ("customer", "orders", "lineitem")
+    ]
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg)
+    counts.update(
+        {
+            (r["tbl"], r["phase"]): r["n"]
+            for r in union.groupBy("tbl", "phase")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
     # orphan audit: surviving children that still reference an erased
     # parent, read back THROUGH the tombstone filter on both levels
     orphan_orders = (
@@ -1169,8 +1190,14 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = {"customer": 0, "orders": orphan_orders, "lineitem": orphan_li}
     data = [
-        (name, before, deleted, after, orphans[name])
-        for name, before, deleted, after in rows
+        (
+            name,
+            counts[(name, "before")],
+            counts[(name, "before")] - counts[(name, "after")],
+            counts[(name, "after")],
+            orphans[name],
+        )
+        for name in ("customer", "orders", "lineitem")
     ]
     return spark.createDataFrame(
         data,

@@ -195,3 +195,135 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "step long, merge_left string, merge_right string, pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training under the oracle
+# gate — the hard-EM twin of bpe_train_merges. The objective is
+# deliberately integer-only (fewest pieces, then highest total piece
+# count, then lexicographically-smallest space-joined path; see
+# operators/unigram.py for why that tie-break composes inside the DP),
+# so DuckDB can replay the ENTIRE training — substring seeding, two
+# Viterbi-segmentation EM rounds (as recursive-CTE path enumerations),
+# usage re-estimation, and pruning — and the final piece table must
+# match bit-for-bit. The Spark side is the scale-shaped plan: ONE
+# corpus pass for word counts, then everything on the distinct-word
+# table with the (seed_k-bounded) vocabulary broadcast.
+# ---------------------------------------------------------------------------
+_UNI_LEN, _UNI_SEED, _UNI_KEEP, _UNI_TOP = 6, 120, 60, 30
+
+
+def _unigram_oracle_sql() -> str:
+    max_len, seed_k, keep, top = _UNI_LEN, _UNI_SEED, _UNI_KEEP, _UNI_TOP
+    round_tmpl = """
+paths{r} AS (
+  SELECT word, wcount, 0 AS pos, 0 AS n,
+         CAST(0 AS BIGINT) AS sumw, '' AS path
+  FROM words
+  UNION ALL
+  SELECT p.word, p.wcount, p.pos + length(s.piece), p.n + 1,
+         p.sumw + s.cnt,
+         CASE WHEN p.path = '' THEN s.piece
+              ELSE p.path || ' ' || s.piece END
+  FROM paths{r} p
+  JOIN {vocab} s
+    ON substr(p.word, p.pos + 1, length(s.piece)) = s.piece
+  WHERE p.pos < length(p.word)
+),
+best{r} AS (
+  SELECT word, wcount, path FROM (
+    SELECT word, wcount, path,
+           row_number() OVER (
+               PARTITION BY word ORDER BY n, sumw DESC, path
+           ) AS rk
+    FROM paths{r} WHERE pos = length(word)
+  ) WHERE rk = 1
+),
+counts{r} AS (
+  SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
+    SELECT wcount, unnest(string_split(path, ' ')) AS piece
+    FROM best{r}
+  ) GROUP BY piece
+),
+vocab{rnext} AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM counts{r}
+  ) WHERE rk <= {keep}
+  UNION ALL
+  SELECT s.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT)
+  FROM seed s LEFT JOIN counts{r} c USING (piece)
+  WHERE length(s.piece) = 1 AND s.piece NOT IN (
+    SELECT piece FROM (
+      SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+      FROM counts{r}
+    ) WHERE rk <= {keep}
+  )
+)"""
+    r1 = round_tmpl.format(r=1, rnext=2, vocab="seed", keep=keep)
+    r2 = round_tmpl.format(r=2, rnext=3, vocab="vocab2", keep=keep)
+    return f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT word, COUNT(*) AS wcount FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0 GROUP BY word
+    ),
+    subs AS (
+      SELECT substr(word, i, l) AS piece,
+             CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM (
+        SELECT word, wcount,
+               unnest(generate_series(1, length(word))) AS i
+        FROM words
+      ), LATERAL (
+        SELECT unnest(generate_series(
+            1, least({max_len}, length(word) - i + 1))) AS l
+      )
+      GROUP BY 1
+    ),
+    seed AS (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM subs
+      ) WHERE rk <= {seed_k} OR length(piece) = 1
+    ),
+    {r1},
+    {r2}
+    SELECT piece, cnt, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT piece, cnt,
+             row_number() OVER (ORDER BY cnt DESC, piece) AS rank
+      FROM vocab3
+    ) WHERE rank <= {top}
+    """
+
+
+@query("unigram_tokenizer_train", _unigram_oracle_sql())
+def unigram_tokenizer_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.unigram import unigram_train
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs,
+        "text",
+        max_len=_UNI_LEN,
+        seed_k=_UNI_SEED,
+        n_pieces=_UNI_KEEP,
+        rounds=2,
+    )
+    return (
+        vocab.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("piece")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _UNI_TOP)
+        .select("piece", "cnt", "rank")
+    )

@@ -116,6 +116,9 @@ GLOBAL_WINDOW = {
     "theil_sen_daily_trend",
     "top_bigram_share",
     "training_order_docs",
+    # piece/seed ranking windows run on the distinct-substring table,
+    # bounded by the language's vocabulary like vocab_topk/dict_encode
+    "unigram_tokenizer_train",
     "vocab_topk",
     "weighted_sample_docs",
     "yolo_export_lines",
