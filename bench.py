@@ -353,6 +353,9 @@ HEADLINE = [
     # unigram-LM (SentencePiece-style) tokenizer: one corpus pass,
     # then 2 hard-EM rounds on the distinct-word table
     "unigram_tokenizer_train",
+    # tokenizer apply: distinct words segmented distributed, token
+    # totals + fertility per language (train->apply chain)
+    "unigram_token_counts",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

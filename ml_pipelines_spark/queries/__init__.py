@@ -169,9 +169,12 @@ from . import formats  # noqa: E402,F401
 # through the tombstone filter), wap_branch_publish_audit (optimistic-
 # concurrency append branches: publish / range-conflict / rebase), and
 # orc_roundtrip_docs (lossless ORC round-trip with a portable row
-# checksum), and unigram_tokenizer_train (SentencePiece-style hard-EM
+# checksum), unigram_tokenizer_train (SentencePiece-style hard-EM
 # unigram tokenizer, integer-exact objective replayed bit-for-bit by a
-# recursive-CTE DuckDB oracle) — all round-8 registrations.
+# recursive-CTE DuckDB oracle), and unigram_token_counts (the apply
+# path: per-language token totals + fertility under the trained
+# vocabulary, full train->apply chain value-checked) — all round-8
+# registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

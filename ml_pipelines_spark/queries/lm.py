@@ -327,3 +327,141 @@ def unigram_tokenizer_train(
         .filter(F.col("rank") <= _UNI_TOP)
         .select("piece", "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer APPLY path: token counts + fertility per language under the
+# unigram vocabulary trained above — the canonical budget question a
+# training pipeline asks ("how many tokens is this corpus under MY
+# tokenizer"). Spark side: train (weights cached per session), Viterbi-
+# segment the DISTINCT words once, broadcast-join the per-word token
+# count onto the exploded corpus. The oracle re-runs the full training
+# CTE and a third recursive segmentation pass under the final
+# vocabulary, then joins declaratively — the whole train->apply chain
+# is value-checked end to end.
+# ---------------------------------------------------------------------------
+_UNI_VOCABS: dict[tuple[str, str], dict] = {}
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> dict:
+    from ..operators.unigram import unigram_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UNI_VOCABS:
+        vocab = unigram_train(
+            t(spark, sf_dir, "documents"),
+            "text",
+            max_len=_UNI_LEN,
+            seed_k=_UNI_SEED,
+            n_pieces=_UNI_KEEP,
+            rounds=2,
+        )
+        _UNI_VOCABS[key] = {
+            r["piece"]: int(r["cnt"]) for r in vocab.collect()
+        }
+    return _UNI_VOCABS[key]
+
+
+def _unigram_apply_oracle_sql() -> str:
+    train = _unigram_oracle_sql()
+    head, tail = train.split("SELECT piece, cnt, CAST(rank AS BIGINT)", 1)
+    seg3 = """
+    paths3 AS (
+      SELECT word, 0 AS pos, 0 AS n,
+             CAST(0 AS BIGINT) AS sumw, '' AS path
+      FROM words
+      UNION ALL
+      SELECT p.word, p.pos + length(s.piece), p.n + 1,
+             p.sumw + s.cnt,
+             CASE WHEN p.path = '' THEN s.piece
+                  ELSE p.path || ' ' || s.piece END
+      FROM paths3 p
+      JOIN vocab3 s
+        ON substr(p.word, p.pos + 1, length(s.piece)) = s.piece
+      WHERE p.pos < length(p.word)
+    ),
+    word_tokens AS (
+      SELECT word, n AS n_tokens FROM (
+        SELECT word, n,
+               row_number() OVER (
+                   PARTITION BY word ORDER BY n, sumw DESC, path
+               ) AS rk
+        FROM paths3 WHERE pos = length(word)
+      ) WHERE rk = 1
+    ),
+    corpus AS (
+      SELECT doc_id, lang, word FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE length(word) > 0
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_words,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(t.n_tokens) AS DOUBLE) / COUNT(*) * 10000
+                 + 0.5) / 10000.0 AS tokens_per_word
+    FROM corpus c JOIN word_tokens t USING (word)
+    GROUP BY lang
+    """
+    # head ends right after vocab3's closing paren — splice the apply
+    # CTEs in with the comma the training SQL's final SELECT replaced
+    return head + ",\n    " + seg3.strip() + "\n"
+
+
+@query("unigram_token_counts", _unigram_apply_oracle_sql())
+def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import _segment
+
+    weights = _unigram_vocab(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    # segment the DISTINCT words distributed (the word table is the
+    # language's vocabulary — never collected), weights broadcast
+    bweights = spark.sparkContext.broadcast(weights)
+
+    def seg(batches):
+        import pandas as pd
+
+        w = bweights.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [
+                        len(_segment(x, w)) for x in pdf["word"]
+                    ],
+                }
+            )
+
+    tok = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(seg, "word string, n_tokens long")
+    )
+    return (
+        words.join(tok, "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("n_tokens").cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("tokens_per_word"),
+        )
+    )
