@@ -356,6 +356,11 @@ HEADLINE = [
     # tokenizer apply: distinct words segmented distributed, token
     # totals + fertility per language (train->apply chain)
     "unigram_token_counts",
+    # retrieval-quality eval: nDCG@10 / MRR@10 for bm25/cosine/rrf
+    # against deterministic graded relevance
+    "search_eval_ndcg",
+    # curation funnel observability: per-stage drop counts in ONE pass
+    "curation_funnel_audit",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -173,8 +173,11 @@ from . import formats  # noqa: E402,F401
 # unigram tokenizer, integer-exact objective replayed bit-for-bit by a
 # recursive-CTE DuckDB oracle), and unigram_token_counts (the apply
 # path: per-language token totals + fertility under the trained
-# vocabulary, full train->apply chain value-checked) — all round-8
-# registrations.
+# vocabulary, full train->apply chain value-checked), and
+# search_eval_ndcg (retrieval-quality eval: nDCG@10/MRR@10 for the
+# bm25/cosine/rrf rankers against deterministic graded relevance), and
+# curation_funnel_audit (per-stage in/out/drop observability for the
+# curate_corpus gates, one corpus pass) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -313,3 +313,208 @@ def indexed_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=_INDEX_BUCKETS,
         require_all=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: nDCG@10 and MRR@10 for the three
+# rankers above (lexical BM25, embedding cosine, RRF fusion) against a
+# DETERMINISTIC graded relevance — rel(doc) = number of distinct query
+# terms present (0..3) — so the eval is a pure function of the corpus
+# and both engines re-derive it exactly. The oracle recomputes the
+# rankings AND the metrics declaratively; ties at the IDCG@10 boundary
+# are harmless (equal rel contributes equally regardless of which doc
+# fills the slot). Fixed-order sums + ROUND(…, 6) absorb last-ulp
+# summation noise in the ≤10-term DCG sums.
+# ---------------------------------------------------------------------------
+_EVAL_K = 10
+
+
+def _rel_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(QUERY_TERMS))
+    )
+
+
+@query(
+    "search_eval_ndcg",
+    f"""
+    WITH {_BM25_CTES},
+    rel AS (
+        SELECT doc_id, {_rel_sql()} AS rel FROM docstats
+    ),
+    idcg AS (
+        SELECT SUM((POW(2.0, rel) - 1.0) / log2(rk + 1.0)) AS v
+        FROM (
+            SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC) AS rk
+            FROM rel
+        ) WHERE rk <= {_EVAL_K}
+    ),
+    lex10 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25 QUALIFY rank <= {_EVAL_K}
+    ),
+    sem_scored AS (
+        SELECT vec_id,
+               {_sql_dot('embedding', _QLIT)}
+               / (sqrt({_sql_self_dot('embedding')}) * {_QNORM}) AS cosine
+        FROM embeddings
+    ),
+    sem10 AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM sem_scored QUALIFY rank <= {_EVAL_K}
+    ),
+    lexf AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM bm25 QUALIFY r_lex <= {N_FUSE}
+    ),
+    semf AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+        FROM sem_scored QUALIFY r_sem <= {N_FUSE}
+    ),
+    rrf10 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM (
+            SELECT doc_id,
+                   COALESCE(1.0 / ({RRF_K} + r_lex), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + r_sem), 0.0) AS rrf
+            FROM lexf FULL OUTER JOIN semf USING (doc_id)
+        ) QUALIFY rank <= {_EVAL_K}
+    ),
+    legs AS (
+        SELECT 'bm25' AS method, doc_id, rank FROM lex10
+        UNION ALL
+        SELECT 'cosine', doc_id, rank FROM sem10
+        UNION ALL
+        SELECT 'rrf', doc_id, rank FROM rrf10
+    )
+    SELECT method,
+           ROUND(SUM((POW(2.0, COALESCE(r.rel, 0)) - 1.0)
+                     / log2(l.rank + 1.0))
+                 / (SELECT v FROM idcg), 6) AS ndcg_at_10,
+           ROUND(COALESCE(MAX(1.0 / CASE WHEN COALESCE(r.rel, 0) >= 2
+                                         THEN l.rank END), 0.0), 6)
+               AS mrr_at_10,
+           CAST(SUM(CASE WHEN COALESCE(r.rel, 0) >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rel_in_top10
+    FROM legs l LEFT JOIN rel r USING (doc_id)
+    GROUP BY method
+    """,
+)
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_bruteforce
+
+    docs = t(spark, sf_dir, "documents")
+    rel = docs.select(
+        "doc_id",
+        sum(
+            (
+                F.when(_tf_col(term) > 0, 1).otherwise(0)
+                for term in QUERY_TERMS[1:]
+            ),
+            F.when(_tf_col(QUERY_TERMS[0]) > 0, 1).otherwise(0),
+        ).alias("rel"),
+    )
+    idcg = (
+        rel.orderBy(F.col("rel").desc())
+        .limit(_EVAL_K)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc()))
+            .alias("rk"),
+        )
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("rk") + F.lit(1.0))
+            )
+        )
+        .collect()[0][0]
+    )
+    scored = _bm25_scores(spark, sf_dir)
+    # two-phase top-k (the bm25_top_docs pattern): per-partition prune
+    # to N_FUSE so the global rank window sees k·P survivors, never the
+    # full matched corpus
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= N_FUSE)
+        .drop("__lr")
+    )
+    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_full = pruned.withColumn("rank", F.row_number().over(lex_w))
+    lex10 = lex_full.filter(F.col("rank") <= _EVAL_K).select(
+        "doc_id", "rank"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    sem_all = knn_bruteforce(emb, QUERY_VEC, k=N_FUSE).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    sem10 = sem_all.filter(F.col("rank") <= _EVAL_K)
+    lexf = lex_full.filter(F.col("rank") <= N_FUSE).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    semf = sem_all.select("doc_id", F.col("rank").alias("r_sem"))
+    rrf_w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    rrf10 = (
+        lexf.join(semf, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .withColumn("rank", F.row_number().over(rrf_w))
+        .filter(F.col("rank") <= _EVAL_K)
+        .select("doc_id", "rank")
+    )
+    legs = (
+        lex10.select(F.lit("bm25").alias("method"), "doc_id", "rank")
+        .unionByName(
+            sem10.select(F.lit("cosine").alias("method"), "doc_id", "rank")
+        )
+        .unionByName(
+            rrf10.select(F.lit("rrf").alias("method"), "doc_id", "rank")
+        )
+    )
+    # broadcast the ≤30-row rank lists INTO the corpus-sized relevance
+    # table (right-outer keeps every leg row; a left-broadcast of the
+    # corpus would ship the whole corpus to every executor)
+    joined = rel.join(F.broadcast(legs), "doc_id", "right_outer").select(
+        "method",
+        "rank",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    return joined.groupBy("method").agg(
+        F.round(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("rank") + F.lit(1.0))
+            )
+            / F.lit(float(idcg)),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rel") >= 2, 1.0 / F.col("rank")
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr_at_10"),
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_in_top10"),
+    )

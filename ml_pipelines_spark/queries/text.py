@@ -1195,3 +1195,95 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel audit — the observability table for the curate_corpus
+# pass: per-stage in/out/dropped counts and drop rates for the language
+# gate, the quality gate, and the fingerprint dedup, computed in ONE
+# corpus pass (per-doc gate flags + one distinct-fp count; the stages
+# are conjunctive, so four counters reconstruct the whole funnel — the
+# corpus is never re-scanned per stage). The oracle re-derives the same
+# four counters declaratively from the same gate definitions.
+# ---------------------------------------------------------------------------
+@query(
+    "curation_funnel_audit",
+    f"""
+    WITH flags AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+               ({_CASE}) = 'en' AS f_lang,
+               {_QUALITY_SQL} >= 0.8 AS f_quality
+        FROM documents
+    ),
+    c AS (
+        SELECT COUNT(*) AS n_total,
+               SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS n_lang,
+               SUM(CASE WHEN f_lang AND f_quality THEN 1 ELSE 0 END)
+                   AS n_lq,
+               COUNT(DISTINCT CASE WHEN f_lang AND f_quality
+                                   THEN fp END) AS n_dedup
+        FROM flags
+    )
+    SELECT stage, stage_order,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(docs_in - docs_out AS BIGINT) AS docs_dropped,
+           FLOOR((docs_in - docs_out) * 10000.0
+                 / CASE WHEN docs_in = 0 THEN 1 ELSE docs_in END + 0.5)
+               / 100.0 AS drop_pct
+    FROM (
+        SELECT 'lang_gate' AS stage, 1 AS stage_order,
+               n_total AS docs_in, n_lang AS docs_out FROM c
+        UNION ALL
+        SELECT 'quality_gate', 2, n_lang, n_lq FROM c
+        UNION ALL
+        SELECT 'fingerprint_dedup', 3, n_lq, n_dedup FROM c
+    ) ORDER BY stage_order
+    """,
+)
+def curation_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    flags = docs.select(
+        T.fingerprint(txt).alias("fp"),
+        (T.lang_id(txt) == "en").alias("f_lang"),
+        (F.round(T.quality_score(txt), 5) >= 0.8).alias("f_quality"),
+    )
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("f_lang"), 1).otherwise(0)).alias("n_lang"),
+        F.sum(
+            F.when(F.col("f_lang") & F.col("f_quality"), 1).otherwise(0)
+        ).alias("n_lq"),
+        F.countDistinct(
+            F.when(F.col("f_lang") & F.col("f_quality"), F.col("fp"))
+        ).alias("n_dedup"),
+    )
+    funnel = c.selectExpr(
+        """stack(3,
+            'lang_gate', 1, n_total, n_lang,
+            'quality_gate', 2, n_lang, n_lq,
+            'fingerprint_dedup', 3, n_lq, n_dedup
+        ) AS (stage, stage_order, docs_in, docs_out)"""
+    )
+    return funnel.select(
+        "stage",
+        "stage_order",
+        F.col("docs_in").cast("long").alias("docs_in"),
+        F.col("docs_out").cast("long").alias("docs_out"),
+        (F.col("docs_in") - F.col("docs_out"))
+        .cast("long")
+        .alias("docs_dropped"),
+        (
+            F.floor(
+                (F.col("docs_in") - F.col("docs_out"))
+                * 10000.0
+                / F.when(F.col("docs_in") == 0, 1).otherwise(
+                    F.col("docs_in")
+                )
+                + 0.5
+            )
+            / 100.0
+        ).alias("drop_pct"),
+    ).orderBy("stage_order")

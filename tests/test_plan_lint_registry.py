@@ -65,6 +65,8 @@ CARTESIAN_SCALAR = {
     "q22_idle_balance",
     "quantile_treatment_effects",
     "rrf_hybrid_search",
+    # the same 1-row corpus-statistics broadcast as bm25_top_docs
+    "search_eval_ndcg",
     "seasonal_naive_forecast",
     "seeded_nested_split",
     "source_mix_kl",
@@ -113,6 +115,9 @@ GLOBAL_WINDOW = {
     "quantile_treatment_effects",
     "rfm_segments",
     "rrf_hybrid_search",
+    # rank windows over two-phase-pruned k·P survivors + the 10-row
+    # IDCG grid, same bounded class as bm25_top_docs/rrf_hybrid_search
+    "search_eval_ndcg",
     "theil_sen_daily_trend",
     "top_bigram_share",
     "training_order_docs",
