@@ -361,6 +361,8 @@ HEADLINE = [
     "search_eval_ndcg",
     # curation funnel observability: per-stage drop counts in ONE pass
     "curation_funnel_audit",
+    # IVF-PQ stored index probe: partition-pruned cells, ADC over codes
+    "ann_ivfpq_topk",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -628,3 +628,96 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "approx_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed ANN index (Jégou et al. 2011, IVFADC): a coarse
+# quantizer routes every vector to a cell (stored as a hive partition,
+# so probing is PARTITION PRUNING), and within cells vectors live only
+# as M-byte PQ codes scored by LUT lookups. This is the layout that
+# holds at 100 TB: the probe reads n_probe/C of the files and the bytes
+# it reads are 32x lighter than float32. Both stages here use the
+# DETERMINISTIC constructions (smallest-id coarse centers; pq_codebooks
+# sub-slices; exact in-order distance folds, ties to the smallest id),
+# so the ENTIRE index build + probe replays bit-identically in SQL —
+# the approximation error is hash-checked, never tolerance-waved.
+# ---------------------------------------------------------------------------
+def smallest_id_vectors(
+    emb: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The n smallest-id vectors as float64 lists — the deterministic
+    center construction shared by the PQ codebooks. One bounded collect."""
+    rows = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(n)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ layout: PQ codes + coarse cell, written
+    hive-partitioned by cell. The float vectors are NOT stored — the
+    index is (id, M codes) per row, the full 32x compression. Coarse
+    assignment reuses the PQ encoder with the coarse centers as a
+    single full-dimension codebook (same exact fold, same tie rule)."""
+    encoded = pq_encode(emb, codebooks, vec_col=vec_col)
+    assigned = encoded.withColumn(
+        "cell",
+        _pq_encode_udf([coarse])(
+            F.col(vec_col).cast("array<double>")
+        ).getItem(0),
+    )
+    (
+        assigned.select(id_col, "codes", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_probe_cells(
+    coarse: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The query's n_probe nearest coarse cells — exact in-order fold
+    per center (matching the SQL twin term for term), ties to the
+    smallest cell id. Driver-side C x d flops."""
+    dists = []
+    for ci, center in enumerate(coarse):
+        acc = 0.0
+        for i in range(len(center)):
+            d = float(query_vec[i]) - float(center[i])
+            acc += d * d
+        dists.append((acc, ci))
+    return [ci for _, ci in sorted(dists)[:n_probe]]
+
+
+def ann_ivfpq_probe_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over the stored IVF-PQ index: pick probe cells driver-side,
+    scan ONLY those partitions (Catalyst prunes the directories), score
+    the PQ codes by ADC — the scan never touches a float vector."""
+    probes = ivfpq_probe_cells(coarse, query_vec, n_probe)
+    candidates = spark.read.parquet(path).filter(
+        F.col("cell").isin(probes)
+    )
+    return pq_topk(candidates, codebooks, query_vec, k, id_col=id_col)

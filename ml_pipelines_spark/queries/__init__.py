@@ -177,7 +177,11 @@ from . import formats  # noqa: E402,F401
 # search_eval_ndcg (retrieval-quality eval: nDCG@10/MRR@10 for the
 # bm25/cosine/rrf rankers against deterministic graded relevance), and
 # curation_funnel_audit (per-stage in/out/drop observability for the
-# curate_corpus gates, one corpus pass) — all round-8 registrations.
+# curate_corpus gates, one corpus pass), and ann_ivfpq_topk (the
+# composed IVFADC index: coarse cells as hive partitions holding only
+# PQ codes, probe = partition pruning, the full build+probe+ADC chain
+# a bit-identical cross-engine value oracle) — all round-8
+# registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

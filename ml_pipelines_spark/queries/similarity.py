@@ -1178,3 +1178,145 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index (operators.similarity.write_ivfpq_index /
+# ann_ivfpq_probe_stored): the production ANN layout — coarse cells as
+# HIVE PARTITIONS (probing = partition pruning, physically asserted in
+# tests/test_similarity.py) holding only M=8 PQ codes per vector, the
+# float vectors never stored. Both quantizers are the deterministic
+# constructions (8 smallest-id vectors as coarse centers, the PQ
+# codebook sub-slices, exact in-order distance folds with smallest-id
+# ties), so the oracle replays index build + probe + ADC ranking
+# bit-for-bit: coarse assignment, probe-cell choice, candidate set, and
+# every approximate distance are hash-checked values.
+# ---------------------------------------------------------------------------
+_IVFPQ_C = 8
+_IVFPQ_PROBE = 3
+_IVFPQ_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        pq_codebooks,
+        smallest_id_vectors,
+        write_ivfpq_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="ivfpq_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        emb = t(spark, sf_dir, "embeddings")
+        coarse = smallest_id_vectors(emb, _IVFPQ_C)
+        books = pq_codebooks(emb, num_sub=_PQ_M, num_codes=_PQ_KS)
+        write_ivfpq_index(emb, f"{out_dir}/index", coarse, books)
+        _IVFPQ_DIRS[key] = out_dir
+    return _IVFPQ_DIRS[key]
+
+
+@query(
+    "ann_ivfpq_topk",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    base AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_PQ_KS}),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    cb AS (
+        SELECT subs.m,
+               CAST(ROW_NUMBER() OVER (PARTITION BY subs.m
+                                       ORDER BY base.vec_id) - 1 AS INT) AS c,
+               base.e[subs.m * {_PQ_DS} + 1 : subs.m * {_PQ_DS} + {_PQ_DS}] AS cv
+        FROM base CROSS JOIN subs
+    ),
+    coarse AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               e AS ce
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_IVFPQ_C})
+    ),
+    assign AS (
+        SELECT emb.vec_id, coarse.cell,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> (emb.e[i] - coarse.ce[i])
+                        * (emb.e[i] - coarse.ce[i]))) AS d
+        FROM emb CROSS JOIN coarse
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM assign
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+    ),
+    q AS (SELECT {_QLIT} AS qv),
+    qd AS (
+        SELECT coarse.cell,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> (q.qv[i] - coarse.ce[i])
+                        * (q.qv[i] - coarse.ce[i]))) AS d
+        FROM coarse CROSS JOIN q
+    ),
+    probes AS (
+        SELECT cell FROM qd
+        QUALIFY ROW_NUMBER() OVER (ORDER BY d, cell) <= {_IVFPQ_PROBE}
+    ),
+    enc AS (
+        SELECT emb.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_DS}),
+                   i -> (emb.e[cb.m * {_PQ_DS} + i] - cb.cv[i])
+                        * (emb.e[cb.m * {_PQ_DS} + i] - cb.cv[i]))) AS d
+        FROM emb CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, c FROM enc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1
+    ),
+    cand AS (
+        SELECT codes.vec_id, codes.m, codes.c
+        FROM codes JOIN cells USING (vec_id)
+        WHERE cells.cell IN (SELECT cell FROM probes)
+    ),
+    lut AS (
+        SELECT cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_DS}),
+                   i -> (q.qv[cb.m * {_PQ_DS} + i] - cb.cv[i])
+                        * (q.qv[cb.m * {_PQ_DS} + i] - cb.cv[i]))) AS ld
+        FROM cb CROSS JOIN q
+    ),
+    scored AS (
+        SELECT cand.vec_id,
+               ROUND(list_sum(list(lut.ld ORDER BY cand.m)), 6) AS approx_dist
+        FROM cand JOIN lut ON cand.m = lut.m AND cand.c = lut.c
+        GROUP BY cand.vec_id
+    )
+    SELECT vec_id, approx_dist, rank FROM (
+        SELECT vec_id, approx_dist,
+               ROW_NUMBER() OVER (ORDER BY approx_dist, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ann_ivfpq_probe_stored,
+        pq_codebooks,
+        smallest_id_vectors,
+    )
+
+    path = _ivfpq_dir(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    coarse = smallest_id_vectors(emb, _IVFPQ_C)
+    books = pq_codebooks(emb, num_sub=_PQ_M, num_codes=_PQ_KS)
+    return ann_ivfpq_probe_stored(
+        spark,
+        f"{path}/index",
+        QUERY_VEC,
+        k=K,
+        coarse=coarse,
+        codebooks=books,
+        n_probe=_IVFPQ_PROBE,
+    )

@@ -86,6 +86,9 @@ CARTESIAN_DIM = {
 
 GLOBAL_WINDOW = {
     "ann_ivf_topk",
+    # second phase of pq_topk's two-phase top-k over k·P survivors,
+    # same bounded class as the other ann_* rank windows
+    "ann_ivfpq_topk",
     "ann_lsh_topk",
     "ann_multiprobe_topk",
     "ann_pq_topk",

@@ -279,3 +279,69 @@ def test_pq_codes_shape_and_recall(spark, sf_dir):
     # scoring stage (the encode pass is the single ArrowEvalPython)
     plan = pq_topk(enc, books, QUERY_VEC, k=10)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") <= 1
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_index_prunes_partitions_and_stores_codes_only(
+    spark, sf_dir, tmp_path
+):
+    """The stored IVF-PQ layout must (a) hold ONLY (id, codes, cell) —
+    no float vectors, (b) physically read only the probed cell dirs,
+    and (c) rank identically to ADC over the same candidates computed
+    in memory."""
+    from ml_pipelines_spark.operators.similarity import (
+        ann_ivfpq_probe_stored,
+        ivfpq_probe_cells,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+        query_vector,
+        smallest_id_vectors,
+        write_ivfpq_index,
+        _pq_encode_udf,
+    )
+    from ml_pipelines_spark.queries.relational import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse = smallest_id_vectors(emb, 8)
+    books = pq_codebooks(emb, num_sub=8, num_codes=16)
+    qv = query_vector(64, seed=7)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, coarse, books)
+
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "cell"}
+
+    probes = ivfpq_probe_cells(coarse, qv, n_probe=3)
+    got = ann_ivfpq_probe_stored(
+        spark, path, qv, k=5, coarse=coarse, codebooks=books, n_probe=3
+    )
+    # in-memory twin over the same candidate set
+    encoded = pq_encode(emb, books).withColumn(
+        "cell",
+        _pq_encode_udf([coarse])(
+            F.col("embedding").cast("array<double>")
+        ).getItem(0),
+    )
+    mem = pq_topk(
+        encoded.filter(F.col("cell").isin(probes)), books, qv, k=5
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
+
+    # physical: execution-time input files stay inside the probed dirs
+    probe_df = spark.read.parquet(path).filter(
+        F.col("cell").isin(probes)
+    )
+    files_read = {
+        r[0]
+        for r in probe_df.select(F.input_file_name()).distinct().collect()
+    }
+    cells_read = {
+        int(f.split("cell=")[1].split("/")[0]) for f in files_read
+    }
+    assert cells_read <= set(probes) and cells_read
