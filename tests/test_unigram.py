@@ -86,3 +86,27 @@ def test_train_deterministic_and_bounded(spark, sf_dir):
         for c in r["word"]
     }
     assert all_chars <= singles
+
+
+# ---------------------------------------------------------------------------
+# Property: DP == brute force on random small instances
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        word=st.text(alphabet="ab", min_size=1, max_size=9),
+        extra=st.dictionaries(
+            st.text(alphabet="ab", min_size=2, max_size=4),
+            st.integers(min_value=0, max_value=100),
+            max_size=8,
+        ),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_segment_property_matches_brute_force(word, extra):
+        weights = {"a": 3, "b": 5, **extra}
+        assert _segment(word, weights) == _brute_best(word, weights)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
