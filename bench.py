@@ -363,6 +363,9 @@ HEADLINE = [
     "curation_funnel_audit",
     # IVF-PQ stored index probe: partition-pruned cells, ADC over codes
     "ann_ivfpq_topk",
+    # incremental index maintenance: append batch under frozen
+    # quantizers, probe over both generations
+    "ann_ivfpq_incremental",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

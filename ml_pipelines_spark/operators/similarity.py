@@ -721,3 +721,33 @@ def ann_ivfpq_probe_stored(
         F.col("cell").isin(probes)
     )
     return pq_topk(candidates, codebooks, query_vec, k, id_col=id_col)
+
+
+def append_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: encode a NEW vector batch under
+    the FROZEN quantizers (the standard production practice — retraining
+    quantizers means re-encoding the whole index, so codebooks are
+    versioned artifacts) and append its rows into the existing cell
+    partitions. Dynamic partition overwrite is NOT used — plain append
+    adds files only to the touched cells; existing files are never
+    rewritten, so a probe mid-append sees a consistent prefix."""
+    encoded = pq_encode(emb, codebooks, vec_col=vec_col)
+    assigned = encoded.withColumn(
+        "cell",
+        _pq_encode_udf([coarse])(
+            F.col(vec_col).cast("array<double>")
+        ).getItem(0),
+    )
+    (
+        assigned.select(id_col, "codes", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )

