@@ -366,6 +366,8 @@ HEADLINE = [
     # incremental index maintenance: append batch under frozen
     # quantizers, probe over both generations
     "ann_ivfpq_incremental",
+    # AQP: 20% hash-sample revenue estimate + calibrated 95% CI
+    "aqp_revenue_estimate",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

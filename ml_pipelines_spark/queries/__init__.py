@@ -182,8 +182,10 @@ from . import formats  # noqa: E402,F401
 # PQ codes, probe = partition pruning, the full build+probe+ADC chain
 # a bit-identical cross-engine value oracle), and ann_ivfpq_incremental
 # (index freshness: an append batch encoded under FROZEN quantizers
-# into existing cell partitions, probe over both generations) — all
-# round-8 registrations.
+# into existing cell partitions, probe over both generations), and
+# aqp_revenue_estimate (approximate query processing: deterministic
+# 20% hash-sample estimate with exact-moment 95% CI and a within-CI
+# calibration flag) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
