@@ -181,3 +181,46 @@ def spec_pruned_file_count(
     manifest, _ = _manifest_rows(spark, path, version)
     kept = sum(1 for r in manifest if _keep(r, eq))
     return kept, len(manifest)
+
+
+def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE for the spec-evolved table: rewrite the LATEST version
+    so every partition tuple owns exactly one file (appends under the
+    same spec accumulate one file per snapshot per tuple — planning
+    cost grows with file count, and small files waste scan setup at
+    100 TB). The rewrite groups by each file's recorded tuple, so files
+    written under DIFFERENT specs stay separate (their tuples have
+    different keys) and the new manifest preserves every tuple
+    verbatim. Readers of older versions are untouched (new version,
+    new files). Returns the new version."""
+    manifest, prev = _manifest_rows(spark, path, None)
+    version = prev + 1
+    data_dir = f"{path}/v={version}"
+    # group files by identical tuple; one output file per group
+    groups: dict[tuple, list] = {}
+    for r in manifest:
+        key = tuple(sorted((r["part"] or {}).items()))
+        groups.setdefault(key, []).append(r["file"])
+    rows = []
+    for gi, (key, files) in enumerate(sorted(groups.items())):
+        part_dir = f"{data_dir}/g={gi}"
+        df = spark.read.parquet(*files)
+        df = df.drop(*[c for c in df.columns if c.startswith("_p_")])
+        df.coalesce(1).write.mode("errorifexists").parquet(part_dir)
+        back = spark.read.parquet(part_dir)
+        for f_ in {
+            r2["file"]
+            for r2 in back.select(
+                F.input_file_name().alias("file")
+            ).collect()
+        }:
+            rows.append((f_, int(df.count()), dict(key), version))
+    new_manifest = spark.createDataFrame(
+        rows,
+        "file string, n_rows bigint, part map<string,string>,"
+        " origin int",
+    )
+    new_manifest.coalesce(1).write.mode("errorifexists").parquet(
+        f"{path}/{_MANIFEST}/v={version}"
+    )
+    return version

@@ -140,3 +140,59 @@ def test_null_partition_value_rejected(spark, spec_table):
     )
     with pytest.raises(ValueError, match="null partition value"):
         write_spec_snapshot(bad, out + "_null", ["o_month"])
+
+
+def test_compact_spec_snapshot(spark, spec_table):
+    """OPTIMIZE: after a same-spec append creates multiple files per
+    tuple, compaction reduces to one file per tuple, preserves every
+    tuple and row exactly, and leaves older versions readable."""
+    import shutil
+    import tempfile
+
+    from ml_pipelines_spark.operators.partspec import (
+        compact_spec_snapshot,
+    )
+
+    _, orders, _, _ = spec_table
+    out = tempfile.mkdtemp(prefix="partspec_compact_")
+    try:
+        write_spec_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            out,
+            ["o_orderstatus"],
+        )
+        write_spec_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            out,
+            ["o_orderstatus"],
+        )
+        man2 = (
+            spark.read.parquet(f"{out}/_specmanifest")
+            .filter(F.col("v") == 2)
+            .collect()
+        )
+        tuples2 = {tuple(sorted((r["part"] or {}).items())) for r in man2}
+        assert len(man2) > len(tuples2)  # >1 file per tuple pre-compact
+        v3 = compact_spec_snapshot(spark, out)
+        assert v3 == 3
+        man3 = (
+            spark.read.parquet(f"{out}/_specmanifest")
+            .filter(F.col("v") == 3)
+            .collect()
+        )
+        tuples3 = {tuple(sorted((r["part"] or {}).items())) for r in man3}
+        assert tuples3 == tuples2
+        assert len(man3) == len(tuples3)  # exactly one file per tuple
+        # row equality with the pre-compact version
+        before = read_spec_pruned(spark, out, {}, version=2)
+        after = read_spec_pruned(spark, out, {}, version=3)
+        assert sorted(map(tuple, before.collect())) == sorted(
+            map(tuple, after.collect())
+        )
+        # pruning still works post-compact
+        kept, total = spec_pruned_file_count(
+            spark, out, {"o_orderstatus": "F"}, version=3
+        )
+        assert kept < total
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
