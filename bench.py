@@ -368,6 +368,8 @@ HEADLINE = [
     "ann_ivfpq_incremental",
     # AQP: 20% hash-sample revenue estimate + calibrated 95% CI
     "aqp_revenue_estimate",
+    # spec-table band scan: tuple pruning + per-file column stats
+    "partition_spec_band_scan",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -57,7 +57,8 @@ def spec_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def write_spec_snapshot(
-    df: DataFrame, path: str, spec_cols: list[str]
+    df: DataFrame, path: str, spec_cols: list[str],
+    stats_col: str | None = None,
 ) -> int:
     """Append ``df`` as the next version under the ACTIVE spec
     ``spec_cols``; prior versions' files are carried forward verbatim
@@ -67,7 +68,11 @@ def write_spec_snapshot(
     Physical layout: one directory per spec tuple (shadow ``_p_*``
     partition columns so the REAL columns stay inside the files —
     explicit-file-list reads must not depend on path parsing), one file
-    per tuple. The manifest row stores the tuple as map<col,string>.
+    per tuple. The manifest row stores the tuple as map<col,string>,
+    plus — when ``stats_col`` is set — that column's per-file
+    [min, max] (Iceberg column stats), so band predicates prune files
+    INSIDE surviving tuples. Files written without stats (or with stats
+    on another column) are conservatively kept by band reads.
     """
     spark = df.sparkSession
     missing = [c for c in spec_cols if c not in df.columns]
@@ -94,14 +99,28 @@ def write_spec_snapshot(
         .parquet(data_dir)
     )
     back = spark.read.parquet(data_dir)
+    stat_cols = [stats_col] if stats_col else []
     new_rows = (
-        back.select(F.input_file_name().alias("file"), *shadows)
+        back.select(
+            F.input_file_name().alias("file"), *shadows, *stat_cols
+        )
         .groupBy("file")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             # directory-read partition inference may re-type the shadow
             # values (ints, dates); the manifest stores strings
             *[F.first(F.col(pc).cast("string")).alias(pc) for pc in shadows],
+            *(
+                [
+                    F.min(F.col(stats_col).cast("double")).alias("stat_min"),
+                    F.max(F.col(stats_col).cast("double")).alias("stat_max"),
+                ]
+                if stats_col
+                else [
+                    F.lit(None).cast("double").alias("stat_min"),
+                    F.lit(None).cast("double").alias("stat_max"),
+                ]
+            ),
         )
         .select(
             "file",
@@ -113,13 +132,19 @@ def write_spec_snapshot(
                 )
             ).alias("part"),
             F.lit(version).alias("origin"),
+            F.lit(stats_col).cast("string").alias("stat_col"),
+            "stat_min",
+            "stat_max",
         )
     )
     if version > 1:
         carried = (
             spark.read.parquet(f"{path}/{_MANIFEST}")
             .filter(F.col("v") == version - 1)
-            .select("file", "n_rows", "part", "origin")
+            .select(
+                "file", "n_rows", "part", "origin",
+                "stat_col", "stat_min", "stat_max",
+            )
         )
         new_rows = carried.unionByName(new_rows)
     new_rows.coalesce(1).write.mode("errorifexists").parquet(
@@ -144,19 +169,39 @@ def _keep(row, eq: dict) -> bool:
     )
 
 
+def _keep_band(row, band) -> bool:
+    """File-stats overlap check: keep unless this file carries stats
+    for the band's column that prove disjointness (unknown stats or a
+    different stats column keep the file — conservative)."""
+    if band is None:
+        return True
+    col, lo, hi = band
+    if row["stat_col"] != col or row["stat_min"] is None:
+        return True
+    return not (row["stat_max"] < lo or row["stat_min"] > hi)
+
+
 def read_spec_pruned(
     spark: SparkSession,
     path: str,
     eq: dict,
     version: int | None = None,
+    band: tuple | None = None,
 ) -> DataFrame:
     """Read one version through per-file spec pruning: a file written
     under a spec that RECORDS a predicate column must match it; a file
     whose spec never recorded the column survives pruning and is
-    filtered by the residual predicate instead. ``version=None`` reads
-    the latest; earlier versions time-travel."""
+    filtered by the residual predicate instead. ``band=(col, lo, hi)``
+    additionally skips files whose recorded [min, max] stats for that
+    column miss the band (both prunings are metadata-only; residual
+    filters restore exactness). ``version=None`` reads the latest;
+    earlier versions time-travel."""
     manifest, v = _manifest_rows(spark, path, version)
-    keep = [r["file"] for r in manifest if _keep(r, eq)]
+    keep = [
+        r["file"]
+        for r in manifest
+        if _keep(r, eq) and _keep_band(r, band)
+    ]
     if not keep:
         base = spark.read.parquet(f"{path}/v={v}")
         out = base.filter(F.lit(False))
@@ -167,6 +212,11 @@ def read_spec_pruned(
     out = out.drop(*[c for c in out.columns if c.startswith("_p_")])
     for c, val in eq.items():
         out = out.filter(F.col(c) == F.lit(val))
+    if band is not None:
+        col, lo, hi = band
+        out = out.filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
     return out
 
 
@@ -175,11 +225,15 @@ def spec_pruned_file_count(
     path: str,
     eq: dict,
     version: int | None = None,
+    band: tuple | None = None,
 ) -> tuple[int, int]:
     """(files kept, files total) for the predicate — the evidence that
-    pruning works per-spec, checked physically in tests."""
+    pruning works per-spec (and per-band), checked physically in
+    tests."""
     manifest, _ = _manifest_rows(spark, path, version)
-    kept = sum(1 for r in manifest if _keep(r, eq))
+    kept = sum(
+        1 for r in manifest if _keep(r, eq) and _keep_band(r, band)
+    )
     return kept, len(manifest)
 
 
@@ -219,6 +273,16 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
         rows,
         "file string, n_rows bigint, part map<string,string>,"
         " origin int",
+    ).select(
+        "file", "n_rows", "part", "origin",
+        # compaction merges files whose stats may differ; recomputing
+        # them needs a stats_col the caller no longer passes — the
+        # rewritten files carry NO stats and band reads keep them
+        # conservatively (correct, just unpruned until the next
+        # stats-bearing write)
+        F.lit(None).cast("string").alias("stat_col"),
+        F.lit(None).cast("double").alias("stat_min"),
+        F.lit(None).cast("double").alias("stat_max"),
     )
     new_manifest.coalesce(1).write.mode("errorifexists").parquet(
         f"{path}/{_MANIFEST}/v={version}"

@@ -185,7 +185,9 @@ from . import formats  # noqa: E402,F401
 # into existing cell partitions, probe over both generations), and
 # aqp_revenue_estimate (approximate query processing: deterministic
 # 20% hash-sample estimate with exact-moment 95% CI and a within-CI
-# calibration flag) — all round-8 registrations.
+# calibration flag), and partition_spec_band_scan (per-file column
+# stats on the spec table: tuple pruning AND [min,max] band skipping
+# compose) — all round-8 registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -983,11 +983,13 @@ def _partition_spec_dir(spark: SparkSession, sf_dir: str) -> str:
             orders.filter(F.col("o_orderkey") % 2 == 1),
             out_dir,
             ["o_orderstatus"],
+            stats_col="cents",
         )
         write_spec_snapshot(
             orders.filter(F.col("o_orderkey") % 2 == 0),
             out_dir,
             ["o_month"],
+            stats_col="cents",
         )
         _SPEC_DIRS[key] = out_dir
     return _SPEC_DIRS[key]
@@ -1313,3 +1315,47 @@ def wap_branch_publish_audit(
         "branch string, status string, branch_rows bigint,"
         " table_rows_after bigint",
     ).orderBy("branch")
+
+
+# ---------------------------------------------------------------------------
+# Band scan over the spec-evolved table: tuple pruning AND per-file
+# column stats compose — the status predicate prunes status-spec files,
+# and within the survivors the cents band skips files whose recorded
+# [min, max] miss it (the v1 writes are range-clustered per tuple only
+# by arrival, so stats skipping is the only lever a non-partition
+# column has). The oracle is the plain declarative filter; both-axis
+# physical skipping is asserted in tests/test_partspec.py.
+# ---------------------------------------------------------------------------
+_SPEC_BAND_LO, _SPEC_BAND_HI = 100_00, 20_000_00  # $100 .. $20,000
+
+
+@query(
+    "partition_spec_band_scan",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS band_value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+          BETWEEN {_SPEC_BAND_LO} AND {_SPEC_BAND_HI}
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_spec_band_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.partspec import read_spec_pruned
+
+    path = _partition_spec_dir(spark, sf_dir)
+    scan = read_spec_pruned(
+        spark,
+        path,
+        {"o_orderstatus": "F"},
+        band=("cents", _SPEC_BAND_LO, _SPEC_BAND_HI),
+    )
+    return scan.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("band_value"),
+    )

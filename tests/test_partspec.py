@@ -196,3 +196,59 @@ def test_compact_spec_snapshot(spark, spec_table):
         assert kept < total
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_band_stats_prune_files(spark, sf_dir):
+    """Per-file column stats skip files inside surviving tuples; files
+    without stats for the band column are conservatively kept."""
+    import shutil
+    import tempfile
+
+    from ml_pipelines_spark.queries.relational import t as _t
+
+    out = tempfile.mkdtemp(prefix="partspec_band_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        # range-cluster within each status so per-file stats are tight:
+        # several snapshots, each covering one cents band per status
+        m = orders.agg(F.max("cents")).collect()[0][0]
+        step = m // 4 + 1
+        for i in range(4):
+            write_spec_snapshot(
+                orders.filter(
+                    (F.col("cents") >= i * step)
+                    & (F.col("cents") < (i + 1) * step)
+                ),
+                out,
+                ["o_orderstatus"],
+                stats_col="cents",
+            )
+        lo, hi = 0, step - 1  # first quartile band only
+        kept, total = spec_pruned_file_count(
+            spark, out, {}, band=("cents", lo, hi)
+        )
+        assert kept < total  # stats skipped non-overlapping files
+        got = (
+            read_spec_pruned(spark, out, {}, band=("cents", lo, hi))
+            .agg(F.count(F.lit(1)), F.sum("cents"))
+            .collect()[0]
+        )
+        want = (
+            orders.filter(F.col("cents").between(lo, hi))
+            .agg(F.count(F.lit(1)), F.sum("cents"))
+            .collect()[0]
+        )
+        assert tuple(got) == tuple(want)
+        # a band on a column with NO recorded stats keeps every file
+        kept_u, total_u = spec_pruned_file_count(
+            spark, out, {}, band=("o_orderkey", 0, 10)
+        )
+        assert kept_u == total_u
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
