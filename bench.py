@@ -370,6 +370,8 @@ HEADLINE = [
     "aqp_revenue_estimate",
     # spec-table band scan: tuple pruning + per-file column stats
     "partition_spec_band_scan",
+    # streaming ingest into the spec table (2-batch replay, ledger)
+    "stream_spec_ingest_replay",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -288,3 +288,43 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
         f"{path}/{_MANIFEST}/v={version}"
     )
     return version
+
+
+def stream_spec_append_sink(
+    stream_df: DataFrame,
+    path: str,
+    spec_cols: list[str],
+    checkpoint_dir: str,
+    stats_col: str | None = None,
+):
+    """writeStream sink for the spec table: each micro-batch appends
+    one version via ``write_spec_snapshot`` under the CURRENT spec —
+    streaming ingest and partition-spec evolution compose, so the spec
+    can change between restarts without touching ingested history.
+    Batches replayed after a failure are idempotent via the ledger (a
+    batch id that already produced a version is skipped). Returns the
+    StreamingQuery; callers stop it."""
+    import json
+    import os
+
+    ledger = os.path.join(checkpoint_dir, "applied_batches.json")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        applied = {}
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                applied = json.load(fh)
+        if str(batch_id) in applied:
+            return
+        v = write_spec_snapshot(
+            batch_df, path, spec_cols, stats_col=stats_col
+        )
+        applied[str(batch_id)] = v
+        with open(ledger, "w") as fh:
+            json.dump(applied, fh)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

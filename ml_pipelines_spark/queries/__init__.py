@@ -187,7 +187,10 @@ from . import formats  # noqa: E402,F401
 # 20% hash-sample estimate with exact-moment 95% CI and a within-CI
 # calibration flag), and partition_spec_band_scan (per-file column
 # stats on the spec table: tuple pruning AND [min,max] band skipping
-# compose) — all round-8 registrations.
+# compose), and stream_spec_ingest_replay (streaming ingest into the
+# spec table: one version per micro-batch via the idempotent
+# foreachBatch ledger, read back through both prunings) — all round-8
+# registrations.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",

@@ -946,3 +946,83 @@ def stream_timeout_sessions_replay(
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest into the SPEC table — stream_table_ingest_replay's
+# twin over operators/partspec: each micro-batch appends one version
+# partitioned by the active spec (event_type) with per-file cents
+# stats, via the idempotent foreachBatch ledger. The read back goes
+# through BOTH metadata prunings (tuple equality on event_type + cents
+# band over the per-file stats) and the oracle re-derives the same
+# filtered aggregate declaratively — a lost batch, a double-applied
+# replay, a wrong tuple, or a band that skips a live file all break
+# the hash.
+# ---------------------------------------------------------------------------
+_SSI_LO, _SSI_HI = 100_00, 700_00
+
+
+@query(
+    "stream_spec_ingest_replay",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS band_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+          BETWEEN {_SSI_LO} AND {_SSI_HI}
+    """,
+)
+def stream_spec_ingest_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.partspec import (
+        read_spec_pruned,
+        stream_spec_append_sink,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="mlps_ssi_src_")
+    tbl = tempfile.mkdtemp(prefix="mlps_ssi_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="mlps_ssi_ck_") + f"/{uuid.uuid4().hex}"
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_spec_append_sink(
+            stream, tbl, ["event_type"], ckpt, stats_col="cents"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = read_spec_pruned(
+            spark,
+            tbl,
+            {"event_type": "purchase"},
+            band=("cents", _SSI_LO, _SSI_HI),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("long") / 100.0).alias("band_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
