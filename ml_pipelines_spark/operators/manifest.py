@@ -252,18 +252,13 @@ def append_snapshot(
     return version
 
 
-def stream_append_sink(
-    stream_df: DataFrame,
-    path: str,
-    sort_col: str,
-    checkpoint_dir: str,
-    num_files: int = 4,
-):
-    """writeStream sink: each micro-batch appends one snapshot via
-    ``append_snapshot`` (metadata-only reuse of all prior files).
-    Batches replayed after a failure are made idempotent by the ledger:
-    a batch id that already produced a version is skipped. Returns the
-    StreamingQuery; callers stop it."""
+def ledgered_batch_sink(stream_df: DataFrame, checkpoint_dir: str, apply):
+    """Shared writeStream scaffold: run ``apply(batch_df) -> version``
+    once per micro-batch, made idempotent across replays by a JSON
+    ledger in the checkpoint dir (a batch id that already produced a
+    version is skipped). Both table sinks (manifest snapshots, spec
+    snapshots) ride this one implementation so ledger fixes land once.
+    Returns the StreamingQuery; callers stop it."""
     import json
     import os
 
@@ -276,8 +271,7 @@ def stream_append_sink(
                 applied = json.load(fh)
         if str(batch_id) in applied:
             return
-        v = append_snapshot(batch_df, path, sort_col, num_files)
-        applied[str(batch_id)] = v
+        applied[str(batch_id)] = apply(batch_df)
         with open(ledger, "w") as fh:
             json.dump(applied, fh)
 
@@ -285,6 +279,26 @@ def stream_append_sink(
         stream_df.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def stream_append_sink(
+    stream_df: DataFrame,
+    path: str,
+    sort_col: str,
+    checkpoint_dir: str,
+    num_files: int = 4,
+):
+    """writeStream sink: each micro-batch appends one snapshot via
+    ``append_snapshot`` (metadata-only reuse of all prior files).
+    Replay-idempotent via ``ledgered_batch_sink``. Returns the
+    StreamingQuery; callers stop it."""
+    return ledgered_batch_sink(
+        stream_df,
+        checkpoint_dir,
+        lambda batch_df: append_snapshot(
+            batch_df, path, sort_col, num_files
+        ),
     )
 
 
@@ -815,7 +829,13 @@ def _restore_map(spark: SparkSession, path: str) -> dict[int, int]:
     """{restore version -> restored-from version}, empty if none."""
     if not _sidecar_exists(spark, path, "_restores"):
         return {}
-    rows = spark.read.parquet(f"{path}/_restores").collect()
+    try:
+        # exists but unreadable (crashed writer left only _temporary/,
+        # or an empty dir) degrades to "no restores", not a crash on
+        # every subsequent snapshot read
+        rows = spark.read.parquet(f"{path}/_restores").collect()
+    except Exception:
+        return {}
     return {int(r["v"]): int(r["source_v"]) for r in rows}
 
 
@@ -1275,6 +1295,6 @@ def snapshot_row_count(
     )
     if dels is None:
         return sum(int(r["n_rows"]) for r in manifest)
-    out = spark.read.parquet(*files)
-    key = [c for c in dels.columns if c != "v"][0]
-    return _apply_tombstones(out, dels, key).count()
+    # tombstone debt: defer to read_snapshot so the counting path can
+    # never drift from the read path's delete semantics
+    return read_snapshot(spark, path, v).count()

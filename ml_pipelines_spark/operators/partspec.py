@@ -89,9 +89,17 @@ def write_spec_snapshot(
         version = 1
     data_dir = f"{path}/v={version}"
     shadows = [f"_p_{c}" for c in spec_cols]
+    # _v_* twins carry the EXACT string value inside the files:
+    # directory-read partition inference re-types dir names ("007" ->
+    # int 7 -> "7"), which would silently break _keep's string
+    # equality for numeric-looking or boolean values; the in-file twin
+    # is inference-proof
+    values = [f"_v_{c}" for c in spec_cols]
     out = df
-    for c, pc in zip(spec_cols, shadows):
-        out = out.withColumn(pc, F.col(c).cast("string"))
+    for c, pc, vc in zip(spec_cols, shadows, values):
+        out = out.withColumn(pc, F.col(c).cast("string")).withColumn(
+            vc, F.col(c).cast("string")
+        )
     (
         out.repartition(*[F.col(pc) for pc in shadows])
         .write.mode("errorifexists")
@@ -102,14 +110,12 @@ def write_spec_snapshot(
     stat_cols = [stats_col] if stats_col else []
     new_rows = (
         back.select(
-            F.input_file_name().alias("file"), *shadows, *stat_cols
+            F.input_file_name().alias("file"), *values, *stat_cols
         )
         .groupBy("file")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            # directory-read partition inference may re-type the shadow
-            # values (ints, dates); the manifest stores strings
-            *[F.first(F.col(pc).cast("string")).alias(pc) for pc in shadows],
+            *[F.first(F.col(vc)).alias(pc) for pc, vc in zip(shadows, values)],
             *(
                 [
                     F.min(F.col(stats_col).cast("double")).alias("stat_min"),
@@ -162,10 +168,19 @@ def _manifest_rows(spark: SparkSession, path: str, version: int | None):
     return [r for r in rows if int(r["v"]) == v], v
 
 
+def _norm(v) -> str:
+    """Caller-value -> manifest-string normalization: the manifest
+    stores Spark's cast-to-string rendering, so booleans are
+    lowercase."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _keep(row, eq: dict) -> bool:
     part = row["part"] or {}
     return all(
-        part[c] == str(v) for c, v in eq.items() if c in part
+        part[c] == _norm(v) for c, v in eq.items() if c in part
     )
 
 
@@ -203,13 +218,26 @@ def read_spec_pruned(
         if _keep(r, eq) and _keep_band(r, band)
     ]
     if not keep:
-        base = spark.read.parquet(f"{path}/v={v}")
-        out = base.filter(F.lit(False))
+        all_files = [r["file"] for r in manifest]
+        if all_files:
+            # schema from a real data file (a directory probe would
+            # infer spurious partition columns like compaction's g=)
+            out = spark.read.parquet(all_files[0]).filter(F.lit(False))
+        else:
+            out = spark.read.parquet(f"{path}/v={v}").filter(
+                F.lit(False)
+            )
     else:
         out = spark.read.parquet(*keep)
     # explicit-file-list reads may still infer the shadow dirs as
     # partition columns; the real columns live inside the files
-    out = out.drop(*[c for c in out.columns if c.startswith("_p_")])
+    out = out.drop(
+        *[
+            c
+            for c in out.columns
+            if c.startswith("_p_") or c.startswith("_v_")
+        ]
+    )
     for c, val in eq.items():
         out = out.filter(F.col(c) == F.lit(val))
     if band is not None:
@@ -259,16 +287,28 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
     for gi, (key, files) in enumerate(sorted(groups.items())):
         part_dir = f"{data_dir}/g={gi}"
         df = spark.read.parquet(*files)
-        df = df.drop(*[c for c in df.columns if c.startswith("_p_")])
+        df = df.drop(
+            *[
+                c
+                for c in df.columns
+                if c.startswith("_p_") or c.startswith("_v_")
+            ]
+        )
         df.coalesce(1).write.mode("errorifexists").parquet(part_dir)
+        # per-file row counts from the written files themselves (the
+        # group total would be wrong if coalesce ever emits >1 part,
+        # and a driver-side df.count() re-scans the group's inputs)
         back = spark.read.parquet(part_dir)
-        for f_ in {
-            r2["file"]
-            for r2 in back.select(
-                F.input_file_name().alias("file")
-            ).collect()
-        }:
-            rows.append((f_, int(df.count()), dict(key), version))
+        per_file = (
+            back.select(F.input_file_name().alias("file"))
+            .groupBy("file")
+            .count()
+            .collect()
+        )
+        for r2 in per_file:
+            rows.append(
+                (r2["file"], int(r2["count"]), dict(key), version)
+            )
     new_manifest = spark.createDataFrame(
         rows,
         "file string, n_rows bigint, part map<string,string>,"
@@ -304,27 +344,12 @@ def stream_spec_append_sink(
     Batches replayed after a failure are idempotent via the ledger (a
     batch id that already produced a version is skipped). Returns the
     StreamingQuery; callers stop it."""
-    import json
-    import os
+    from .manifest import ledgered_batch_sink
 
-    ledger = os.path.join(checkpoint_dir, "applied_batches.json")
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied = {}
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                applied = json.load(fh)
-        if str(batch_id) in applied:
-            return
-        v = write_spec_snapshot(
+    return ledgered_batch_sink(
+        stream_df,
+        checkpoint_dir,
+        lambda batch_df: write_spec_snapshot(
             batch_df, path, spec_cols, stats_col=stats_col
-        )
-        applied[str(batch_id)] = v
-        with open(ledger, "w") as fh:
-            json.dump(applied, fh)
-
-    return (
-        stream_df.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+        ),
     )

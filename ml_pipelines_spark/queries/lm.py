@@ -300,6 +300,9 @@ vocab{rnext} AS (
     """
 
 
+# Deliberately NOT routed through the _UNI_VOCABS session cache the
+# apply query uses: this query's bench timing IS the training cost, and
+# a cached vocabulary would turn the measurement into a no-op.
 @query("unigram_tokenizer_train", _unigram_oracle_sql())
 def unigram_tokenizer_train(
     spark: SparkSession, sf_dir: str

@@ -486,10 +486,17 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             rrf10.select(F.lit("rrf").alias("method"), "doc_id", "rank")
         )
     )
-    # broadcast the ≤30-row rank lists INTO the corpus-sized relevance
-    # table (right-outer keeps every leg row; a left-broadcast of the
-    # corpus would ship the whole corpus to every executor)
-    joined = rel.join(F.broadcast(legs), "doc_id", "right_outer").select(
+    # Spark cannot build the right side of a right-outer broadcast
+    # join (the hint is silently dropped and the corpus would shuffle
+    # through a sort-merge join), so: (1) broadcast-SEMI-join the
+    # corpus-sized relevance table down to the ≤30 leg doc_ids
+    # (LeftSemi BuildRight is supported), then (2) broadcast that
+    # bounded slice into the legs with a left join (LeftOuter
+    # BuildRight is supported) — outer semantics preserved, corpus
+    # never shuffled
+    leg_ids = legs.select("doc_id").distinct()
+    rel_small = rel.join(F.broadcast(leg_ids), "doc_id", "left_semi")
+    joined = legs.join(F.broadcast(rel_small), "doc_id", "left").select(
         "method",
         "rank",
         F.coalesce("rel", F.lit(0)).alias("rel"),

@@ -252,3 +252,61 @@ def test_band_stats_prune_files(spark, sf_dir):
         assert kept_u == total_u
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_numeric_string_tuples_survive_inference(spark):
+    """Partition values that LOOK numeric ('007') or boolean must round
+    trip exactly — directory-name re-inference ('007' -> 7) must never
+    leak into the manifest (the _v_ in-file twin guards it)."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="partspec_str_")
+    try:
+        df = spark.createDataFrame(
+            [("007", 1), ("007", 2), ("42", 3), ("x9", 4)],
+            "region_code string, v int",
+        )
+        write_spec_snapshot(df, out, ["region_code"])
+        kept, total = spec_pruned_file_count(
+            spark, out, {"region_code": "007"}
+        )
+        assert kept == 1 and total == 3
+        got = read_spec_pruned(spark, out, {"region_code": "007"})
+        assert sorted(r["v"] for r in got.collect()) == [1, 2]
+        # boolean partition values normalize to Spark's lowercase form
+        bdf = spark.createDataFrame(
+            [(True, 1), (False, 2)], "flag boolean, v int"
+        )
+        write_spec_snapshot(bdf, out + "_b", ["flag"])
+        gotb = read_spec_pruned(spark, out + "_b", {"flag": True})
+        assert [r["v"] for r in gotb.collect()] == [1]
+        shutil.rmtree(out + "_b", ignore_errors=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_empty_prune_schema_matches_nonempty(spark, sf_dir):
+    """The zero-files-kept path must return the DATA schema — no
+    inferred g=/shadow partition columns — even on compacted tables."""
+    import shutil
+    import tempfile
+
+    from ml_pipelines_spark.operators.partspec import (
+        compact_spec_snapshot,
+    )
+    from ml_pipelines_spark.queries.relational import t as _t
+
+    out = tempfile.mkdtemp(prefix="partspec_empty_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        write_spec_snapshot(orders, out, ["o_orderstatus"])
+        compact_spec_snapshot(spark, out)
+        empty = read_spec_pruned(spark, out, {"o_orderstatus": "ZZ"})
+        full = read_spec_pruned(spark, out, {"o_orderstatus": "O"})
+        assert empty.count() == 0
+        assert empty.columns == full.columns
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
