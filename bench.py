@@ -372,6 +372,12 @@ HEADLINE = [
     "partition_spec_band_scan",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
+    # round 9: the reference's image_sampler lifecycle composed
+    # end-to-end (semi-join -> tag collect -> skip anti-join -> hash
+    # split -> per-split counts + in-plan leakage invariant)
+    "e1_training_assembly",
+    # round 9: Holt double-exponential smoothing per event type
+    "holt_linear_forecast",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

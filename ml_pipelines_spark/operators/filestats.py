@@ -43,6 +43,7 @@ from .manifest import (
     _delete_keys,
     _file_origin,
     _manifest_rows,
+    _sidecar_exists,
 )
 
 _BLOOM_SEED = 0x9E3779B9
@@ -61,15 +62,17 @@ def write_file_stats(
     manifest, _ = _manifest_rows(spark, path, version)
     files = [r["file"] for r in manifest]
     done: set[tuple[str, str]] = set()
-    try:
+    # Existence-probe the sidecar instead of catching the read error:
+    # "no sidecar yet" is a filesystem fact, and a sidecar that EXISTS
+    # but fails to read is corruption that must surface, not silently
+    # degrade into duplicate stats rows (manifest._sidecar_exists).
+    if _sidecar_exists(spark, path, "_filestats"):
         for r in (
             spark.read.parquet(f"{path}/_filestats")
             .select("file", "col")
             .collect()
         ):
             done.add((r["file"], r["col"]))
-    except Exception:
-        pass
     todo = [
         f for f in files if any((f, c) not in done for c in cols)
     ]
@@ -128,15 +131,15 @@ def read_pruned_stats(
     if not files:
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     bounds: dict[str, tuple[float, float]] = {}
-    try:
+    # Existence probe, not exception-as-control-flow: a corrupted
+    # sidecar raises instead of silently reading every file.
+    if _sidecar_exists(spark, path, "_filestats"):
         for r in (
             spark.read.parquet(f"{path}/_filestats")
             .filter(F.col("col") == col)
             .collect()
         ):
             bounds[r["file"]] = (r["min_d"], r["max_d"])
-    except Exception:
-        pass
     keep = [
         f
         for f in files
@@ -217,7 +220,8 @@ def write_file_bloom(
     manifest, _ = _manifest_rows(spark, path, version)
     files = [r["file"] for r in manifest]
     done: set[str] = set()
-    try:
+    # Existence probe, not exception-as-control-flow (see write_file_stats).
+    if _sidecar_exists(spark, path, "_filebloom"):
         for r in (
             spark.read.parquet(f"{path}/_filebloom")
             .filter(
@@ -229,8 +233,6 @@ def write_file_bloom(
             .collect()
         ):
             done.add(r["file"])
-    except Exception:
-        pass
     todo = [f for f in files if f not in done]
     if not todo:
         return 0
@@ -292,7 +294,8 @@ def point_lookup(
     positions = [int(probe[i]) for i in range(num_hashes)]
     indexed: set[str] = set()
     hit: set[str] = set()
-    try:
+    # Existence probe, not exception-as-control-flow (see write_file_stats).
+    if _sidecar_exists(spark, path, "_filebloom"):
         cond = F.lit(True)
         for p in positions:
             cond = cond & F.array_contains("positions", p)
@@ -310,8 +313,6 @@ def point_lookup(
             indexed.add(r["file"])
             if r["hit"]:
                 hit.add(r["file"])
-    except Exception:
-        pass
     keep = [f for f in files if f not in indexed or f in hit]
     eq = F.col(col) == F.lit(value)
     if not keep:
@@ -442,15 +443,14 @@ def read_pruned_rect(
     if not files:
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     bounds: dict[tuple[str, str], tuple[float, float]] = {}
-    try:
+    # Existence probe, not exception-as-control-flow (see write_file_stats).
+    if _sidecar_exists(spark, path, "_filestats"):
         for r in (
             spark.read.parquet(f"{path}/_filestats")
             .filter(F.col("col").isin([band_a[0], band_b[0]]))
             .collect()
         ):
             bounds[(r["file"], r["col"])] = (r["min_d"], r["max_d"])
-    except Exception:
-        pass
 
     def _ok(f: str, col: str, lo: float, hi: float) -> bool:
         b = bounds.get((f, col))

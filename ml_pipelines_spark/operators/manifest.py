@@ -44,6 +44,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """An optimistic commit lost its version-claim race and exhausted
+    its retries (Iceberg's CommitFailedException shape). The table is
+    consistent — the caller may re-plan and retry, or run
+    ``sweep_orphan_versions`` if a crashed writer left an unmanifested
+    ``v=N`` directory wedging the claim."""
+
+
+def _is_path_exists_error(e: Exception) -> bool:
+    """True when a write failed because the target path already exists
+    — the version-claim collision signal under ``errorifexists``
+    (Spark 4 raises [PATH_ALREADY_EXISTS]; older builds phrase it
+    'already exists')."""
+    s = str(e)
+    return "PATH_ALREADY_EXISTS" in s or "already exists" in s
 
 
 def versions(spark: SparkSession, path: str) -> list[int]:
@@ -205,6 +223,7 @@ def append_snapshot(
     path: str,
     sort_col: str,
     num_files: int = 4,
+    max_retries: int = 3,
 ) -> int:
     """Append ``df`` to the table as a new snapshot WITHOUT rewriting
     existing data: only the new rows land as files (under the new
@@ -212,20 +231,44 @@ def append_snapshot(
     rows PLUS the new files' zone-map rows. This is the table-format
     append — at 100 TB an ingest batch costs the batch, never the
     table, and readers of older versions are untouched. Returns the new
-    version."""
+    version.
+
+    Optimistic concurrency (Iceberg commit semantics): the version id
+    is CLAIMED by the ``errorifexists`` data-directory write. Two
+    writers racing to ``v=N+1`` — the loser's write fails on the
+    existing path, the latest version is re-read, and the append is
+    retried against the advanced table (appends always commute, so the
+    retry needs no re-validation). A claim that keeps failing without
+    the manifest advancing (a crashed writer's orphan directory) raises
+    ``CommitConflict`` after ``max_retries`` — ``sweep_orphan_versions``
+    unwedges that table."""
     spark = df.sparkSession
-    try:
-        prev = versions(spark, path)[-1]
-    except Exception:
-        prev = None
-    version = (prev or 0) + 1
-    data_dir = f"{path}/v={version}"
-    (
-        df.repartitionByRange(num_files, sort_col)
-        .sortWithinPartitions(sort_col)
-        .write.mode("errorifexists")
-        .parquet(data_dir)
-    )
+    for _attempt in range(max_retries + 1):
+        try:
+            prev = versions(spark, path)[-1]
+        except Exception:
+            prev = None
+        version = (prev or 0) + 1
+        data_dir = f"{path}/v={version}"
+        try:
+            (
+                df.repartitionByRange(num_files, sort_col)
+                .sortWithinPartitions(sort_col)
+                .write.mode("errorifexists")
+                .parquet(data_dir)
+            )
+            break
+        except Exception as e:
+            if not _is_path_exists_error(e):
+                raise
+            if _attempt == max_retries:
+                raise CommitConflict(
+                    f"append to {path} lost the claim for v={version} "
+                    f"{max_retries + 1} times; if no writer is active, "
+                    "a crashed commit left an orphan directory — run "
+                    "sweep_orphan_versions"
+                ) from e
+            # another writer claimed this version; re-read and retry
     new_rows = (
         spark.read.parquet(data_dir)
         .select(
@@ -335,45 +378,65 @@ def merge_snapshot(
     a shuffle per MERGE to save rewrites the tombstone path avoids for
     free.
     """
-    manifest, prev = _manifest_rows(spark, path, None)
     bounds = updates.agg(
         F.min(sort_col).alias("lo"), F.max(sort_col).alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
-    touched = [
-        r for r in manifest if not (r["max_v"] < lo or r["min_v"] > hi)
-    ]
-    carried = [
-        r for r in manifest if (r["max_v"] < lo or r["min_v"] > hi)
-    ]
-    version = prev + 1
-    data_dir = f"{path}/v={version}"
-    if touched:
-        touched_files = [r["file"] for r in touched]
-        old_rows = spark.read.parquet(*touched_files)
-        dels = _delete_keys(
-            spark,
-            path,
-            prev,
-            min_origin=min(_file_origin(f) for f in touched_files),
-        )
-        if dels is not None:
-            # honor tombstones: a rewrite must not resurrect deleted
-            # rows — origin-scoped, so a key re-inserted after its
-            # delete is NOT re-killed here
-            old_rows = _apply_tombstones(old_rows, dels, sort_col)
-        survivors = old_rows.join(
-            updates.select(sort_col).distinct(), sort_col, "left_anti"
-        )
-        merged = survivors.unionByName(updates)
-    else:
-        merged = updates
-    (
-        merged.repartitionByRange(num_files, sort_col)
-        .sortWithinPartitions(sort_col)
-        .write.mode("errorifexists")
-        .parquet(data_dir)
-    )
+    # Optimistic concurrency: unlike appends, a merge that loses its
+    # version claim cannot blindly retry — the winner may have changed
+    # the very files this merge planned to rewrite. The retry therefore
+    # RE-PLANS from the advanced manifest (re-prune, re-read tombstones)
+    # — that re-plan IS Iceberg's commit re-validation for
+    # copy-on-write.
+    max_retries = 3
+    for _attempt in range(max_retries + 1):
+        manifest, prev = _manifest_rows(spark, path, None)
+        touched = [
+            r for r in manifest if not (r["max_v"] < lo or r["min_v"] > hi)
+        ]
+        carried = [
+            r for r in manifest if (r["max_v"] < lo or r["min_v"] > hi)
+        ]
+        version = prev + 1
+        data_dir = f"{path}/v={version}"
+        if touched:
+            touched_files = [r["file"] for r in touched]
+            old_rows = spark.read.parquet(*touched_files)
+            dels = _delete_keys(
+                spark,
+                path,
+                prev,
+                min_origin=min(_file_origin(f) for f in touched_files),
+            )
+            if dels is not None:
+                # honor tombstones: a rewrite must not resurrect deleted
+                # rows — origin-scoped, so a key re-inserted after its
+                # delete is NOT re-killed here
+                old_rows = _apply_tombstones(old_rows, dels, sort_col)
+            survivors = old_rows.join(
+                updates.select(sort_col).distinct(), sort_col, "left_anti"
+            )
+            merged = survivors.unionByName(updates)
+        else:
+            merged = updates
+        try:
+            (
+                merged.repartitionByRange(num_files, sort_col)
+                .sortWithinPartitions(sort_col)
+                .write.mode("errorifexists")
+                .parquet(data_dir)
+            )
+            break
+        except Exception as e:
+            if not _is_path_exists_error(e):
+                raise
+            if _attempt == max_retries:
+                raise CommitConflict(
+                    f"merge into {path} lost the claim for v={version} "
+                    f"{max_retries + 1} times; if no writer is active, "
+                    "run sweep_orphan_versions"
+                ) from e
+            # version claimed by a concurrent writer — re-plan and retry
     new_rows = (
         spark.read.parquet(data_dir)
         .select(
@@ -1194,9 +1257,25 @@ def stage_branch(
         )
         .withColumn("base_v", F.lit(base))
     )
-    rows.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_branches/{branch}/manifest"
-    )
+    # One aggregate pass: the zone map is O(num_files) rows, so collect
+    # it (the same driver-planning bound every manifest operation has),
+    # guard emptiness, and write the manifest from the collected rows.
+    rows_local = rows.collect()
+    if not rows_local:
+        # A zero-row staged manifest would make publish_branch publish
+        # nothing (or crash) — fail at stage time where the caller can
+        # see which DataFrame was empty.
+        fs, jvm = _fs(spark, path)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/_branches/{branch}"),
+            True,
+        )
+        raise ValueError(
+            f"empty branch {branch!r}: staged DataFrame has no rows"
+        )
+    spark.createDataFrame(rows_local, rows.schema).coalesce(1).write.mode(
+        "errorifexists"
+    ).parquet(f"{path}/_branches/{branch}/manifest")
     return base
 
 
@@ -1210,10 +1289,16 @@ def publish_branch(
     file's [min,max] key interval is disjoint from the branch's files
     (the append commutes — data dir renamed into place, manifest merged
     on top of the REAL latest), and ``(None, "conflict")`` when an
-    interval overlaps (the branch stays staged for abort/retry)."""
-    staged = spark.read.parquet(
-        f"{path}/_branches/{branch}/manifest"
-    ).collect()
+    interval overlaps OR another publisher claimed the target version
+    first (the branch stays staged for abort/retry)."""
+    staged_df = spark.read.parquet(f"{path}/_branches/{branch}/manifest")
+    staged = staged_df.collect()
+    if not staged:
+        # Defense for branches staged by older code (stage_branch now
+        # rejects empty DataFrames at stage time).
+        raise ValueError(
+            f"empty branch {branch!r}: staged manifest has no rows"
+        )
     base = int(staged[0]["base_v"])
     try:
         latest = versions(spark, path)[-1]
@@ -1240,8 +1325,25 @@ def publish_branch(
 
     src = f"{path}/_branches/{branch}/data"
     dst = f"{path}/v={new_v}"
+    if fs.exists(_p(dst)):
+        # Another publisher claimed v=new_v between our validation and
+        # the rename — the optimistic-commit loser. The branch stays
+        # staged; the caller re-invokes publish_branch, which
+        # re-validates against the NEW latest and retries (or runs
+        # sweep_orphan_versions first if the claimer crashed before
+        # writing its manifest).
+        return None, "conflict"
     if not fs.rename(_p(src), _p(dst)):
+        if fs.exists(_p(dst)):
+            return None, "conflict"
         raise IOError(f"branch data rename failed for {branch}")
+    # Hadoop rename into a directory that appeared between the exists
+    # check and the rename NESTS src under dst (POSIX mv semantics)
+    # instead of failing — undo and report the conflict.
+    nested = _p(f"{dst}/data")
+    if fs.exists(nested):
+        fs.rename(nested, _p(src))
+        return None, "conflict"
     moved = [
         (
             s["file"].replace("/_branches/" + branch + "/data/", f"/v={new_v}/"),
@@ -1251,8 +1353,19 @@ def publish_branch(
         )
         for s in staged
     ]
+    # Derive the zone-map schema from what stage_branch actually wrote
+    # (min_v/max_v carry the sort column's own type — a string- or
+    # date-keyed table must not be coerced to bigint here).
     new_rows = spark.createDataFrame(
-        moved, "file string, min_v bigint, max_v bigint, n_rows bigint"
+        moved,
+        StructType(
+            [
+                staged_df.schema["file"],
+                staged_df.schema["min_v"],
+                staged_df.schema["max_v"],
+                staged_df.schema["n_rows"],
+            ]
+        ),
     )
     if latest > 0:
         carried = (
@@ -1275,6 +1388,37 @@ def abort_branch(spark: SparkSession, path: str, branch: str) -> None:
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(f"{path}/_branches/{branch}"), True
     )
+
+
+def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
+    """Delete ``v=N`` data directories that have NO matching manifest —
+    the wreckage of a writer that crashed between claiming its version
+    (the data write/rename) and committing its manifest. Such an orphan
+    permanently wedges the table: every subsequent commit targets the
+    same N and loses the ``errorifexists`` claim. This is the
+    Iceberg ``remove_orphan_files`` maintenance action; run it only
+    when no writer is in flight (an active writer's claimed-but-not-
+    yet-committed version looks identical to an orphan). Returns the
+    swept version numbers."""
+    fs, jvm = _fs(spark, path)
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    committed: set[int] = set()
+    if _sidecar_exists(spark, path, "_manifest"):
+        committed = set(versions(spark, path))
+    swept: list[int] = []
+    for status in fs.globStatus(_p(f"{path}/v=*")) or []:
+        name = status.getPath().getName()
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if v not in committed:
+            fs.delete(status.getPath(), True)
+            swept.append(v)
+    return sorted(swept)
 
 
 def snapshot_row_count(

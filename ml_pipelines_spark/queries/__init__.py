@@ -47,6 +47,7 @@ from . import recsys  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
 from . import journeys  # noqa: E402,F401
 from . import formats  # noqa: E402,F401
+from . import pipelines  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness hashes the FIRST 50
@@ -191,69 +192,110 @@ from . import formats  # noqa: E402,F401
 # spec table: one version per micro-batch via the idempotent
 # foreachBatch ledger, read back through both prunings) — all round-8
 # registrations.
+# ---------------------------------------------------------------------------
+# EVIDENCE-AGE SLAs (adopted round 9; VERDICT r08 item 2). With 283
+# registered queries and a 50-slot window, the original "every query
+# every 3 rounds" promise is arithmetically impossible (283/50 ≈ a
+# 6-round full cycle). The standing rotation above keeps its four rules
+# but the staleness bound is now TIERED, enforced mechanically by
+# tests/test_registry_window.py against the CORRECTNESS_r*.json history
+# in the repo root:
+#
+#   - FAMILY SLA (3 rounds): every operator family (= the registering
+#     queries/ module, registry.FAMILIES) must have at least one member
+#     whose driver evidence is at most 3 rounds old, counting the
+#     current window as this round's evidence. One fresh representative
+#     per family bounds how stale a whole operator class can get.
+#   - QUERY SLA (7 rounds): every individual query must re-earn a
+#     driver row at least once per 7 rounds. Capacity check: 283/7 ≈ 41
+#     slots/round for the query SLA, and the ~33 families need ≈ 11
+#     slots/round, largely overlapping — comfortably inside 50 with
+#     slack for rule-1 (new registrations) and rule-2 (re-evidence).
+#   - Rule 1/2/3 of the standing rotation are unchanged and outrank
+#     the SLA fill (rule 4 = SLA pressure, oldest first).
+#
+# Local DuckDB parity still covers ALL queries every pytest run; the
+# SLAs bound only the freshness of the DRIVER's independent evidence.
+# ---------------------------------------------------------------------------
+# Round-9 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: the 21 round-8 registrations
+#     listed above, plus the TWO new round-9 registrations
+#     (e1_training_assembly — the reference's image_sampler lifecycle
+#     composed end-to-end with the leakage invariant asserted in-plan;
+#     holt_linear_forecast — Holt double-exponential smoothing with a
+#     recursive-CTE serial-fold oracle).
+# (b) rule 2 — code touched this round: append_snapshot/merge_snapshot
+#     gained optimistic-commit retry loops (VERDICT item 5 + ADVICE) →
+#     table_format_lifecycle, table_change_feed re-evidence through the
+#     changed write paths. The filestats sidecar-probe change and the
+#     publish_branch conflict path re-evidence through rule-1 members
+#     (manifest_stats_scan, manifest_bloom_lookup, zorder_rectangle_scan,
+#     wap_branch_publish_audit); the unigram oracle guard through
+#     unigram_tokenizer_train/unigram_token_counts (also rule 1).
+# (c) the flagship.
+# (d) rule 4 — 24 slots: the entire round-3 evidence tail (23 queries,
+#     displaced since round 7) and coco_records (r4, export family —
+#     family-balanced pick). Remaining r4 evidence (44 queries) ages to
+#     5 rounds, inside the 7-round query SLA; every family keeps a ≤3
+#     round representative (asserted by the SLA test).
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
-    # (a) rule 1: TPC-H shapes registered round 7
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_dominant_suppliers",
-    # (a) rule 1: table format + manifest + IVM (also rule 2 — the
-    # ADVICE tombstone fix re-evidences through these rows)
+    # (a) rule 1: table lifecycle / manifest / spec-table block (r8)
+    "manifest_two_tier_scan",
+    "schema_evolution_orders",
+    "table_restore_orders",
+    "table_expire_maintenance",
+    "manifest_stats_scan",
+    "manifest_bloom_lookup",
+    "zorder_rectangle_scan",
+    "partition_spec_evolution_scan",
+    "partition_spec_band_scan",
+    "gdpr_erasure_audit",
+    "wap_branch_publish_audit",
+    "stream_spec_ingest_replay",
+    "orc_roundtrip_docs",
+    # (a) rule 1: tokenizer / search / ANN / AQP / funnel block (r8)
+    "unigram_tokenizer_train",
+    "unigram_token_counts",
+    "search_eval_ndcg",
+    "curation_funnel_audit",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_incremental",
+    "aqp_revenue_estimate",
+    "sequence_match_funnel",
+    # (a) rule 1: round-9 registrations
+    "e1_training_assembly",
+    "holt_linear_forecast",
+    # (b) rule 2: optimistic-commit retry landed in append/merge paths
     "table_format_lifecycle",
     "table_change_feed",
-    "manifest_pruned_scan",
-    "incremental_join_view",
-    # (a) rule 1: streaming replays + lateness audit
-    "stream_table_ingest_replay",
-    "stream_outer_join_replay",
-    "stream_timeout_sessions_replay",
-    "watermark_lateness_audit",
-    # (a) rule 1: dedup/ANN evaluation + text/LM + privacy (rule 2
-    # coincides: invindex fix → indexed_term_lookup, bpe lineage fix →
-    # bpe_train_merges)
-    "dedup_recall_eval",
-    "ann_recall_eval",
-    "prefix_jaccard_pairs",
-    "hard_negative_mining",
-    "kneser_ney_bigrams",
-    "bpe_train_merges",
-    "indexed_term_lookup",
-    "dp_noisy_lang_counts",
-    "k_anonymity_audit",
-    # (a) rule 1: export + feature engineering + validation (rule 2
-    # coincides: webdataset atomic-write fix)
-    "webdataset_export_manifest",
-    "variant_props_extract",
-    "temporal_cv_folds",
-    "target_encode_segments",
-    "feature_ablation_importance",
-    "psi_drift_orders",
-    "histogram_equi_depth",
-    # (a) rule 1: statistics / causal / time-series family
-    "ks_test_segments",
-    "mannwhitney_segments",
-    "moments_by_segment",
-    "diff_in_diff_value",
-    "cuped_adjusted_lift",
-    "quantile_treatment_effects",
-    "cusum_change_points",
-    "conformal_forecast_band",
-    "gini_revenue_concentration",
-    "benford_first_digit",
-    "kaplan_meier_churn",
-    "acf_daily_revenue",
-    "theil_sen_daily_trend",
-    # (a) rule 1: sketches + graph + recsys
-    "kmv_set_ops_users",
-    "decayed_popularity",
-    "link_prediction_copurchase",
-    "shortest_path_copurchase",
-    "als_matrix_factorization",
+    # (d) rule 4: the complete round-3 evidence tail, oldest first
+    "window_lag",
+    "last_per_key",
+    "interp_gap_fill",
+    "forward_fill",
+    "rolling_avg_value",
+    "seg_bbox",
+    "aabb_poly",
+    "yolo_norm",
+    "rbb_from_seg",
+    "track_interpolation",
+    "grouped_quantile_udaf",
+    "asof_join_events",
+    "range_join_events",
+    "sequence_pack_docs",
+    "pack_bins_ffd",
+    "validate_lineitem",
+    "profile_orders",
+    "top_sources",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_quantized_topk",
+    "embedding_near_dup",
+    "embedding_centroids",
+    # (d) rule 4: r4 family-balanced pick (export)
+    "coco_records",
 ]
 
 

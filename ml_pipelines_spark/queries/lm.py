@@ -265,8 +265,18 @@ vocab{rnext} AS (
     r2 = round_tmpl.format(r=2, rnext=3, vocab="vocab2", keep=keep)
     return f"""
     WITH RECURSIVE
+    -- GUARD: the recursive segmentation CTEs below enumerate EVERY
+    -- piece path per word — exponential in word length (~2^(L-1) when
+    -- single chars cover). The oracle is therefore only usable while
+    -- words stay short (corpus max today: 8 chars). A corpus change
+    -- that introduces a word past the bound must fail LOUDLY here, not
+    -- hang the correctness harness.
     words AS (
-      SELECT word, COUNT(*) AS wcount FROM (
+      SELECT CASE WHEN length(word) > 16 THEN error(
+                 'unigram oracle: word longer than 16 chars would '
+                 || 'explode the recursive segmentation CTE: ' || word)
+             ELSE word END AS word,
+             COUNT(*) AS wcount FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
       ) WHERE length(word) > 0 GROUP BY word
     ),

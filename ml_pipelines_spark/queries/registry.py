@@ -12,6 +12,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# query name -> operator family (the registering module's basename).
+# The evidence-rotation SLAs (queries/__init__.py round-9 note,
+# tests/test_registry_window.py) are enforced per family: every family
+# must keep at least one member with fresh driver evidence.
+FAMILIES: dict[str, str] = {}
+
 # Oracle strength is NOT uniform, and claiming otherwise would overstate
 # the evidence (ADVICE round 3). Three classes:
 #   1. cross-engine value oracles (the default): DuckDB re-derives every
@@ -56,6 +62,7 @@ def query(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
+        FAMILIES[name] = fn.__module__.rsplit(".", 1)[-1]
         if sql is not None:
             ORACLES[name] = sql
         return fn

@@ -1,0 +1,176 @@
+"""Concurrent-writer torture for the table layer (VERDICT r08 item 5).
+
+Two unstaged writers racing `append_snapshot`/`merge_snapshot` to the
+same version id must resolve like Iceberg's optimistic commit: the
+data-directory write IS the version claim (errorifexists), the loser
+re-reads latest and retries (appends commute; merges RE-PLAN against
+the advanced manifest), and no snapshot is lost. A crashed writer's
+claimed-but-unmanifested directory is the one thing that wedges the
+claim — `sweep_orphan_versions` clears it.
+
+The race is simulated deterministically: writer B's first `versions()`
+read is forced stale (monkeypatched to the value it would have read
+before writer A committed), so B's first claim collides exactly as a
+real interleaving would.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators import manifest as M
+from ml_pipelines_spark.operators.manifest import (
+    CommitConflict,
+    append_snapshot,
+    merge_snapshot,
+    publish_branch,
+    read_snapshot,
+    stage_branch,
+    sweep_orphan_versions,
+    versions,
+    write_manifest_table,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    out = tempfile.mkdtemp(prefix="concurrency_test_")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    write_manifest_table(base, out, "k", num_files=2)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _rows(spark, lo, hi, mult=2):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * mult).alias("val")
+    )
+
+
+def _stale_versions_once(monkeypatch, stale: list[int]):
+    """Force the next versions() call to return a stale snapshot list —
+    the read a slow writer took before a fast writer committed."""
+    real = M.versions
+    state = {"used": False}
+
+    def fake(spark, path):
+        if not state["used"]:
+            state["used"] = True
+            return list(stale)
+        return real(spark, path)
+
+    monkeypatch.setattr(M, "versions", fake)
+
+
+def test_append_claim_collision_retries(spark, table, monkeypatch):
+    # Writer A commits v=2 normally.
+    assert append_snapshot(_rows(spark, 100, 150), table, "k") == 2
+    # Writer B read versions() BEFORE A committed (stale [1]), so its
+    # first claim targets v=2 and loses the errorifexists race; the
+    # retry re-reads latest and lands v=3. No snapshot lost.
+    _stale_versions_once(monkeypatch, [1])
+    assert append_snapshot(_rows(spark, 200, 250), table, "k") == 3
+    assert versions(spark, table) == [1, 2, 3]
+    assert read_snapshot(spark, table).count() == 200
+    # every committed version has a matching manifest (consistency)
+    assert sweep_orphan_versions(spark, table) == []
+
+
+def test_merge_claim_collision_replans(spark, table, monkeypatch):
+    # Writer A merges an upsert of keys 0-9 (val*10), landing v=2.
+    assert merge_snapshot(spark, table, "k", _rows(spark, 0, 10, 10)) == 2
+    # Writer B planned its merge against the PRE-A manifest; the claim
+    # for v=2 collides and the retry must RE-PLAN from v=2 — otherwise
+    # it would rewrite A's files from stale inputs and resurrect the
+    # old values of keys 0-9.
+    stale_manifest = M._manifest_rows(spark, table, 1)
+
+    real_rows = M._manifest_rows
+    state = {"used": False}
+
+    def fake_rows(spark_, path_, version_):
+        if not state["used"] and version_ is None:
+            state["used"] = True
+            return stale_manifest
+        return real_rows(spark_, path_, version_)
+
+    monkeypatch.setattr(M, "_manifest_rows", fake_rows)
+    assert merge_snapshot(spark, table, "k", _rows(spark, 50, 60, 100)) == 3
+    out = {
+        r["k"]: r["val"] for r in read_snapshot(spark, table).collect()
+    }
+    assert len(out) == 100
+    assert out[5] == 50  # A's upsert survived B's re-planned rewrite
+    assert out[55] == 5500  # B's upsert applied
+    assert out[80] == 160  # untouched keys intact
+
+
+def test_append_conflict_exhausts_retries_on_orphan(spark, table):
+    # A crashed writer claimed v=2 (data dir present) but never wrote
+    # its manifest: every later claim targets v=2 and must fail with a
+    # clear CommitConflict, not a raw path error.
+    _rows(spark, 100, 110).write.parquet(f"{table}/v=2")
+    with pytest.raises(CommitConflict, match="sweep_orphan_versions"):
+        append_snapshot(_rows(spark, 100, 150), table, "k")
+    # The sweep clears exactly the orphan, after which the append lands.
+    assert sweep_orphan_versions(spark, table) == [2]
+    assert append_snapshot(_rows(spark, 100, 150), table, "k") == 2
+    assert read_snapshot(spark, table).count() == 150
+
+
+def test_publish_branch_rename_loser_gets_conflict(spark, table, monkeypatch):
+    # Both branches validate against latest=1, both target v=2; the
+    # rename loser must receive a retryable "conflict", not an IOError.
+    stage_branch(_rows(spark, 100, 150), table, "k", "a")
+    stage_branch(_rows(spark, 200, 240), table, "k", "b")
+    assert publish_branch(spark, table, "a") == (2, "published")
+    # Force b's publish to validate against a STALE latest (pre-a), so
+    # it proceeds to claim v=2 — exactly the two-publisher race.
+    _stale_versions_once(monkeypatch, [1])
+    assert publish_branch(spark, table, "b") == (None, "conflict")
+    # branch b stayed staged; a plain retry now validates against the
+    # real latest and rebases onto v=3.
+    assert publish_branch(spark, table, "b") == (3, "rebased")
+    assert read_snapshot(spark, table).count() == 190
+
+
+def test_stage_branch_rejects_empty(spark, table):
+    empty = _rows(spark, 0, 10).filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty branch"):
+        stage_branch(empty, table, "k", "nothing")
+    # the aborted stage left no branch dir behind
+    import os
+
+    assert not os.path.exists(f"{table}/_branches/nothing")
+
+
+def test_string_keyed_branch_publishes(spark, table):
+    # ADVICE r08: publish_branch hardcoded bigint zone-map bounds; a
+    # string-keyed table must stage AND publish with string bounds.
+    out = tempfile.mkdtemp(prefix="concurrency_strkey_")
+    try:
+        base = spark.range(0, 50).select(
+            F.format_string("key_%03d", F.col("id")).alias("k"),
+            F.col("id").alias("val"),
+        )
+        write_manifest_table(base, out, "k", num_files=2)
+        more = spark.range(50, 80).select(
+            F.format_string("key_%03d", F.col("id")).alias("k"),
+            F.col("id").alias("val"),
+        )
+        stage_branch(more, out, "k", "s")
+        assert publish_branch(spark, out, "s") == (2, "published")
+        snap = read_snapshot(spark, out)
+        assert snap.count() == 80
+        man = spark.read.parquet(f"{out}/_manifest").filter(F.col("v") == 2)
+        kinds = {f.dataType.simpleString() for f in man.schema.fields
+                 if f.name in ("min_v", "max_v")}
+        assert kinds == {"string"}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

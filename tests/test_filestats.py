@@ -163,3 +163,32 @@ def test_zordered_manifest_two_axis_prune(spark):
         assert got_b == list(range(0, 8 * 64))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corrupt_sidecar_raises_loudly(spark):
+    """A sidecar that EXISTS but cannot be read is corruption and must
+    surface as an error — not silently degrade into a full-table read
+    (read path) or duplicate stats rows (write path)."""
+    import os
+
+    import pytest
+
+    d = tempfile.mkdtemp(prefix="mlps_filestats_corrupt_")
+    try:
+        _table(spark, d)
+        os.makedirs(f"{d}/_filestats")
+        with open(f"{d}/_filestats/part-garbage.parquet", "wb") as f:
+            f.write(b"this is not parquet")
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            read_pruned_stats(spark, d, "ts2", 200, 300).collect()
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            write_file_stats(spark, d, ["ts2"])
+        os.makedirs(f"{d}/_filebloom")
+        with open(f"{d}/_filebloom/part-garbage.parquet", "wb") as f:
+            f.write(b"junk either")
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            point_lookup(spark, d, "grp", 3).collect()
+        with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+            write_file_bloom(spark, d, "grp")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,13 +1,57 @@
-"""Registration-order guard: the driver's correctness harness hashes the
-FIRST 50 registered queries, so ordering is part of the product contract
-(queries/__init__.py:_CHECK_FIRST). These tests fail loudly if an edit
-silently rotates a family out of the checked window.
+"""Registration-order guard + evidence-age SLAs.
+
+The driver's correctness harness hashes the FIRST 50 registered queries,
+so ordering is part of the product contract (queries/__init__.py:
+_CHECK_FIRST). Round 9 replaced the impossible "everything every 3
+rounds" promise (283 queries / 50 slots) with tiered SLAs, enforced
+here MECHANICALLY against the CORRECTNESS_r*.json history in the repo
+root:
+
+- rule 1: queries with no driver evidence at all must be in the window;
+- FAMILY SLA (3): every operator family keeps >=1 member with evidence
+  at most 3 rounds old (the current window counts as this round's);
+- QUERY SLA (7): no individual query's evidence ages past 7 rounds.
+
+A future round that builds a window violating any of these fails CI,
+which is the point: the schedule enforces itself.
 """
 
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
+
 from ml_pipelines_spark.queries import ORACLES, QUERIES
 from ml_pipelines_spark.queries.__init__ import _CHECK_FIRST
+from ml_pipelines_spark.queries.registry import FAMILIES
+
+REPO = Path(__file__).resolve().parent.parent
+
+FAMILY_SLA = 3
+QUERY_SLA = 7
+
+
+def _evidence() -> tuple[dict[str, int], int]:
+    """{query -> newest green driver round}, and the CURRENT round
+    (newest recorded round + 1 — the round whose window _CHECK_FIRST
+    is). A row is green when it has no error, or when its only "error"
+    is the rows-only marker the driver writes for oracle-less queries
+    (err == 'no_oracle' with a row count)."""
+    last: dict[str, int] = {}
+    newest = 0
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        for name, row in json.loads(f.read_text()).items():
+            err = row.get("err")
+            green = err is None or (
+                err == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last, newest + 1
 
 
 def test_check_first_is_the_window():
@@ -15,84 +59,52 @@ def test_check_first_is_the_window():
     assert len(_CHECK_FIRST) == 50
 
 
-# Round-8 window contract: rule 1 (never driver-checked) holds EXACTLY 49
-# queries — every round-7 second/third-wave registration — which together
-# with the flagship fills the window with zero slack. Rule 2 coincides
-# with rule 1 this round (the ADVICE fixes touch manifest/invindex/
-# webdataset/lm, whose queries are all rule-1 members). The round-7
-# swap_cache re-evidence and the displaced ANN/window/geometry rule-4
-# tail carry to round 9 with local pytest parity in the meantime.
-ROUND8_NEVER_CHECKED = [
-    # TPC-H shapes
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_dominant_suppliers",
-    # table format + manifest + IVM
-    "table_format_lifecycle",
-    "table_change_feed",
-    "manifest_pruned_scan",
-    "incremental_join_view",
-    # streaming replays + lateness audit
-    "stream_table_ingest_replay",
-    "stream_outer_join_replay",
-    "stream_timeout_sessions_replay",
-    "watermark_lateness_audit",
-    # dedup/ANN evaluation + text/LM + privacy
-    "dedup_recall_eval",
-    "ann_recall_eval",
-    "prefix_jaccard_pairs",
-    "hard_negative_mining",
-    "kneser_ney_bigrams",
-    "bpe_train_merges",
-    "indexed_term_lookup",
-    "dp_noisy_lang_counts",
-    "k_anonymity_audit",
-    # export + feature engineering + validation
-    "webdataset_export_manifest",
-    "variant_props_extract",
-    "temporal_cv_folds",
-    "target_encode_segments",
-    "feature_ablation_importance",
-    "psi_drift_orders",
-    "histogram_equi_depth",
-    # statistics / causal / time-series
-    "ks_test_segments",
-    "mannwhitney_segments",
-    "moments_by_segment",
-    "diff_in_diff_value",
-    "cuped_adjusted_lift",
-    "quantile_treatment_effects",
-    "cusum_change_points",
-    "conformal_forecast_band",
-    "gini_revenue_concentration",
-    "benford_first_digit",
-    "kaplan_meier_churn",
-    "acf_daily_revenue",
-    "theil_sen_daily_trend",
-    # sketches + graph + recsys
-    "kmv_set_ops_users",
-    "decayed_popularity",
-    "link_prediction_copurchase",
-    "shortest_path_copurchase",
-    "als_matrix_factorization",
-]
+def test_flagship_rides_every_round():
+    assert _CHECK_FIRST[0] == "q1_pricing_summary"
 
 
-def test_window_covers_round8_priorities():
-    must_be_checked = ROUND8_NEVER_CHECKED + ["q1_pricing_summary"]
-    window = set(list(QUERIES)[:50])
-    missing = [n for n in must_be_checked if n not in window]
-    assert not missing, f"rotated out of the checked window: {missing}"
-    # zero-slack invariant: rule 1 + flagship IS the whole window
-    assert len(must_be_checked) == 50
-    assert set(must_be_checked) == window
+def test_rule1_never_checked_in_window():
+    last, _ = _evidence()
+    never = [q for q in QUERIES if q not in last]
+    window = set(_CHECK_FIRST)
+    missing = [q for q in never if q not in window]
+    assert not missing, (
+        f"queries with NO driver evidence left out of the window: {missing}"
+    )
+
+
+def test_query_sla_no_evidence_older_than_7_rounds():
+    last, current = _evidence()
+    window = set(_CHECK_FIRST)
+    # age AFTER this round lands: window members refresh to age 0
+    stale = sorted(
+        (current - last[q], q)
+        for q in QUERIES
+        if q in last and q not in window and current - last[q] > QUERY_SLA
+    )
+    assert not stale, (
+        f"queries whose driver evidence exceeds the {QUERY_SLA}-round "
+        f"SLA and are not in this round's window: {stale}"
+    )
+
+
+def test_family_sla_every_family_fresh_within_3_rounds():
+    last, current = _evidence()
+    window = set(_CHECK_FIRST)
+    worst: dict[str, int] = {}
+    for q in QUERIES:
+        fam = FAMILIES[q]
+        age = 0 if q in window else current - last.get(q, -(10**6))
+        worst[fam] = min(worst.get(fam, 10**6), age)
+    violations = {
+        fam: age for fam, age in worst.items() if age > FAMILY_SLA
+    }
+    assert not violations, (
+        f"families with no member fresher than {FAMILY_SLA} rounds: "
+        f"{violations}"
+    )
 
 
 def test_every_query_registered_and_oracle_subset():
     assert set(ORACLES) <= set(QUERIES)
-    # every name in the priority list actually exists
     assert set(_CHECK_FIRST) <= set(QUERIES)
