@@ -378,6 +378,9 @@ HEADLINE = [
     "e1_training_assembly",
     # round 9: Holt double-exponential smoothing per event type
     "holt_linear_forecast",
+    # round 9: named snapshot tags — time travel by name + GC
+    # protection through expire_snapshots
+    "table_tag_travel",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -172,12 +172,20 @@ def pruned_file_count(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Full read of one snapshot (latest when ``version`` is None) —
     through the manifest's FILE LIST, so snapshots composed by
     metadata-only appends (files living under several ``v=`` dirs)
-    read correctly."""
+    read correctly. ``ref`` reads the version a named tag points at
+    (time travel by name, Iceberg ``VERSION AS OF 'tag'``)."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version OR ref, not both")
+        version = resolve_ref(spark, path, ref)
     manifest, v = _manifest_rows(spark, path, version)
     files = [r["file"] for r in manifest]
     if not files:
@@ -264,9 +272,10 @@ def append_snapshot(
             if _attempt == max_retries:
                 raise CommitConflict(
                     f"append to {path} lost the claim for v={version} "
-                    f"{max_retries + 1} times; if no writer is active, "
-                    "a crashed commit left an orphan directory — run "
-                    "sweep_orphan_versions"
+                    f"{max_retries + 1} times; publish or abort any "
+                    "pending staged snapshot, or if no writer is "
+                    "active run sweep_orphan_versions (a crashed "
+                    "commit left an orphan directory)"
                 ) from e
             # another writer claimed this version; re-read and retry
     new_rows = (
@@ -926,6 +935,73 @@ def _visible_intervals(
     return intervals
 
 
+# ---------------------------------------------------------------------------
+# Named refs (Iceberg TAGS): durable names for snapshot versions. A tag
+# gives a version a stable handle ("prod", "eval-2024q3") for time
+# travel by name AND protects it from retention GC — expire_snapshots
+# keeps every tagged version regardless of keep_last, exactly
+# Iceberg's retention contract (a dataset release pinned by a tag must
+# outlive routine GC). Storage is an append-only parquet log under
+# ``_refs`` (name, version, seq): resolve = the highest-seq row per
+# name; a NULL-version row is a drop tombstone. Appends are tiny
+# 1-row metadata writes; resolution collects O(tag events) rows — the
+# same driver-planning bound as every manifest operation.
+# ---------------------------------------------------------------------------
+def _ref_log(spark: SparkSession, path: str) -> list:
+    if not _sidecar_exists(spark, path, "_refs"):
+        return []
+    return spark.read.parquet(f"{path}/_refs").collect()
+
+
+def tag_snapshot(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Tag ``version`` (default: latest) as ``name``. Re-tagging an
+    existing name moves it (last write wins). Returns the tagged
+    version."""
+    vs = versions(spark, path)
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise ValueError(f"no snapshot v={v} at {path} to tag")
+    log = _ref_log(spark, path)
+    seq = 1 + max((int(r["seq"]) for r in log), default=0)
+    spark.createDataFrame(
+        [(name, v, seq)], "name string, version bigint, seq bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_refs")
+    return v
+
+
+def drop_tag(spark: SparkSession, path: str, name: str) -> None:
+    """Remove a tag (appends a drop tombstone; the version it pointed
+    at becomes eligible for retention GC again)."""
+    if name not in list_tags(spark, path):
+        raise ValueError(f"no tag {name!r} at {path}")
+    log = _ref_log(spark, path)
+    seq = 1 + max((int(r["seq"]) for r in log), default=0)
+    spark.createDataFrame(
+        [(name, None, seq)], "name string, version bigint, seq bigint"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_refs")
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """{tag name -> version} for all live (non-dropped) tags."""
+    newest: dict[str, tuple[int, int | None]] = {}
+    for r in _ref_log(spark, path):
+        seq = int(r["seq"])
+        if r["name"] not in newest or seq > newest[r["name"]][0]:
+            v = None if r["version"] is None else int(r["version"])
+            newest[r["name"]] = (seq, v)
+    return {n: v for n, (_, v) in newest.items() if v is not None}
+
+
+def resolve_ref(spark: SparkSession, path: str, name: str) -> int:
+    """Version a tag points at; raises on unknown/dropped tags."""
+    tags = list_tags(spark, path)
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} at {path}")
+    return tags[name]
+
+
 def restore_snapshot(
     spark: SparkSession, path: str, source_version: int
 ) -> int:
@@ -989,13 +1065,19 @@ def expire_snapshots(
     can observe an effect from (every retained manifest's files are all
     newer) are purged too, bounding the delete-debt metadata.
 
+    TAGGED versions are always retained regardless of ``keep_last`` —
+    a named ref (``tag_snapshot``) pins a release against routine GC,
+    the Iceberg retention contract; dropping the tag re-exposes the
+    version to the next expire run.
+
     Planning is manifest-only (O(retained files) driver rows, the same
     bound as a read); deletion I/O is proportional to the bytes
     reclaimed. Returns ``(versions_expired, data_files_deleted)``."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     all_vs = versions(spark, path)
-    retained = all_vs[-keep_last:]
+    protected = set(list_tags(spark, path).values())
+    retained = sorted(set(all_vs[-keep_last:]) | (protected & set(all_vs)))
     expired = [v for v in all_vs if v not in retained]
     if not expired:
         return (0, 0)
@@ -1408,6 +1490,15 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
     committed: set[int] = set()
     if _sidecar_exists(spark, path, "_manifest"):
         committed = set(versions(spark, path))
+    # A write-audit-publish stage (stage_snapshot) parks its data under
+    # an unmanifested v= dir ON PURPOSE — its claim lives in
+    # _staged_manifest. Staged versions are pending work, not wreckage.
+    staged: set[int] = set()
+    for st in fs.globStatus(_p(f"{path}/_staged_manifest/v=*")) or []:
+        try:
+            staged.add(int(st.getPath().getName().split("=", 1)[1]))
+        except ValueError:
+            continue
     swept: list[int] = []
     for status in fs.globStatus(_p(f"{path}/v=*")) or []:
         name = status.getPath().getName()
@@ -1415,7 +1506,7 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
             v = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if v not in committed:
+        if v not in committed and v not in staged:
             fs.delete(status.getPath(), True)
             swept.append(v)
     return sorted(swept)

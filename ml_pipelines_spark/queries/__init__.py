@@ -219,11 +219,13 @@ from . import pipelines  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Round-9 window, filled by the standing schedule:
 # (a) rule 1 — never driver-checked: the 21 round-8 registrations
-#     listed above, plus the TWO new round-9 registrations
+#     listed above, plus the THREE new round-9 registrations
 #     (e1_training_assembly — the reference's image_sampler lifecycle
 #     composed end-to-end with the leakage invariant asserted in-plan;
 #     holt_linear_forecast — Holt double-exponential smoothing with a
-#     recursive-CTE serial-fold oracle).
+#     recursive-CTE serial-fold oracle; table_tag_travel — Iceberg-style
+#     named snapshot tags: time travel by name + tagged versions
+#     protected from expire_snapshots GC).
 # (b) rule 2 — code touched this round: append_snapshot/merge_snapshot
 #     gained optimistic-commit retry loops (VERDICT item 5 + ADVICE) →
 #     table_format_lifecycle, table_change_feed re-evidence through the
@@ -233,9 +235,9 @@ from . import pipelines  # noqa: E402,F401
 #     wap_branch_publish_audit); the unigram oracle guard through
 #     unigram_tokenizer_train/unigram_token_counts (also rule 1).
 # (c) the flagship.
-# (d) rule 4 — 24 slots: the entire round-3 evidence tail (23 queries,
-#     displaced since round 7) and coco_records (r4, export family —
-#     family-balanced pick). Remaining r4 evidence (44 queries) ages to
+# (d) rule 4 — 23 slots: the entire round-3 evidence tail (23 queries,
+#     displaced since round 7). The r4 evidence (45 queries incl.
+#     coco_records, displaced by the third rule-1 registration) ages to
 #     5 rounds, inside the 7-round query SLA; every family keeps a ≤3
 #     round representative (asserted by the SLA test).
 _CHECK_FIRST = [
@@ -267,6 +269,7 @@ _CHECK_FIRST = [
     # (a) rule 1: round-9 registrations
     "e1_training_assembly",
     "holt_linear_forecast",
+    "table_tag_travel",
     # (b) rule 2: optimistic-commit retry landed in append/merge paths
     "table_format_lifecycle",
     "table_change_feed",
@@ -294,8 +297,6 @@ _CHECK_FIRST = [
     "ann_quantized_topk",
     "embedding_near_dup",
     "embedding_centroids",
-    # (d) rule 4: r4 family-balanced pick (export)
-    "coco_records",
 ]
 
 

@@ -718,6 +718,88 @@ def table_expire_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot TAGS under the oracle gate (Iceberg named refs): v1/v2/v3/v4
+# built by disjoint appends, v2 tagged "release", then
+# expire_snapshots(keep_last=1). The retention contract says the tagged
+# v2 must survive GC while untagged v1/v3 expire — so the query reads
+# BOTH refs after the expire: 'release' (time travel by NAME through
+# the tag, exactly the v1+v2 key universe) and 'latest' (all four
+# appends). The oracle re-derives both row sets from the source table;
+# a GC bug that collects the tagged version surfaces as a read error,
+# one that deletes its files as missing rows. Physical claims (expired
+# versions actually gone, drop_tag re-exposing to GC) are
+# pytest-asserted in tests/test_manifest.py.
+# ---------------------------------------------------------------------------
+_TAG_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _table_tag_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        append_snapshot,
+        expire_snapshots,
+        tag_snapshot,
+        write_manifest_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TAG_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_tags_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+
+        def batch(rem: int):
+            return orders.filter(F.col("o_orderkey") % 4 == rem)
+
+        write_manifest_table(batch(1), out_dir, "o_orderkey", num_files=4)
+        append_snapshot(batch(2), out_dir, "o_orderkey", num_files=2)
+        tag_snapshot(spark, out_dir, "release")  # pins v2
+        append_snapshot(batch(3), out_dir, "o_orderkey", num_files=2)
+        append_snapshot(batch(0), out_dir, "o_orderkey", num_files=2)
+        # keep_last=1 would collect v1-v3; the tag must keep v2 alive
+        expire_snapshots(spark, out_dir, keep_last=1)
+        _TAG_DIRS[key] = out_dir
+    return _TAG_DIRS[key]
+
+
+@query(
+    "table_tag_travel",
+    """
+    SELECT 'latest' AS ref,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    UNION ALL
+    SELECT 'release' AS ref,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders WHERE o_orderkey % 4 IN (1, 2)
+    """,
+)
+def table_tag_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _table_tag_dir(spark, sf_dir)
+
+    def agg(df: DataFrame, ref: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+        ).select(F.lit(ref).alias("ref"), "n_orders", "total_value")
+
+    latest = agg(read_snapshot(spark, path), "latest")
+    release = agg(read_snapshot(spark, path, ref="release"), "release")
+    return latest.unionByName(release)
+
+
+# ---------------------------------------------------------------------------
 # Secondary-column file skipping under the oracle gate: the events
 # projection is range-laid on event_id; event time correlates with
 # event_id (ingest order), so per-file [min,max] stats on t_us

@@ -174,3 +174,23 @@ def test_string_keyed_branch_publishes(spark, table):
         assert kinds == {"string"}
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sweep_spares_staged_wap_snapshots(spark, table):
+    # A write-audit-publish stage parks data under an unmanifested v=
+    # dir BY DESIGN — the orphan sweep must not destroy pending stages,
+    # only claims with neither a manifest nor a staged manifest.
+    from ml_pipelines_spark.operators.manifest import (
+        publish_staged,
+        read_staged,
+        stage_snapshot,
+    )
+
+    sv = stage_snapshot(_rows(spark, 100, 130), table, "k", num_files=1)
+    # a genuine orphan above the stage
+    _rows(spark, 500, 510).write.parquet(f"{table}/v={sv + 1}")
+    assert sweep_orphan_versions(spark, table) == [sv + 1]
+    # the stage survived and still audits + publishes
+    assert read_staged(spark, table, sv).count() == 130
+    assert publish_staged(spark, table, sv) == sv
+    assert read_snapshot(spark, table).count() == 130

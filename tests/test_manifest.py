@@ -656,3 +656,98 @@ def test_write_audit_publish(spark):
         assert read_snapshot(spark, d).count() == 65
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tags_resolve_retag_and_drop(spark):
+    """Named refs: tag/resolve/read-by-ref, last-write-wins retag,
+    drop tombstones, clear errors on unknown names."""
+    import pytest
+
+    from ml_pipelines_spark.operators.manifest import (
+        append_snapshot,
+        drop_tag,
+        list_tags,
+        read_snapshot,
+        resolve_ref,
+        tag_snapshot,
+        write_manifest_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="mlps_tags_")
+    try:
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        write_manifest_table(base, d, "k", num_files=2)
+        append_snapshot(
+            spark.range(100, 150).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+            ),
+            d,
+            "k",
+        )
+        assert tag_snapshot(spark, d, "prod", version=1) == 1
+        assert tag_snapshot(spark, d, "latest-good") == 2  # default latest
+        assert list_tags(spark, d) == {"prod": 1, "latest-good": 2}
+        assert read_snapshot(spark, d, ref="prod").count() == 100
+        assert read_snapshot(spark, d, ref="latest-good").count() == 150
+        # retag moves the name (last write wins)
+        assert tag_snapshot(spark, d, "prod", version=2) == 2
+        assert resolve_ref(spark, d, "prod") == 2
+        drop_tag(spark, d, "latest-good")
+        with pytest.raises(ValueError, match="latest-good"):
+            resolve_ref(spark, d, "latest-good")
+        with pytest.raises(ValueError, match="no tag"):
+            drop_tag(spark, d, "never-existed")
+        with pytest.raises(ValueError, match="no snapshot"):
+            tag_snapshot(spark, d, "bad", version=99)
+        with pytest.raises(ValueError, match="version OR ref"):
+            read_snapshot(spark, d, version=1, ref="prod")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tagged_versions_survive_expire(spark):
+    """The retention contract: expire_snapshots(keep_last=1) keeps a
+    TAGGED old version readable (time travel by name intact), expires
+    untagged ones, and collects the version once its tag is dropped."""
+    import pytest
+
+    from ml_pipelines_spark.operators.manifest import (
+        append_snapshot,
+        drop_tag,
+        expire_snapshots,
+        read_snapshot,
+        tag_snapshot,
+        versions,
+        write_manifest_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="mlps_tags_gc_")
+    try:
+        def rows(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+            )
+
+        write_manifest_table(rows(0, 100), d, "k", num_files=2)   # v1
+        append_snapshot(rows(100, 150), d, "k")                   # v2
+        append_snapshot(rows(150, 160), d, "k")                   # v3
+        append_snapshot(rows(160, 200), d, "k")                   # v4
+        tag_snapshot(spark, d, "prod", version=2)
+        expired, _deleted = expire_snapshots(spark, d, keep_last=1)
+        # v1 and v3 expire; v2 (tagged) and v4 (latest) are retained
+        assert expired == 2
+        assert versions(spark, d) == [2, 4]
+        assert read_snapshot(spark, d, ref="prod").count() == 150
+        assert read_snapshot(spark, d).count() == 200
+        with pytest.raises(ValueError, match="no snapshot v=1"):
+            read_snapshot(spark, d, version=1).count()
+        # drop the tag: the next expire collects v2
+        drop_tag(spark, d, "prod")
+        expired, _ = expire_snapshots(spark, d, keep_last=1)
+        assert expired == 1
+        assert versions(spark, d) == [4]
+        assert read_snapshot(spark, d).count() == 200
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

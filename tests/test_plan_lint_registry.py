@@ -49,8 +49,6 @@ CARTESIAN_SCALAR = {
     "decayed_popularity",
     "dedup_recall_eval",
     "dsir_importance_weights",
-    # the 1-row leak_free invariant broadcast back onto per-split counts
-    "e1_training_assembly",
     "hard_negative_mining",
     "histogram_equi_depth",
     "kaplan_meier_churn",
