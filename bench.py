@@ -381,6 +381,10 @@ HEADLINE = [
     # round 9: named snapshot tags — time travel by name + GC
     # protection through expire_snapshots
     "table_tag_travel",
+    # round 9: bucketBy co-located fact join (zero-shuffle sort-merge;
+    # warm run pays the one-time bucketed write, timed runs measure the
+    # exchange-free join)
+    "bucketed_join_revenue",
     # NOT in the headline: stream_outer_join_replay and
     # stream_timeout_sessions_replay run REAL multi-batch streams whose
     # wall time is micro-batch/state-store latency (~20 s each at

@@ -225,7 +225,9 @@ from . import pipelines  # noqa: E402,F401
 #     holt_linear_forecast — Holt double-exponential smoothing with a
 #     recursive-CTE serial-fold oracle; table_tag_travel — Iceberg-style
 #     named snapshot tags: time travel by name + tagged versions
-#     protected from expire_snapshots GC).
+#     protected from expire_snapshots GC; bucketed_join_revenue —
+#     bucketBy co-located fact⋈fact join, zero-shuffle plan physically
+#     asserted).
 # (b) rule 2 — code touched this round: append_snapshot/merge_snapshot
 #     gained optimistic-commit retry loops (VERDICT item 5 + ADVICE) →
 #     table_format_lifecycle, table_change_feed re-evidence through the
@@ -235,11 +237,12 @@ from . import pipelines  # noqa: E402,F401
 #     wap_branch_publish_audit); the unigram oracle guard through
 #     unigram_tokenizer_train/unigram_token_counts (also rule 1).
 # (c) the flagship.
-# (d) rule 4 — 23 slots: the entire round-3 evidence tail (23 queries,
-#     displaced since round 7). The r4 evidence (45 queries incl.
-#     coco_records, displaced by the third rule-1 registration) ages to
-#     5 rounds, inside the 7-round query SLA; every family keeps a ≤3
-#     round representative (asserted by the SLA test).
+# (d) rule 4 — 22 slots: the round-3 evidence tail (displaced since
+#     round 7) minus embedding_centroids, which the fourth rule-1
+#     registration displaces (r3 evidence, age 6 at round-9 end —
+#     inside the 7-round query SLA; the similarity family keeps four
+#     members in this window). It leads round 10's rule 4 together
+#     with the r4 block (45 queries incl. coco_records).
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
@@ -270,6 +273,7 @@ _CHECK_FIRST = [
     "e1_training_assembly",
     "holt_linear_forecast",
     "table_tag_travel",
+    "bucketed_join_revenue",
     # (b) rule 2: optimistic-commit retry landed in append/merge paths
     "table_format_lifecycle",
     "table_change_feed",
@@ -296,7 +300,6 @@ _CHECK_FIRST = [
     "ann_lsh_topk",
     "ann_quantized_topk",
     "embedding_near_dup",
-    "embedding_centroids",
 ]
 
 

@@ -899,6 +899,91 @@ def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join (scale extension of J1): both fact tables
+# are persisted hash-bucketed AND per-bucket sorted on the join key
+# (operators.bucketing — Spark's native bucketBy/saveAsTable), so the
+# sort-merge join plans with NO Exchange on either side: the shuffle is
+# paid once at write time and amortized over every subsequent join. At
+# 100 TB this is the standing answer for fact⋈fact joins repeated on
+# the same key (orders⋈lineitem here). The result is exactly the plain
+# join — the oracle is the plain join; only the exchange count differs,
+# and THAT is asserted physically in tests/test_bucketing.py (zero
+# shuffles before the join, one for the final aggregate).
+# ---------------------------------------------------------------------------
+_BUCKETED_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import atexit
+    import hashlib
+
+    from ..operators.bucketing import (
+        session_table_name,
+        write_bucketed_table,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_TABLES:
+        scope = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ot = session_table_name(spark, "bkt_orders", scope)
+        lt = session_table_name(spark, "bkt_lineitem", scope)
+        write_bucketed_table(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            ot,
+            "o_orderkey",
+            _BUCKETS,
+        )
+        write_bucketed_table(
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            "l_orderkey",
+            _BUCKETS,
+        )
+
+        def _drop(spark=spark, ot=ot, lt=lt):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {ot}")
+                spark.sql(f"DROP TABLE IF EXISTS {lt}")
+            except Exception:
+                pass  # session already gone at interpreter exit
+
+        atexit.register(_drop)
+        _BUCKETED_TABLES[key] = (ot, lt)
+    return _BUCKETED_TABLES[key]
+
+
+@query(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    orders = spark.table(ot)
+    li = spark.table(lt)
+    # the merge hint keeps the planner on sort-merge (broadcast would
+    # hide the co-location evidence at test scale; at 100 TB neither
+    # side broadcasts anyway)
+    joined = li.hint("merge").join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS with grouping_id: the general multi-granularity rollup
 # (ROLLUP/CUBE are special cases). One scan computes three independent
 # granularities — (flag, status), (flag), (month) — in a single
