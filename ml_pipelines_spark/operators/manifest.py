@@ -58,10 +58,54 @@ class CommitConflict(RuntimeError):
 def _is_path_exists_error(e: Exception) -> bool:
     """True when a write failed because the target path already exists
     — the version-claim collision signal under ``errorifexists``
-    (Spark 4 raises [PATH_ALREADY_EXISTS]; older builds phrase it
-    'already exists')."""
+    (Spark 4 raises AnalysisException [PATH_ALREADY_EXISTS]; older
+    builds phrase it 'already exists'). The check requires the
+    DRIVER-side AnalysisException type, not just the phrase: an
+    executor-side FileAlreadyExistsException from a task retry also
+    says 'already exists' but is a genuine write failure, not a lost
+    claim, and must propagate."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - very old pyspark
+        return False
+    if not isinstance(e, AnalysisException):
+        return False
     s = str(e)
     return "PATH_ALREADY_EXISTS" in s or "already exists" in s
+
+
+# How long a commit loser waits for the winner's manifest to land
+# before declaring the claimed version an orphan. A real winner's
+# manifest follows its data-dir claim within seconds; module-level so
+# tests can shrink it.
+_CLAIM_WAIT_S = 5.0
+
+
+def _await_claim_release(
+    spark: SparkSession, path: str, claimed: int
+) -> bool:
+    """After losing the ``errorifexists`` claim for version ``claimed``,
+    wait for the winner's manifest to advance to (or past) it — the
+    winner's data-dir appears at job START but its manifest commits
+    seconds later, so an immediate re-read would still see the OLD
+    latest, recompute the same version, and burn every retry in
+    milliseconds against an in-flight writer. Returns True once the
+    table advanced (safe to retry with a fresh version), False when the
+    claim never resolved within ``_CLAIM_WAIT_S`` (a crashed writer's
+    orphan, or a wedged stage — retrying cannot help)."""
+    import time
+
+    deadline = time.monotonic() + _CLAIM_WAIT_S
+    while True:
+        try:
+            latest = versions(spark, path)[-1]
+        except Exception:
+            latest = 0
+        if latest >= claimed:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(0.25)
 
 
 def versions(spark: SparkSession, path: str) -> list[int]:
@@ -269,15 +313,17 @@ def append_snapshot(
         except Exception as e:
             if not _is_path_exists_error(e):
                 raise
-            if _attempt == max_retries:
+            if _attempt == max_retries or not _await_claim_release(
+                spark, path, version
+            ):
                 raise CommitConflict(
                     f"append to {path} lost the claim for v={version} "
-                    f"{max_retries + 1} times; publish or abort any "
-                    "pending staged snapshot, or if no writer is "
+                    "and the claim never resolved; publish or abort "
+                    "any pending staged snapshot, or if no writer is "
                     "active run sweep_orphan_versions (a crashed "
                     "commit left an orphan directory)"
                 ) from e
-            # another writer claimed this version; re-read and retry
+            # the winner's manifest landed; re-read latest and retry
     new_rows = (
         spark.read.parquet(data_dir)
         .select(
@@ -360,6 +406,7 @@ def merge_snapshot(
     sort_col: str,
     updates: DataFrame,
     num_files: int = 4,
+    max_retries: int = 3,
 ) -> int:
     """Copy-on-write MERGE (upsert keyed on ``sort_col``) into the
     latest snapshot, appended as a new version — the Delta/Iceberg
@@ -397,7 +444,6 @@ def merge_snapshot(
     # RE-PLANS from the advanced manifest (re-prune, re-read tombstones)
     # — that re-plan IS Iceberg's commit re-validation for
     # copy-on-write.
-    max_retries = 3
     for _attempt in range(max_retries + 1):
         manifest, prev = _manifest_rows(spark, path, None)
         touched = [
@@ -439,13 +485,15 @@ def merge_snapshot(
         except Exception as e:
             if not _is_path_exists_error(e):
                 raise
-            if _attempt == max_retries:
+            if _attempt == max_retries or not _await_claim_release(
+                spark, path, version
+            ):
                 raise CommitConflict(
                     f"merge into {path} lost the claim for v={version} "
-                    f"{max_retries + 1} times; if no writer is active, "
-                    "run sweep_orphan_versions"
+                    "and the claim never resolved; if no writer is "
+                    "active, run sweep_orphan_versions"
                 ) from e
-            # version claimed by a concurrent writer — re-plan and retry
+            # the winner committed — RE-PLAN from the new manifest
     new_rows = (
         spark.read.parquet(data_dir)
         .select(
@@ -943,14 +991,39 @@ def _visible_intervals(
 # Iceberg's retention contract (a dataset release pinned by a tag must
 # outlive routine GC). Storage is an append-only parquet log under
 # ``_refs`` (name, version, seq): resolve = the highest-seq row per
-# name; a NULL-version row is a drop tombstone. Appends are tiny
-# 1-row metadata writes; resolution collects O(tag events) rows — the
-# same driver-planning bound as every manifest operation.
+# name; a NULL-version row is a drop tombstone. Each event CLAIMS its
+# sequence number as an ``errorifexists`` partition directory
+# (``_refs/seq=K``) — the same optimistic-commit mechanism as data
+# versions, so two concurrent tag operations can never mint duplicate
+# seqs and resolution order never depends on file-listing order.
+# Resolution collects O(tag events) rows — the same driver-planning
+# bound as every manifest operation.
 # ---------------------------------------------------------------------------
 def _ref_log(spark: SparkSession, path: str) -> list:
     if not _sidecar_exists(spark, path, "_refs"):
         return []
     return spark.read.parquet(f"{path}/_refs").collect()
+
+
+def _append_ref(
+    spark: SparkSession, path: str, name: str, version: int | None
+) -> None:
+    seq = 1 + max((int(r["seq"]) for r in _ref_log(spark, path)), default=0)
+    for _ in range(8):
+        try:
+            spark.createDataFrame(
+                [(name, version)], "name string, version bigint"
+            ).coalesce(1).write.mode("errorifexists").parquet(
+                f"{path}/_refs/seq={seq}"
+            )
+            return
+        except Exception as e:
+            if not _is_path_exists_error(e):
+                raise
+            seq += 1  # lost the seq claim to a concurrent tag op
+    raise CommitConflict(
+        f"tag operation on {path} lost the _refs seq claim 8 times"
+    )
 
 
 def tag_snapshot(
@@ -963,11 +1036,7 @@ def tag_snapshot(
     v = vs[-1] if version is None else int(version)
     if v not in vs:
         raise ValueError(f"no snapshot v={v} at {path} to tag")
-    log = _ref_log(spark, path)
-    seq = 1 + max((int(r["seq"]) for r in log), default=0)
-    spark.createDataFrame(
-        [(name, v, seq)], "name string, version bigint, seq bigint"
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_refs")
+    _append_ref(spark, path, name, v)
     return v
 
 
@@ -976,11 +1045,7 @@ def drop_tag(spark: SparkSession, path: str, name: str) -> None:
     at becomes eligible for retention GC again)."""
     if name not in list_tags(spark, path):
         raise ValueError(f"no tag {name!r} at {path}")
-    log = _ref_log(spark, path)
-    seq = 1 + max((int(r["seq"]) for r in log), default=0)
-    spark.createDataFrame(
-        [(name, None, seq)], "name string, version bigint, seq bigint"
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_refs")
+    _append_ref(spark, path, name, None)
 
 
 def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
@@ -1424,7 +1489,16 @@ def publish_branch(
     # instead of failing — undo and report the conflict.
     nested = _p(f"{dst}/data")
     if fs.exists(nested):
-        fs.rename(nested, _p(src))
+        if not fs.rename(nested, _p(src)):
+            # an unchecked failed undo would report "conflict, branch
+            # stays staged" while the staged data actually sits inside
+            # the winner's version directory — unrecoverable by retry
+            raise IOError(
+                f"branch {branch!r} lost the claim for {dst} AND the "
+                f"undo rename failed: its staged data is stranded at "
+                f"{dst}/data — move it back to {src} by hand before "
+                "retrying"
+            )
         return None, "conflict"
     moved = [
         (
@@ -1473,23 +1547,35 @@ def abort_branch(spark: SparkSession, path: str, branch: str) -> None:
 
 
 def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
-    """Delete ``v=N`` data directories that have NO matching manifest —
-    the wreckage of a writer that crashed between claiming its version
-    (the data write/rename) and committing its manifest. Such an orphan
-    permanently wedges the table: every subsequent commit targets the
-    same N and loses the ``errorifexists`` claim. This is the
-    Iceberg ``remove_orphan_files`` maintenance action; run it only
-    when no writer is in flight (an active writer's claimed-but-not-
-    yet-committed version looks identical to an orphan). Returns the
-    swept version numbers."""
+    """Delete ``v=N`` data directories ABOVE the latest committed
+    version that have neither a manifest nor a staged (write-audit-
+    publish) manifest — the wreckage of a writer that crashed between
+    claiming its version (the data write/rename) and committing. Such
+    an orphan permanently wedges the table: every subsequent commit
+    targets the same N and loses the ``errorifexists`` claim.
+
+    ONLY claims above latest are swept. Directories at or below the
+    latest version are never orphans in the wedging sense (commits
+    target latest+1), and they may hold files a RETAINED manifest still
+    references even when their own manifest expired — metadata-only
+    appends/ALTERs/restores carry file paths forward across version
+    directories, and ``expire_snapshots`` is the reference-counting
+    authority for those. Sweeping by directory presence below latest
+    would destroy live data on any table that has ever been expired.
+
+    This is the Iceberg ``remove_orphan_files`` maintenance action; run
+    it only when no writer is in flight (an active writer's claimed-
+    but-not-yet-committed version looks identical to an orphan).
+    Returns the swept version numbers."""
     fs, jvm = _fs(spark, path)
 
     def _p(s: str):
         return jvm.org.apache.hadoop.fs.Path(s)
 
-    committed: set[int] = set()
+    latest = 0
     if _sidecar_exists(spark, path, "_manifest"):
-        committed = set(versions(spark, path))
+        vs = versions(spark, path)
+        latest = vs[-1] if vs else 0
     # A write-audit-publish stage (stage_snapshot) parks its data under
     # an unmanifested v= dir ON PURPOSE — its claim lives in
     # _staged_manifest. Staged versions are pending work, not wreckage.
@@ -1506,7 +1592,7 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
             v = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        if v not in committed and v not in staged:
+        if v > latest and v not in staged:
             fs.delete(status.getPath(), True)
             swept.append(v)
     return sorted(swept)

@@ -193,9 +193,9 @@ from . import pipelines  # noqa: E402,F401
 # foreachBatch ledger, read back through both prunings) — all round-8
 # registrations.
 # ---------------------------------------------------------------------------
-# EVIDENCE-AGE SLAs (adopted round 9; VERDICT r08 item 2). With 283
+# EVIDENCE-AGE SLAs (adopted round 9; VERDICT r08 item 2). With 285
 # registered queries and a 50-slot window, the original "every query
-# every 3 rounds" promise is arithmetically impossible (283/50 ≈ a
+# every 3 rounds" promise is arithmetically impossible (285/50 ≈ a
 # 6-round full cycle). The standing rotation above keeps its four rules
 # but the staleness bound is now TIERED, enforced mechanically by
 # tests/test_registry_window.py against the CORRECTNESS_r*.json history
@@ -207,8 +207,8 @@ from . import pipelines  # noqa: E402,F401
 #     current window as this round's evidence. One fresh representative
 #     per family bounds how stale a whole operator class can get.
 #   - QUERY SLA (7 rounds): every individual query must re-earn a
-#     driver row at least once per 7 rounds. Capacity check: 283/7 ≈ 41
-#     slots/round for the query SLA, and the ~33 families need ≈ 11
+#     driver row at least once per 7 rounds. Capacity check: 285/7 ≈ 41
+#     slots/round for the query SLA, and the 32 families need ≈ 11
 #     slots/round, largely overlapping — comfortably inside 50 with
 #     slack for rule-1 (new registrations) and rule-2 (re-evidence).
 #   - Rule 1/2/3 of the standing rotation are unchanged and outrank
@@ -219,7 +219,7 @@ from . import pipelines  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Round-9 window, filled by the standing schedule:
 # (a) rule 1 — never driver-checked: the 21 round-8 registrations
-#     listed above, plus the THREE new round-9 registrations
+#     listed above, plus the FOUR new round-9 registrations
 #     (e1_training_assembly — the reference's image_sampler lifecycle
 #     composed end-to-end with the leakage invariant asserted in-plan;
 #     holt_linear_forecast — Holt double-exponential smoothing with a

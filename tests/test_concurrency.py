@@ -111,10 +111,12 @@ def test_merge_claim_collision_replans(spark, table, monkeypatch):
     assert out[80] == 160  # untouched keys intact
 
 
-def test_append_conflict_exhausts_retries_on_orphan(spark, table):
+def test_append_conflict_exhausts_retries_on_orphan(spark, table, monkeypatch):
     # A crashed writer claimed v=2 (data dir present) but never wrote
-    # its manifest: every later claim targets v=2 and must fail with a
-    # clear CommitConflict, not a raw path error.
+    # its manifest: the loser waits for the claim to resolve, times out
+    # (shrunk for the test), and must fail with a clear CommitConflict,
+    # not a raw path error.
+    monkeypatch.setattr(M, "_CLAIM_WAIT_S", 0.5)
     _rows(spark, 100, 110).write.parquet(f"{table}/v=2")
     with pytest.raises(CommitConflict, match="sweep_orphan_versions"):
         append_snapshot(_rows(spark, 100, 150), table, "k")
@@ -194,3 +196,23 @@ def test_sweep_spares_staged_wap_snapshots(spark, table):
     assert read_staged(spark, table, sv).count() == 130
     assert publish_staged(spark, table, sv) == sv
     assert read_snapshot(spark, table).count() == 130
+
+
+def test_sweep_never_touches_dirs_at_or_below_latest(spark, table):
+    # Regression (round-9 review finding, reproduced live): after
+    # expire_snapshots, the latest manifest can reference files that
+    # physically live under an EXPIRED version's directory (appends are
+    # metadata-only). The sweep must therefore never judge dirs at or
+    # below latest by manifest presence — only claims ABOVE latest are
+    # orphans.
+    from ml_pipelines_spark.operators.manifest import expire_snapshots
+
+    append_snapshot(_rows(spark, 100, 150), table, "k")  # v2 carries v1 files
+    expire_snapshots(spark, table, keep_last=1)  # v1 manifest gone,
+    # but v2's manifest still references files under v=1
+    assert sweep_orphan_versions(spark, table) == []
+    assert read_snapshot(spark, table).count() == 150  # still readable
+    # a genuine orphan above latest is still swept
+    _rows(spark, 500, 510).write.parquet(f"{table}/v=9")
+    assert sweep_orphan_versions(spark, table) == [9]
+    assert read_snapshot(spark, table).count() == 150

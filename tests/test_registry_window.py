@@ -3,7 +3,7 @@
 The driver's correctness harness hashes the FIRST 50 registered queries,
 so ordering is part of the product contract (queries/__init__.py:
 _CHECK_FIRST). Round 9 replaced the impossible "everything every 3
-rounds" promise (283 queries / 50 slots) with tiered SLAs, enforced
+rounds" promise (285 queries / 50 slots) with tiered SLAs, enforced
 here MECHANICALLY against the CORRECTNESS_r*.json history in the repo
 root:
 
