@@ -391,13 +391,17 @@ def write_manifest_table_zordered(
     tables queried along two axes (user x time, key x date) at 100 TB.
     Returns the new version."""
     from .layout import zorder_key
-    from .manifest import versions
+    from .manifest import CommitConflict, _claim_version, versions
 
     spark = df.sparkSession
     try:
         version = versions(spark, path)[-1] + 1
     except Exception:
         version = 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"z-ordered write to {path} lost the claim for v={version}"
+        )
     data_dir = f"{path}/v={version}"
     z = df.withColumn("__z", zorder_key(df, col_a, col_b, bits))
     (

@@ -81,6 +81,47 @@ def _is_path_exists_error(e: Exception) -> bool:
 _CLAIM_WAIT_S = 5.0
 
 
+def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
+    """ATOMICALLY claim version id ``version`` by creating the marker
+    ``_claims/v=N``. Returns False when another writer holds it.
+
+    The ``errorifexists`` data write alone is check-then-act: two
+    drivers can both see the directory absent and both start writing
+    into it (interleaved part files, double-commit attempts). The
+    claim closes that window with a primitive the filesystem makes
+    atomic: a single mkdir(2) syscall for local paths, and
+    ``FileSystem.createNewFile`` elsewhere (atomic create on HDFS;
+    plain object stores cannot express an atomic claim — there a
+    CAS-capable catalog must arbitrate commits, the standard Iceberg
+    deployment caveat). Claims are permanent markers for committed
+    versions; ``abort_staged`` releases its claim, and
+    ``sweep_orphan_versions`` clears crashed writers' claims above the
+    latest committed version."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        local = parsed.path if parsed.scheme else path
+        jvm = spark._jvm
+        jvm.java.io.File(f"{local}/_claims").mkdirs()
+        # File.mkdir is one mkdir(2) syscall — atomic create-if-absent
+        return bool(jvm.java.io.File(f"{local}/_claims/v={version}").mkdir())
+    fs, jvm = _fs(spark, path)
+    cp = jvm.org.apache.hadoop.fs.Path(f"{path}/_claims/v={version}")
+    fs.mkdirs(cp.getParent())
+    try:
+        return bool(fs.createNewFile(cp))
+    except Exception:
+        return False
+
+
+def _release_claim(spark: SparkSession, path: str, version: int) -> None:
+    fs, jvm = _fs(spark, path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_claims/v={version}"), True
+    )
+
+
 def _await_claim_release(
     spark: SparkSession, path: str, claimed: int
 ) -> bool:
@@ -132,6 +173,11 @@ def write_manifest_table(
         version = versions(spark, path)[-1] + 1
     except Exception:  # first snapshot: no manifest dir yet
         version = 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"write to {path} lost the claim for v={version}; another "
+            "writer or a pending stage holds it"
+        )
     data_dir = f"{path}/v={version}"
     (
         df.repartitionByRange(num_files, sort_col)
@@ -302,6 +348,18 @@ def append_snapshot(
             prev = None
         version = (prev or 0) + 1
         data_dir = f"{path}/v={version}"
+        if not _claim_version(spark, path, version):
+            if _attempt == max_retries or not _await_claim_release(
+                spark, path, version
+            ):
+                raise CommitConflict(
+                    f"append to {path} lost the claim for v={version} "
+                    "and the claim never resolved; publish or abort "
+                    "any pending staged snapshot, or if no writer is "
+                    "active run sweep_orphan_versions (a crashed "
+                    "commit left an orphan claim)"
+                )
+            continue  # the winner's manifest landed; re-read and retry
         try:
             (
                 df.repartitionByRange(num_files, sort_col)
@@ -313,17 +371,14 @@ def append_snapshot(
         except Exception as e:
             if not _is_path_exists_error(e):
                 raise
-            if _attempt == max_retries or not _await_claim_release(
-                spark, path, version
-            ):
-                raise CommitConflict(
-                    f"append to {path} lost the claim for v={version} "
-                    "and the claim never resolved; publish or abort "
-                    "any pending staged snapshot, or if no writer is "
-                    "active run sweep_orphan_versions (a crashed "
-                    "commit left an orphan directory)"
-                ) from e
-            # the winner's manifest landed; re-read latest and retry
+            # claimed, yet the data dir exists: wreckage of a crashed
+            # pre-claim writer — release our claim and surface it
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"append to {path} claimed v={version} but its data "
+                "directory already exists (unclaimed orphan); run "
+                "sweep_orphan_versions"
+            ) from e
     new_rows = (
         spark.read.parquet(data_dir)
         .select(
@@ -454,6 +509,16 @@ def merge_snapshot(
         ]
         version = prev + 1
         data_dir = f"{path}/v={version}"
+        if not _claim_version(spark, path, version):
+            if _attempt == max_retries or not _await_claim_release(
+                spark, path, version
+            ):
+                raise CommitConflict(
+                    f"merge into {path} lost the claim for v={version} "
+                    "and the claim never resolved; if no writer is "
+                    "active, run sweep_orphan_versions"
+                )
+            continue  # the winner committed — RE-PLAN from the new manifest
         if touched:
             touched_files = [r["file"] for r in touched]
             old_rows = spark.read.parquet(*touched_files)
@@ -485,15 +550,12 @@ def merge_snapshot(
         except Exception as e:
             if not _is_path_exists_error(e):
                 raise
-            if _attempt == max_retries or not _await_claim_release(
-                spark, path, version
-            ):
-                raise CommitConflict(
-                    f"merge into {path} lost the claim for v={version} "
-                    "and the claim never resolved; if no writer is "
-                    "active, run sweep_orphan_versions"
-                ) from e
-            # the winner committed — RE-PLAN from the new manifest
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"merge into {path} claimed v={version} but its data "
+                "directory already exists (unclaimed orphan); run "
+                "sweep_orphan_versions"
+            ) from e
     new_rows = (
         spark.read.parquet(data_dir)
         .select(
@@ -679,6 +741,10 @@ def _append_schema_event(
 ) -> int:
     manifest, prev = _manifest_rows(spark, path, None)
     version = prev + 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"schema event at {path} lost the claim for v={version}"
+        )
     row = {
         "v": version,
         "kind": kind,
@@ -1085,6 +1151,10 @@ def restore_snapshot(
     if source_version >= latest:
         raise ValueError("restore target must be an earlier version")
     version = latest + 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"restore at {path} lost the claim for v={version}"
+        )
     spark.createDataFrame(
         [(version, source_version)], "v bigint, source_v bigint"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_restores")
@@ -1253,6 +1323,11 @@ def stage_snapshot(
     except Exception:
         prev = None
     version = (prev or 0) + 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"stage at {path} lost the claim for v={version}; another "
+            "writer or stage holds it"
+        )
     data_dir = f"{path}/v={version}"
     (
         df.repartitionByRange(num_files, sort_col)
@@ -1351,6 +1426,8 @@ def abort_staged(spark: SparkSession, path: str, version: int) -> None:
 
     fs.delete(_p(f"{path}/_staged_manifest/v={version}"), True)
     fs.delete(_p(f"{path}/v={version}"), True)
+    # release the version claim so the next writer can take this id
+    _release_claim(spark, path, version)
 
 
 # ---------------------------------------------------------------------------
@@ -1472,15 +1549,20 @@ def publish_branch(
 
     src = f"{path}/_branches/{branch}/data"
     dst = f"{path}/v={new_v}"
+    if not _claim_version(spark, path, new_v):
+        # Another publisher holds v=new_v — the optimistic-commit
+        # loser. The branch stays staged; the caller re-invokes
+        # publish_branch, which re-validates against the NEW latest and
+        # retries (or runs sweep_orphan_versions first if the claimer
+        # crashed before writing its manifest).
+        return None, "conflict"
     if fs.exists(_p(dst)):
-        # Another publisher claimed v=new_v between our validation and
-        # the rename — the optimistic-commit loser. The branch stays
-        # staged; the caller re-invokes publish_branch, which
-        # re-validates against the NEW latest and retries (or runs
-        # sweep_orphan_versions first if the claimer crashed before
-        # writing its manifest).
+        # claimed, yet the data dir exists: an unclaimed orphan from a
+        # crashed pre-claim writer — back out and report
+        _release_claim(spark, path, new_v)
         return None, "conflict"
     if not fs.rename(_p(src), _p(dst)):
+        _release_claim(spark, path, new_v)
         if fs.exists(_p(dst)):
             return None, "conflict"
         raise IOError(f"branch data rename failed for {branch}")
@@ -1489,6 +1571,7 @@ def publish_branch(
     # instead of failing — undo and report the conflict.
     nested = _p(f"{dst}/data")
     if fs.exists(nested):
+        _release_claim(spark, path, new_v)
         if not fs.rename(nested, _p(src)):
             # an unchecked failed undo would report "conflict, branch
             # stays staged" while the staged data actually sits inside
@@ -1585,7 +1668,7 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
             staged.add(int(st.getPath().getName().split("=", 1)[1]))
         except ValueError:
             continue
-    swept: list[int] = []
+    swept: set[int] = set()
     for status in fs.globStatus(_p(f"{path}/v=*")) or []:
         name = status.getPath().getName()
         try:
@@ -1594,7 +1677,17 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
             continue
         if v > latest and v not in staged:
             fs.delete(status.getPath(), True)
-            swept.append(v)
+            swept.add(v)
+    # crashed writers' claim markers above latest wedge the next commit
+    # exactly like their data dirs — clear those too (staged spared)
+    for status in fs.globStatus(_p(f"{path}/_claims/v=*")) or []:
+        try:
+            v = int(status.getPath().getName().split("=", 1)[1])
+        except ValueError:
+            continue
+        if v > latest and v not in staged:
+            fs.delete(status.getPath(), True)
+            swept.add(v)
     return sorted(swept)
 
 

@@ -216,3 +216,38 @@ def test_sweep_never_touches_dirs_at_or_below_latest(spark, table):
     _rows(spark, 500, 510).write.parquet(f"{table}/v=9")
     assert sweep_orphan_versions(spark, table) == [9]
     assert read_snapshot(spark, table).count() == 150
+
+
+def test_live_concurrent_appends_both_commit(spark, table):
+    # A REAL race, not a simulated one: two threads append distinct
+    # batches simultaneously. The atomic version claim (_claims/v=N,
+    # one mkdir syscall) guarantees exactly one writer per version id;
+    # the loser waits for the winner's manifest and retries. Both must
+    # land, on distinct versions, with no rows lost.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def writer(lo, hi):
+        return append_snapshot(_rows(spark, lo, hi), table, "k")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(writer, 100, 150)
+        f2 = ex.submit(writer, 200, 260)
+        v1, v2 = f1.result(timeout=120), f2.result(timeout=120)
+    assert sorted([v1, v2]) == [2, 3]
+    assert versions(spark, table) == [1, 2, 3]
+    assert read_snapshot(spark, table).count() == 210
+    assert sweep_orphan_versions(spark, table) == []
+
+
+def test_abort_staged_releases_its_claim(spark, table):
+    # An aborted write-audit-publish stage must release its version
+    # claim, or the next append would wedge on an id nobody holds.
+    from ml_pipelines_spark.operators.manifest import (
+        abort_staged,
+        stage_snapshot,
+    )
+
+    sv = stage_snapshot(_rows(spark, 100, 130), table, "k", num_files=1)
+    abort_staged(spark, table, sv)
+    assert append_snapshot(_rows(spark, 300, 320), table, "k") == sv
+    assert read_snapshot(spark, table).count() == 120
