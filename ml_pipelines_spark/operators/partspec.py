@@ -87,6 +87,13 @@ def write_spec_snapshot(
         version = spec_versions(spark, path)[-1] + 1
     except Exception:  # first snapshot: no manifest yet
         version = 1
+    # same atomic commit point as the manifest table layer
+    from .manifest import CommitConflict, _claim_version
+
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"spec write to {path} lost the claim for v={version}"
+        )
     data_dir = f"{path}/v={version}"
     shadows = [f"_p_{c}" for c in spec_cols]
     # _v_* twins carry the EXACT string value inside the files:
@@ -277,6 +284,12 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
     new files). Returns the new version."""
     manifest, prev = _manifest_rows(spark, path, None)
     version = prev + 1
+    from .manifest import CommitConflict, _claim_version
+
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"spec compaction at {path} lost the claim for v={version}"
+        )
     data_dir = f"{path}/v={version}"
     # group files by identical tuple; one output file per group
     groups: dict[tuple, list] = {}

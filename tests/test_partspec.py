@@ -310,3 +310,38 @@ def test_empty_prune_schema_matches_nonempty(spark, sf_dir):
         assert empty.columns == full.columns
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_spec_writers_respect_version_claims(spark):
+    """The spec table shares the manifest layer's atomic commit point:
+    a held version claim makes writers fail with CommitConflict instead
+    of writing into a contested directory."""
+    import shutil
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ml_pipelines_spark.operators.manifest import (
+        CommitConflict,
+        _claim_version,
+        _release_claim,
+    )
+    from ml_pipelines_spark.operators.partspec import write_spec_snapshot
+
+    d = tempfile.mkdtemp(prefix="mlps_spec_claim_")
+    try:
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("status"),
+        )
+        assert write_spec_snapshot(df, d, ["status"]) == 1
+        # a concurrent writer holds v=2: the next write must conflict
+        assert _claim_version(spark, d, 2)
+        with pytest.raises(CommitConflict, match="v=2"):
+            write_spec_snapshot(df, d, ["status"])
+        # released claim: the write lands
+        _release_claim(spark, d, 2)
+        assert write_spec_snapshot(df, d, ["status"]) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
