@@ -217,89 +217,85 @@ from . import pipelines  # noqa: E402,F401
 # Local DuckDB parity still covers ALL queries every pytest run; the
 # SLAs bound only the freshness of the DRIVER's independent evidence.
 # ---------------------------------------------------------------------------
-# Round-9 window, filled by the standing schedule:
-# (a) rule 1 — never driver-checked: the 21 round-8 registrations
-#     listed above, plus the FOUR new round-9 registrations
-#     (e1_training_assembly — the reference's image_sampler lifecycle
-#     composed end-to-end with the leakage invariant asserted in-plan;
-#     holt_linear_forecast — Holt double-exponential smoothing with a
-#     recursive-CTE serial-fold oracle; table_tag_travel — Iceberg-style
-#     named snapshot tags: time travel by name + tagged versions
-#     protected from expire_snapshots GC; bucketed_join_revenue —
-#     bucketBy co-located fact⋈fact join, zero-shuffle plan physically
-#     asserted).
-# (b) rule 2 — code touched this round: append_snapshot/merge_snapshot
-#     gained optimistic-commit retry loops (VERDICT item 5 + ADVICE) →
-#     table_format_lifecycle, table_change_feed re-evidence through the
-#     changed write paths. The filestats sidecar-probe change and the
-#     publish_branch conflict path re-evidence through rule-1 members
-#     (manifest_stats_scan, manifest_bloom_lookup, zorder_rectangle_scan,
-#     wap_branch_publish_audit); the unigram oracle guard through
-#     unigram_tokenizer_train/unigram_token_counts (also rule 1).
+# Round-10 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: none at pin time; round-10
+#     registrations are swapped in (displacing rule-4 tail members,
+#     newest evidence first) in the same commit that registers them.
+# (b) rule 2 — code touched this round (VERDICT/ADVICE items: atomic
+#     _refs seq claims + claim-release-on-failure + injectable claim
+#     backend in operators/manifest.py; _sidecar_exists-style version
+#     bootstrap in filestats.py/partspec.py/manifest.py) →
+#     table_tag_travel (tag/retag/drop path), table_format_lifecycle
+#     (append/merge claim lifecycle), manifest_stats_scan +
+#     zorder_rectangle_scan (filestats bootstrap sites),
+#     partition_spec_evolution_scan (partspec bootstrap site).
 # (c) the flagship.
-# (d) rule 4 — 22 slots: the round-3 evidence tail (displaced since
-#     round 7) minus embedding_centroids, which the fourth rule-1
-#     registration displaces (r3 evidence, age 6 at round-9 end —
-#     inside the 7-round query SLA; the similarity family keeps four
-#     members in this window). It leads round 10's rule 4 together
-#     with the r4 block (45 queries incl. coco_records).
+# (d) SLA pressure, oldest first: embedding_centroids (r3 evidence,
+#     age 7 — the single oldest query); both linalg members (r6, the
+#     only family past the 3-round family SLA at the round-9/10
+#     boundary); one representative each for the families at the SLA
+#     edge (multimodal/audio/mixture/geo, refreshing their oldest
+#     members); then 37 of the 46-query round-4 evidence tail.
+#     Deferred to round 11 (age 7 there — still inside the query SLA):
+#     nine relational-family members (anti_join, dict_encode,
+#     filter_array_overlap, flatten_collect, group_collect_sorted,
+#     proj_cast, semi_join, star_join_revenue, topk_per_group) — the
+#     relational family keeps fresh evidence through many other rows.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
-    # (a) rule 1: table lifecycle / manifest / spec-table block (r8)
-    "manifest_two_tier_scan",
-    "schema_evolution_orders",
-    "table_restore_orders",
-    "table_expire_maintenance",
+    # (b) rule 2: table-layer commit/bootstrap code touched this round
+    "table_tag_travel",
+    "table_format_lifecycle",
     "manifest_stats_scan",
-    "manifest_bloom_lookup",
     "zorder_rectangle_scan",
     "partition_spec_evolution_scan",
-    "partition_spec_band_scan",
-    "gdpr_erasure_audit",
-    "wap_branch_publish_audit",
-    "stream_spec_ingest_replay",
-    "orc_roundtrip_docs",
-    # (a) rule 1: tokenizer / search / ANN / AQP / funnel block (r8)
-    "unigram_tokenizer_train",
-    "unigram_token_counts",
-    "search_eval_ndcg",
-    "curation_funnel_audit",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_incremental",
-    "aqp_revenue_estimate",
-    "sequence_match_funnel",
-    # (a) rule 1: round-9 registrations
-    "e1_training_assembly",
-    "holt_linear_forecast",
-    "table_tag_travel",
-    "bucketed_join_revenue",
-    # (b) rule 2: optimistic-commit retry landed in append/merge paths
-    "table_format_lifecycle",
-    "table_change_feed",
-    # (d) rule 4: the complete round-3 evidence tail, oldest first
-    "window_lag",
-    "last_per_key",
-    "interp_gap_fill",
-    "forward_fill",
-    "rolling_avg_value",
-    "seg_bbox",
-    "aabb_poly",
-    "yolo_norm",
-    "rbb_from_seg",
-    "track_interpolation",
-    "grouped_quantile_udaf",
-    "asof_join_events",
-    "range_join_events",
-    "sequence_pack_docs",
-    "pack_bins_ffd",
-    "validate_lineitem",
-    "profile_orders",
-    "top_sources",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_quantized_topk",
-    "embedding_near_dup",
+    # (d) SLA: oldest query + linalg family (past SLA) + edge families
+    "embedding_centroids",
+    "pca_top_component",
+    "pca_project_embeddings",
+    "video_frame_sample",
+    "audio_fingerprint_near_dup",
+    "source_mix_kl",
+    "geo_nearest_city",
+    # (d) rule 4: round-4 evidence tail (37 of 46, oldest block)
+    "yolo_export_lines",
+    "coco_records",
+    "word_shingles",
+    "vocab_topk",
+    "top_bigram_share",
+    "tfidf_top_terms",
+    "text_quality",
+    "lang_id",
+    "gopher_quality_flags",
+    "dup_ngram_fraction",
+    "doc_fingerprint",
+    "curate_corpus",
+    "stream_running_totals",
+    "stratified_sample_docs",
+    "seeded_nested_split",
+    "sample_k_per_source",
+    "hash_split_materialize",
+    "hash_split_assign",
+    "hash_sample",
+    "snapshot_diff_orders",
+    "incremental_rollup_events",
+    "semantic_dedup_pairs",
+    "kmeans_embeddings",
+    "embedding_outliers",
+    "diverse_curation",
+    "ann_multiprobe_topk",
+    "rollup_pricing",
+    "pivot_event_counts",
+    "monthly_rollup",
+    "intersect_except_custkeys",
+    "grouping_sets_pricing",
+    "exact_percentiles",
+    "doc_length_quartiles",
+    "dedup_keep_first",
+    "bloom_semi_join_revenue",
+    "array_envelope",
+    "approx_distinct_users",
 ]
 
 

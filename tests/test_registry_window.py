@@ -14,6 +14,17 @@ root:
 
 A future round that builds a window violating any of these fails CI,
 which is the point: the schedule enforces itself.
+
+Boundary semantics (decided round 10): when CORRECTNESS_rN.json lands,
+the "current round" becomes N+1 and _CHECK_FIRST still holds round N's
+already-consumed window — so a family whose newest evidence ages past
+the SLA exactly at the boundary turns this suite red until the round-
+(N+1) window is pinned. That is deliberate: rotating the window is
+ALWAYS round N+1's first commit, and the red test is the forcing
+function. We do NOT count the just-landed round's window as implicit
+evidence (a window slot is a promise, not a result — the driver can
+error on a slot, and counting promises would let a family coast a full
+extra round on a row that never went green).
 """
 
 from __future__ import annotations
