@@ -391,43 +391,72 @@ def write_manifest_table_zordered(
     tables queried along two axes (user x time, key x date) at 100 TB.
     Returns the new version."""
     from .layout import zorder_key
-    from .manifest import CommitConflict, _claim_version, versions
+    from .manifest import (
+        CommitConflict,
+        _abort_claim,
+        _claim_version,
+        _latest_version,
+    )
 
     spark = df.sparkSession
-    try:
-        version = versions(spark, path)[-1] + 1
-    except Exception:
-        version = 1
+    # existence-probed bootstrap: a _manifest that EXISTS but fails to
+    # read is corruption and must raise, not fork a parallel v=1
+    # history (manifest._latest_version)
+    version = (_latest_version(spark, path) or 0) + 1
     if not _claim_version(spark, path, version):
         raise CommitConflict(
             f"z-ordered write to {path} lost the claim for v={version}"
         )
     data_dir = f"{path}/v={version}"
     z = df.withColumn("__z", zorder_key(df, col_a, col_b, bits))
-    (
-        z.repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("errorifexists")
-        .parquet(data_dir)
-    )
-    zone_map = (
-        spark.read.parquet(data_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            F.col(col_a).alias("v_"),
+    try:
+        (
+            z.repartitionByRange(num_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("errorifexists")
+            .parquet(data_dir)
         )
-        .groupBy("file")
-        .agg(
-            F.min("v_").alias("min_v"),
-            F.max("v_").alias("max_v"),
-            F.count(F.lit(1)).alias("n_rows"),
+        zone_map = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(col_a).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
         )
-    )
-    zone_map.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
-    write_file_stats(spark, path, [col_a, col_b], version)
+        zone_map.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
+        )
+        write_file_stats(spark, path, [col_a, col_b], version)
+    except Exception:
+        # failed post-claim commit: back out the partial version and
+        # release the claim so the table is not wedged (ADVICE r9).
+        # Unlike the manifest.py writers the manifest write is NOT the
+        # last step here (the stats pass follows), so the abort must
+        # also un-commit the manifest — a manifest referencing a
+        # deleted data dir would corrupt the table. Stranded _filestats
+        # rows are harmless: stats are consulted only for files the
+        # live manifest lists.
+        try:
+            from .manifest import _fs
+
+            fs, jvm = _fs(spark, path)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/_manifest/v={version}"
+                ),
+                True,
+            )
+        except Exception:
+            pass
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 

@@ -82,44 +82,54 @@ _CLAIM_WAIT_S = 5.0
 
 
 def _claim_version(spark: SparkSession, path: str, version: int) -> bool:
-    """ATOMICALLY claim version id ``version`` by creating the marker
-    ``_claims/v=N``. Returns False when another writer holds it.
+    """ATOMICALLY claim version id ``version``. Returns False when
+    another writer holds it.
 
     The ``errorifexists`` data write alone is check-then-act: two
     drivers can both see the directory absent and both start writing
     into it (interleaved part files, double-commit attempts). The
-    claim closes that window with a primitive the filesystem makes
-    atomic: a single mkdir(2) syscall for local paths, and
-    ``FileSystem.createNewFile`` elsewhere (atomic create on HDFS;
-    plain object stores cannot express an atomic claim — there a
-    CAS-capable catalog must arbitrate commits, the standard Iceberg
-    deployment caveat). Claims are permanent markers for committed
-    versions; ``abort_staged`` releases its claim, and
+    claim closes that window through the PLUGGABLE backend in
+    ``operators.claims`` — marker files with the resolved filesystem's
+    atomic create (local mkdir(2), HDFS create-no-overwrite) by
+    default, or a CAS catalog for object stores where the filesystem
+    has no atomic primitive (the Iceberg deployment model; the
+    reference's data lives on GCS). Claims are permanent markers for
+    committed versions; ``abort_staged`` releases its claim, and
     ``sweep_orphan_versions`` clears crashed writers' claims above the
     latest committed version."""
-    from urllib.parse import urlparse
+    from .claims import get_claim_backend
 
-    parsed = urlparse(path)
-    if parsed.scheme in ("", "file"):
-        local = parsed.path if parsed.scheme else path
-        jvm = spark._jvm
-        jvm.java.io.File(f"{local}/_claims").mkdirs()
-        # File.mkdir is one mkdir(2) syscall — atomic create-if-absent
-        return bool(jvm.java.io.File(f"{local}/_claims/v={version}").mkdir())
-    fs, jvm = _fs(spark, path)
-    cp = jvm.org.apache.hadoop.fs.Path(f"{path}/_claims/v={version}")
-    fs.mkdirs(cp.getParent())
-    try:
-        return bool(fs.createNewFile(cp))
-    except Exception:
-        return False
+    return get_claim_backend().claim(spark, path, f"v={version}")
 
 
 def _release_claim(spark: SparkSession, path: str, version: int) -> None:
-    fs, jvm = _fs(spark, path)
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/_claims/v={version}"), True
-    )
+    from .claims import get_claim_backend
+
+    get_claim_backend().release(spark, path, f"v={version}")
+
+
+def _abort_claim(spark: SparkSession, path: str, version: int) -> None:
+    """Back out a FAILED post-claim commit: best-effort delete of the
+    claimed version's (partial) data directory, then release the
+    claim. Without this, a transient non-crash failure after a won
+    claim — executor OOM, a bad input schema — leaves a permanent
+    claim marker that wedges every later writer with CommitConflict
+    until someone manually runs ``sweep_orphan_versions``, even though
+    this driver is alive and can clean up (ADVICE r9). Never raises:
+    the caller re-raises the ORIGINAL error, which is the one the user
+    must see. Deleting ``v=N`` is safe here because the claim is ours
+    and no manifest references it (the commit never completed)."""
+    try:
+        fs, jvm = _fs(spark, path)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/v={version}"), True
+        )
+    except Exception:
+        pass
+    try:
+        _release_claim(spark, path, version)
+    except Exception:
+        pass
 
 
 def _await_claim_release(
@@ -139,8 +149,13 @@ def _await_claim_release(
     deadline = time.monotonic() + _CLAIM_WAIT_S
     while True:
         try:
-            latest = versions(spark, path)[-1]
+            latest = _latest_version(spark, path) or 0
         except Exception:
+            # the winner is mid-commit: its _manifest dir can exist in
+            # a transiently unreadable state (only _temporary inside).
+            # Outwaiting exactly that state is this loop's job, so keep
+            # polling; persistent corruption still surfaces as a False
+            # return -> CommitConflict at the caller.
             latest = 0
         if latest >= claimed:
             return True
@@ -160,6 +175,40 @@ def versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(int(r["v"]) for r in vs)
 
 
+def _latest_version(
+    spark: SparkSession, path: str, manifest_dir: str = "_manifest"
+) -> int | None:
+    """Latest committed version at ``path``, or None for a brand-new
+    table. "New table" is decided by a filesystem EXISTENCE probe on
+    the manifest directory, never by catching the read error: a
+    manifest that EXISTS but fails to read (transient listing failure,
+    corruption, a crashed first writer's ``_temporary`` wreckage) must
+    RAISE — the old ``except Exception: version = 1`` bootstrap would
+    misread it as "first snapshot" and fork a parallel v=1 history
+    over live data (VERDICT r9 item 3)."""
+    if not _sidecar_exists(spark, path, manifest_dir):
+        return None
+    if manifest_dir == "_manifest":
+        # route through versions() — the module's one read point for
+        # the primary manifest (tests simulate stale reads there)
+        vs = versions(spark, path)
+    else:
+        vs = sorted(
+            int(r["v"])
+            for r in spark.read.parquet(f"{path}/{manifest_dir}")
+            .select("v")
+            .distinct()
+            .collect()
+        )
+    if not vs:
+        raise IOError(
+            f"{path}/{manifest_dir} exists but holds no versions — "
+            "corrupted or half-written manifest; refusing to bootstrap "
+            "a new v=1 history over it"
+        )
+    return vs[-1]
+
+
 def write_manifest_table(
     df: DataFrame,
     path: str,
@@ -169,38 +218,48 @@ def write_manifest_table(
     """Append ``df`` as the next snapshot of the manifest table at
     ``path``; returns the new version number."""
     spark = df.sparkSession
-    try:
-        version = versions(spark, path)[-1] + 1
-    except Exception:  # first snapshot: no manifest dir yet
-        version = 1
+    version = (_latest_version(spark, path) or 0) + 1
     if not _claim_version(spark, path, version):
         raise CommitConflict(
             f"write to {path} lost the claim for v={version}; another "
             "writer or a pending stage holds it"
         )
     data_dir = f"{path}/v={version}"
-    (
-        df.repartitionByRange(num_files, sort_col)
-        .sortWithinPartitions(sort_col)
-        .write.mode("errorifexists")
-        .parquet(data_dir)
-    )
-    zone_map = (
-        spark.read.parquet(data_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            F.col(sort_col).alias("v_"),
+    try:
+        (
+            df.repartitionByRange(num_files, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("errorifexists")
+            .parquet(data_dir)
         )
-        .groupBy("file")
-        .agg(
-            F.min("v_").alias("min_v"),
-            F.max("v_").alias("max_v"),
-            F.count(F.lit(1)).alias("n_rows"),
+        zone_map = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(sort_col).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
         )
-    )
-    zone_map.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
+        zone_map.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
+        )
+    except Exception as e:
+        if _is_path_exists_error(e):
+            # claimed, yet the target exists: wreckage of a crashed
+            # pre-claim writer — NOT ours to delete (sweep's job)
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"write to {path} claimed v={version} but its target "
+                "already exists (unclaimed orphan); run "
+                "sweep_orphan_versions"
+            ) from e
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 
@@ -343,9 +402,17 @@ def append_snapshot(
     spark = df.sparkSession
     for _attempt in range(max_retries + 1):
         try:
-            prev = versions(spark, path)[-1]
+            prev = _latest_version(spark, path)
         except Exception:
-            prev = None
+            # _manifest exists but is transiently unreadable — another
+            # writer is mid-FIRST-commit (only _temporary inside). Poll
+            # for its manifest like a lost claim and re-read; genuine
+            # corruption exhausts the retries and propagates.
+            if _attempt == max_retries or not _await_claim_release(
+                spark, path, 1
+            ):
+                raise
+            continue
         version = (prev or 0) + 1
         data_dir = f"{path}/v={version}"
         if not _claim_version(spark, path, version):
@@ -370,6 +437,10 @@ def append_snapshot(
             break
         except Exception as e:
             if not _is_path_exists_error(e):
+                # transient write failure with the claim won: back out
+                # (partial data dir + claim) so the table is not
+                # wedged, then surface the real error (ADVICE r9)
+                _abort_claim(spark, path, version)
                 raise
             # claimed, yet the data dir exists: wreckage of a crashed
             # pre-claim writer — release our claim and surface it
@@ -379,29 +450,33 @@ def append_snapshot(
                 "directory already exists (unclaimed orphan); run "
                 "sweep_orphan_versions"
             ) from e
-    new_rows = (
-        spark.read.parquet(data_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            F.col(sort_col).alias("v_"),
+    try:
+        new_rows = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(sort_col).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
         )
-        .groupBy("file")
-        .agg(
-            F.min("v_").alias("min_v"),
-            F.max("v_").alias("max_v"),
-            F.count(F.lit(1)).alias("n_rows"),
+        if prev is not None:
+            carried = (
+                spark.read.parquet(f"{path}/_manifest")
+                .filter(F.col("v") == prev)
+                .select("file", "min_v", "max_v", "n_rows")
+            )
+            new_rows = carried.unionByName(new_rows)
+        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
         )
-    )
-    if prev is not None:
-        carried = (
-            spark.read.parquet(f"{path}/_manifest")
-            .filter(F.col("v") == prev)
-            .select("file", "min_v", "max_v", "n_rows")
-        )
-        new_rows = carried.unionByName(new_rows)
-    new_rows.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
+    except Exception:
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 
@@ -549,6 +624,7 @@ def merge_snapshot(
             break
         except Exception as e:
             if not _is_path_exists_error(e):
+                _abort_claim(spark, path, version)
                 raise
             _release_claim(spark, path, version)
             raise CommitConflict(
@@ -556,31 +632,35 @@ def merge_snapshot(
                 "directory already exists (unclaimed orphan); run "
                 "sweep_orphan_versions"
             ) from e
-    new_rows = (
-        spark.read.parquet(data_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            F.col(sort_col).alias("v_"),
+    try:
+        new_rows = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(sort_col).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
         )
-        .groupBy("file")
-        .agg(
-            F.min("v_").alias("min_v"),
-            F.max("v_").alias("max_v"),
-            F.count(F.lit(1)).alias("n_rows"),
+        if carried:
+            carried_df = spark.createDataFrame(
+                [
+                    (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                    for r in carried
+                ],
+                new_rows.schema,
+            )
+            new_rows = carried_df.unionByName(new_rows)
+        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
         )
-    )
-    if carried:
-        carried_df = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in carried
-            ],
-            new_rows.schema,
-        )
-        new_rows = carried_df.unionByName(new_rows)
-    new_rows.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
+    except Exception:
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 
@@ -753,21 +833,32 @@ def _append_schema_event(
         "dtype": fields.get("dtype"),
         "default_sql": fields.get("default_sql"),
     }
+    # ORDER MATTERS: manifest before event row. Claims are released on
+    # failure now, so a later writer can legitimately re-mint this
+    # version id — an event row stranded by a manifest-write failure
+    # would then ACTIVATE under that unrelated commit (silent wrong
+    # schema). The inverse failure (manifest lands, event write fails)
+    # merely leaves a no-op metadata version and raises; the caller
+    # retries and the event lands at version+1.
+    try:
+        carried = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in manifest
+            ],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
+        )
+    except Exception:
+        _abort_claim(spark, path, version)
+        raise
     spark.createDataFrame(
         [tuple(row.values())],
         "v bigint, kind string, name string, old_name string, "
         "dtype string, default_sql string",
     ).coalesce(1).write.mode("append").parquet(f"{path}/_schema_events")
-    carried = spark.createDataFrame(
-        [
-            (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-            for r in manifest
-        ],
-        "file string, min_v bigint, max_v bigint, n_rows bigint",
-    )
-    carried.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
     return version
 
 
@@ -1057,11 +1148,12 @@ def _visible_intervals(
 # Iceberg's retention contract (a dataset release pinned by a tag must
 # outlive routine GC). Storage is an append-only parquet log under
 # ``_refs`` (name, version, seq): resolve = the highest-seq row per
-# name; a NULL-version row is a drop tombstone. Each event CLAIMS its
-# sequence number as an ``errorifexists`` partition directory
-# (``_refs/seq=K``) — the same optimistic-commit mechanism as data
-# versions, so two concurrent tag operations can never mint duplicate
-# seqs and resolution order never depends on file-listing order.
+# name; a NULL-version row is a drop tombstone. Each event first
+# CLAIMS its sequence number through the atomic claim backend
+# (``refseq=K`` — the same primitive as data versions), so two
+# concurrent tag operations cannot mint duplicate seqs and resolution
+# order never depends on file-listing order; the ``errorifexists``
+# write is kept as a physical backstop.
 # Resolution collects O(tag events) rows — the same driver-planning
 # bound as every manifest operation.
 # ---------------------------------------------------------------------------
@@ -1074,8 +1166,26 @@ def _ref_log(spark: SparkSession, path: str) -> list:
 def _append_ref(
     spark: SparkSession, path: str, name: str, version: int | None
 ) -> None:
+    """Append one (name, version, seq) event to the tag log, the seq
+    minted through the SAME atomic claim backend as data versions
+    (key ``refseq=K``): the bare ``errorifexists`` write is
+    check-then-act — two concurrent tag ops could both pass the
+    driver-side existence probe, both write into ``seq=K``, and
+    ``list_tags`` would resolve the duplicate nondeterministically by
+    collect order; since tags gate ``expire_snapshots`` retention, a
+    lost retag/drop event can let GC delete a version the user
+    believes pinned (ADVICE r9). A lost seq claim is never retried at
+    the same K — the op takes K+1; skipped seqs are harmless (resolve
+    = max seq per name), so stale refseq claims cannot wedge anything
+    and are never swept."""
+    from .claims import get_claim_backend
+
+    backend = get_claim_backend()
     seq = 1 + max((int(r["seq"]) for r in _ref_log(spark, path)), default=0)
     for _ in range(8):
+        if not backend.claim(spark, path, f"refseq={seq}"):
+            seq += 1  # lost the seq claim to a concurrent tag op
+            continue
         try:
             spark.createDataFrame(
                 [(name, version)], "name string, version bigint"
@@ -1085,8 +1195,15 @@ def _append_ref(
             return
         except Exception as e:
             if not _is_path_exists_error(e):
+                # transient write failure with the claim won: release
+                # so the id is not permanently burned, surface the
+                # real error
+                backend.release(spark, path, f"refseq={seq}")
                 raise
-            seq += 1  # lost the seq claim to a concurrent tag op
+            # claimed, yet the seq dir exists: wreckage of a crashed
+            # pre-claim tag op — leave it, take the next id
+            backend.release(spark, path, f"refseq={seq}")
+            seq += 1
     raise CommitConflict(
         f"tag operation on {path} lost the _refs seq claim 8 times"
     )
@@ -1155,16 +1272,26 @@ def restore_snapshot(
         raise CommitConflict(
             f"restore at {path} lost the claim for v={version}"
         )
+    # manifest BEFORE the _restores record (same reasoning as
+    # _append_schema_event): with claims released on failure, a
+    # stranded restore row would silently shadow tombstones under
+    # whatever commit later re-mints this version id. A manifest
+    # without its restore row is merely a plain metadata append — the
+    # raise tells the caller the restore failed; retry lands it fully.
+    try:
+        carried = spark.createDataFrame(
+            [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
+        )
+    except Exception:
+        _abort_claim(spark, path, version)
+        raise
     spark.createDataFrame(
         [(version, source_version)], "v bigint, source_v bigint"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_restores")
-    carried = spark.createDataFrame(
-        [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
-        "file string, min_v bigint, max_v bigint, n_rows bigint",
-    )
-    carried.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
     return version
 
 
@@ -1318,10 +1445,7 @@ def stage_snapshot(
     ``abort_staged``. Single-writer, like every writer here. Returns
     the staged version number."""
     spark = df.sparkSession
-    try:
-        prev = versions(spark, path)[-1]
-    except Exception:
-        prev = None
+    prev = _latest_version(spark, path)
     version = (prev or 0) + 1
     if not _claim_version(spark, path, version):
         raise CommitConflict(
@@ -1329,35 +1453,58 @@ def stage_snapshot(
             "writer or stage holds it"
         )
     data_dir = f"{path}/v={version}"
-    (
-        df.repartitionByRange(num_files, sort_col)
-        .sortWithinPartitions(sort_col)
-        .write.mode("errorifexists")
-        .parquet(data_dir)
-    )
-    new_rows = (
-        spark.read.parquet(data_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            F.col(sort_col).alias("v_"),
+    try:
+        (
+            df.repartitionByRange(num_files, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("errorifexists")
+            .parquet(data_dir)
         )
-        .groupBy("file")
-        .agg(
-            F.min("v_").alias("min_v"),
-            F.max("v_").alias("max_v"),
-            F.count(F.lit(1)).alias("n_rows"),
+        new_rows = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(sort_col).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
         )
-    )
-    if prev is not None:
-        carried = (
-            spark.read.parquet(f"{path}/_manifest")
-            .filter(F.col("v") == prev)
-            .select("file", "min_v", "max_v", "n_rows")
+        if prev is not None:
+            carried = (
+                spark.read.parquet(f"{path}/_manifest")
+                .filter(F.col("v") == prev)
+                .select("file", "min_v", "max_v", "n_rows")
+            )
+            new_rows = carried.unionByName(new_rows)
+        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_staged_manifest/v={version}"
         )
-        new_rows = carried.unionByName(new_rows)
-    new_rows.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_staged_manifest/v={version}"
-    )
+    except Exception as e:
+        if _is_path_exists_error(e):
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"stage at {path} claimed v={version} but its target "
+                "already exists (unclaimed orphan); run "
+                "sweep_orphan_versions"
+            ) from e
+        # failed stage: drop the partial staged manifest too, then the
+        # data dir + claim (abort_staged's cleanup, minus the raise)
+        try:
+            fs, jvm = _fs(spark, path)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/_staged_manifest/v={version}"
+                ),
+                True,
+            )
+        except Exception:
+            pass
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 
@@ -1393,10 +1540,7 @@ def publish_staged(spark: SparkSession, path: str, version: int) -> int:
     snapshot the table's latest. Refuses if the table advanced past the
     staged version while the audit ran (the audit would be stale) —
     re-stage on top of the new latest instead."""
-    try:
-        latest = versions(spark, path)[-1]
-    except Exception:
-        latest = 0
+    latest = _latest_version(spark, path) or 0
     if latest >= version:
         raise ValueError(
             f"table advanced to v{latest} >= staged v{version}; re-stage"
@@ -1456,10 +1600,7 @@ def stage_branch(
     CURRENT latest version (the branch's base). Invisible to every
     reader until ``publish_branch``. Returns the base version."""
     spark = df.sparkSession
-    try:
-        base = versions(spark, path)[-1]
-    except Exception:
-        base = 0
+    base = _latest_version(spark, path) or 0
     data_dir = f"{path}/_branches/{branch}/data"
     (
         df.repartitionByRange(num_files, sort_col)
@@ -1524,10 +1665,7 @@ def publish_branch(
             f"empty branch {branch!r}: staged manifest has no rows"
         )
     base = int(staged[0]["base_v"])
-    try:
-        latest = versions(spark, path)[-1]
-    except Exception:
-        latest = 0
+    latest = _latest_version(spark, path) or 0
     status = "published"
     if latest > base:
         current, _ = _manifest_rows(spark, path, latest)
@@ -1606,16 +1744,31 @@ def publish_branch(
             ]
         ),
     )
-    if latest > 0:
-        carried = (
-            spark.read.parquet(f"{path}/_manifest")
-            .filter(F.col("v") == latest)
-            .select("file", "min_v", "max_v", "n_rows")
+    try:
+        if latest > 0:
+            carried = (
+                spark.read.parquet(f"{path}/_manifest")
+                .filter(F.col("v") == latest)
+                .select("file", "min_v", "max_v", "n_rows")
+            )
+            new_rows = carried.unionByName(new_rows)
+        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={new_v}"
         )
-        new_rows = carried.unionByName(new_rows)
-    new_rows.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={new_v}"
-    )
+    except Exception:
+        # manifest write failed AFTER the data rename: undo the rename
+        # so the branch stays staged (retryable), release the claim so
+        # the table is not wedged, and surface the real error. A failed
+        # undo is stranded data — refuse to hide it.
+        if not fs.rename(_p(dst), _p(src)):
+            raise IOError(
+                f"branch {branch!r} publish failed at the manifest "
+                f"write AND the undo rename failed: its data sits at "
+                f"{dst} without a manifest — move it back to {src} by "
+                "hand before retrying"
+            )
+        _release_claim(spark, path, new_v)
+        raise
     fs.delete(_p(f"{path}/_branches/{branch}"), True)
     return new_v, status
 
@@ -1679,14 +1832,21 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
             fs.delete(status.getPath(), True)
             swept.add(v)
     # crashed writers' claim markers above latest wedge the next commit
-    # exactly like their data dirs — clear those too (staged spared)
-    for status in fs.globStatus(_p(f"{path}/_claims/v=*")) or []:
+    # exactly like their data dirs — clear those too (staged spared).
+    # Enumerated through the claim backend so a catalog-backed
+    # deployment sweeps its catalog, not a marker directory.
+    from .claims import get_claim_backend
+
+    backend = get_claim_backend()
+    for key in backend.held(spark, path):
+        if not key.startswith("v="):
+            continue  # refseq claims never wedge commits (see _append_ref)
         try:
-            v = int(status.getPath().getName().split("=", 1)[1])
+            v = int(key.split("=", 1)[1])
         except ValueError:
             continue
         if v > latest and v not in staged:
-            fs.delete(status.getPath(), True)
+            backend.release(spark, path, key)
             swept.add(v)
     return sorted(swept)
 

@@ -251,3 +251,155 @@ def test_abort_staged_releases_its_claim(spark, table):
     abort_staged(spark, table, sv)
     assert append_snapshot(_rows(spark, 300, 320), table, "k") == sv
     assert read_snapshot(spark, table).count() == 120
+
+
+# ---------------------------------------------------------------------------
+# Round-10: pluggable claim backends (VERDICT r09 item 2), release-on-
+# failure (ADVICE r09), atomic tag-seq claims (ADVICE r09 medium), and
+# existence-probed version bootstrap (VERDICT r09 item 3).
+# ---------------------------------------------------------------------------
+from ml_pipelines_spark.operators.claims import (  # noqa: E402
+    CatalogClaimBackend,
+    FileSystemClaimBackend,
+    claim_backend,
+)
+
+
+def test_catalog_backend_cas_is_atomic(spark):
+    # 16 threads race one (table, key) through the CAS catalog: exactly
+    # one claim wins — the contract every backend must meet.
+    from concurrent.futures import ThreadPoolExecutor
+
+    b = CatalogClaimBackend()
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        wins = list(
+            ex.map(lambda _: b.claim(spark, "/t/x", "v=1"), range(16))
+        )
+    assert sum(wins) == 1
+    assert b.held(spark, "/t/x") == ["v=1"]
+    b.release(spark, "/t/x", "v=1")
+    assert b.held(spark, "/t/x") == []
+    assert b.claim(spark, "/t/x", "v=1")  # released ids are claimable
+
+
+def test_filesystem_backend_uri_and_bare_path_share_markers(spark):
+    # The marker is placed on the RESOLVED filesystem (ADVICE r09): a
+    # file:// URI and the equivalent bare path must contend for the
+    # same claim, not two different markers.
+    out = tempfile.mkdtemp(prefix="claimfs_")
+    try:
+        b = FileSystemClaimBackend()
+        assert b.claim(spark, out, "v=7")
+        assert not b.claim(spark, f"file:{out}", "v=7")
+        assert b.held(spark, out) == ["v=7"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_catalog_backend_full_commit_race(spark):
+    # The whole table layer rides the injected CAS backend — the
+    # object-store deployment shape: two live writers race appends with
+    # the catalog arbitrating versions; both land, no rows lost.
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = tempfile.mkdtemp(prefix="catalog_race_")
+    try:
+        with claim_backend(CatalogClaimBackend()) as cat:
+            write_manifest_table(_rows(spark, 0, 100), out, "k", num_files=2)
+
+            def writer(lo, hi):
+                return append_snapshot(_rows(spark, lo, hi), out, "k")
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(writer, 100, 150)
+                f2 = ex.submit(writer, 200, 260)
+                v1, v2 = f1.result(timeout=120), f2.result(timeout=120)
+            assert sorted([v1, v2]) == [2, 3]
+            assert read_snapshot(spark, out).count() == 210
+            # committed claims live in the catalog, none above latest
+            assert sweep_orphan_versions(spark, out) == []
+            assert cat.held(spark, out) == ["v=1", "v=2", "v=3"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_transient_write_failure_releases_claim(spark, table):
+    # ADVICE r09: a post-claim write failure that is NOT a lost race
+    # (here: a UDF raising mid-job) must back out the claim and the
+    # partial data dir — the next writer proceeds WITHOUT a manual
+    # sweep_orphan_versions.
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        raise ValueError("injected failure")
+
+    bad = spark.range(5).select(
+        F.col("id").alias("k"), boom(F.col("id")).alias("val")
+    )
+    with pytest.raises(Exception) as ei:
+        append_snapshot(bad, table, "k")
+    assert not isinstance(ei.value, CommitConflict)  # the REAL error
+    # claim released + partial dir gone: a plain append lands at v=2
+    assert append_snapshot(_rows(spark, 100, 150), table, "k") == 2
+    assert read_snapshot(spark, table).count() == 150
+    assert sweep_orphan_versions(spark, table) == []
+
+
+def test_concurrent_tag_ops_mint_distinct_seqs(spark, table):
+    # ADVICE r09 (medium): tag ops claim their _refs seq through the
+    # atomic backend — concurrent tags must land on DISTINCT seqs so
+    # resolution never depends on collect order (tags gate expire GC).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ml_pipelines_spark.operators.manifest import (
+        list_tags,
+        tag_snapshot,
+    )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(
+            ex.map(
+                lambda n: tag_snapshot(spark, table, f"tag{n}", 1),
+                range(4),
+            )
+        )
+    refs = spark.read.parquet(f"{table}/_refs").collect()
+    seqs = [int(r["seq"]) for r in refs]
+    assert len(seqs) == len(set(seqs)) == 4  # no duplicate seq rows
+    assert list_tags(spark, table) == {f"tag{n}": 1 for n in range(4)}
+
+
+def test_corrupt_manifest_raises_instead_of_forking_history(spark):
+    # VERDICT r09 item 3: an EXISTING-but-unreadable _manifest must
+    # raise, not be misread as "first snapshot" (which would fork a
+    # parallel v=1 history over live data).
+    import os
+
+    out = tempfile.mkdtemp(prefix="corrupt_manifest_")
+    try:
+        os.makedirs(f"{out}/_manifest")  # exists, holds nothing
+        with pytest.raises(Exception):
+            write_manifest_table(_rows(spark, 0, 10), out, "k")
+        assert not os.path.exists(f"{out}/v=1")  # nothing bootstrapped
+        # same guard on the spec-table writer (partspec bootstrap site)
+        from ml_pipelines_spark.operators.partspec import (
+            write_spec_snapshot,
+        )
+
+        os.makedirs(f"{out}/_specmanifest")
+        df = _rows(spark, 0, 10).withColumn("status", F.lit("ok"))
+        with pytest.raises(Exception):
+            write_spec_snapshot(df, out, ["status"])
+        # and on the z-ordered writer (filestats bootstrap site)
+        from ml_pipelines_spark.operators.filestats import (
+            write_manifest_table_zordered,
+        )
+
+        with pytest.raises(Exception):
+            write_manifest_table_zordered(
+                _rows(spark, 0, 10), out, "k", "val"
+            )
+        assert not os.path.exists(f"{out}/v=1")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

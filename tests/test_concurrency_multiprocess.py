@@ -1,0 +1,118 @@
+"""Cross-PROCESS writer race for the table layer (VERDICT r09 item 4).
+
+`test_live_concurrent_appends_both_commit` races two threads inside
+one JVM — but mkdir-claim atomicity and claim-wait behavior across
+SEPARATE Spark sessions in separate processes is the real Iceberg
+scenario (two jobs, two drivers, one table). This test spawns two
+subprocess writers, each with its own SparkSession, synchronizes them
+at a filesystem barrier so their appends genuinely overlap, and
+asserts the optimistic-commit contract end to end: both commit, on
+distinct versions, with every row accounted for and no orphan claims.
+
+Runtime note: two cold JVMs — this is the slowest test in the suite
+(~60-90 s) by design; it is the only place the cross-process claim
+path is exercised.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import textwrap
+import time
+
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.manifest import (
+    read_snapshot,
+    sweep_orphan_versions,
+    versions,
+    write_manifest_table,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WRITER = textwrap.dedent(
+    """
+    import os, sys, time
+    sys.path.insert(0, {repo!r})
+    table, lo, hi, ready, go = sys.argv[1:6]
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    import ml_pipelines_spark.operators.manifest as M
+    # a cold writer's post-claim commit (first parquet job in a fresh
+    # JVM) can take tens of seconds; the loser must outwait it
+    M._CLAIM_WAIT_S = 120.0
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"race-writer-{{lo}}")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "1500m")
+        .getOrCreate()
+    )
+    df = spark.range(int(lo), int(hi)).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    df.count()  # warm the JVM so post-barrier latency is commit, not startup
+    open(ready, "w").close()
+    while not os.path.exists(go):
+        time.sleep(0.02)
+    v = M.append_snapshot(df, table, "k", max_retries=5)
+    print(f"VERSION {{v}}", flush=True)
+    spark.stop()
+    """
+).format(repo=_REPO)
+
+
+def test_two_process_writers_both_commit(spark, tmp_path):
+    table = tempfile.mkdtemp(prefix="mp_race_")
+    try:
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        write_manifest_table(base, table, "k", num_files=2)
+
+        script = tmp_path / "writer.py"
+        script.write_text(_WRITER)
+        go = str(tmp_path / "go")
+        procs, readies = [], []
+        for lo, hi in ((100, 150), (200, 260)):
+            ready = str(tmp_path / f"ready_{lo}")
+            readies.append(ready)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(script), table,
+                     str(lo), str(hi), ready, go],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                )
+            )
+        deadline = time.monotonic() + 240
+        while not all(os.path.exists(r) for r in readies):
+            if time.monotonic() > deadline:
+                for p in procs:
+                    p.kill()
+                raise AssertionError("writers never reached the barrier")
+            time.sleep(0.1)
+        open(go, "w").close()  # release both writers at once
+        outs = [p.communicate(timeout=300) for p in procs]
+        got_versions = []
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, f"writer failed:\n{out}\n{err[-3000:]}"
+            got_versions.extend(
+                int(line.split()[1])
+                for line in out.splitlines()
+                if line.startswith("VERSION ")
+            )
+        # both committed, on distinct versions, nothing lost
+        assert sorted(got_versions) == [2, 3]
+        assert versions(spark, table) == [1, 2, 3]
+        assert read_snapshot(spark, table).count() == 210
+        assert sweep_orphan_versions(spark, table) == []
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
