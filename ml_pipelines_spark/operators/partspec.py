@@ -22,12 +22,18 @@ that contract natively in Spark:
   filter restores exactness). Pruning is metadata-only — skipped files
   are never opened, not even their footers.
 
-Spec transforms (``month(ts)``, ``bucket(n, key)``, ``truncate(w)``)
-are expressed by materializing the transform as a real column before
-writing; the manifest then prunes on transformed values exactly like
-identity ones. Partition columns must be non-null (enforced at write —
-a null would vanish into Hive's default-partition dir and stop matching
-any equality predicate).
+Spec entries are identity columns or NATIVE transforms —
+``bucket(N,col)`` / ``truncate(W,col)`` (Iceberg format spec,
+"Partition Transforms"): the writer materializes the transformed
+value, the manifest records it under the canonical transform key, and
+``read_spec_pruned`` maps an equality predicate on the SOURCE column
+to the transformed target (bucket ids computed by Spark's own hash on
+both paths, so write and read can never disagree), pruning a
+high-cardinality key to one bucket. Derived-column transforms like
+``month(ts)`` are expressed by materializing the column first (see
+``o_month`` in queries/evolution.py). Partition columns must be
+non-null (enforced at write — a null would vanish into Hive's
+default-partition dir and stop matching any equality predicate).
 
 Reference parity: permaling/ml-pipelines partitions datasets once, by
 ``image_name``/``item_id``, and its own TODO regrets the choice
@@ -37,12 +43,82 @@ faster"). Spec evolution is the operation that regret calls for.
 
 from __future__ import annotations
 
+import re
 from itertools import chain
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST = "_specmanifest"
+
+# Iceberg-style partition TRANSFORMS (format spec §"Partition
+# Transforms"): a spec entry is either a plain column name (identity)
+# or "bucket(N,col)" / "truncate(W,col)". Transforms are how a
+# high-cardinality key becomes prunable — the reference's pathological
+# per-image partitioning (TrainDatasets.py:383-385) is exactly the
+# case bucket() exists for: 16 buckets instead of one directory per
+# image, and an equality predicate still prunes to ONE bucket.
+#
+# Hashing discipline: the bucket is pmod(hash(cast(col AS string)), N)
+# computed BY SPARK on both the write path (column expression) and the
+# read path (a one-row literal job), so write and read can never
+# disagree on a bucket id — the same rule operators/bucketing.py uses
+# for co-located joins. Values are compared on their cast-to-string
+# rendering (see _norm), matching the identity-transform convention.
+_TRANSFORM_RE = re.compile(
+    r"^(bucket|truncate)\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+)
+
+
+class _SpecField:
+    """One parsed spec entry: canonical manifest key, source column,
+    and the Spark expression producing the partition VALUE (string)."""
+
+    def __init__(self, raw: str):
+        m = _TRANSFORM_RE.match(raw)
+        if m:
+            self.kind, n, self.source = m.group(1), int(m.group(2)), m.group(3)
+            if n <= 0:
+                raise ValueError(f"transform width/buckets must be >0: {raw}")
+            self.param = n
+            self.key = f"{self.kind}({n},{self.source})"
+        else:
+            self.kind, self.param = "identity", None
+            self.source = self.key = raw
+        # shadow/in-file column names must be dir-safe (no parens)
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", self.key)
+        self.shadow, self.infile = f"_p_{safe}", f"_v_{safe}"
+
+    def value_expr(self) -> Column:
+        s = F.col(self.source).cast("string")
+        if self.kind == "bucket":
+            return F.pmod(F.hash(s), F.lit(self.param)).cast("string")
+        if self.kind == "truncate":
+            return F.substring(s, 1, self.param)
+        return s
+
+    def value_of(self, spark: SparkSession, v) -> str:
+        """The partition value a literal predicate maps to — computed
+        BY SPARK for bucket() so it can never drift from the write
+        path's hash."""
+        if self.kind == "bucket":
+            row = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.hash(F.lit(_norm(v))), F.lit(self.param)
+                    ).alias("b")
+                )
+                .collect()[0]
+            )
+            return str(int(row["b"]))
+        if self.kind == "truncate":
+            return _norm(v)[: self.param]
+        return _norm(v)
+
+
+def _parse_spec(spec_cols: list[str]) -> list[_SpecField]:
+    return [_SpecField(c) for c in spec_cols]
 
 
 def spec_versions(spark: SparkSession, path: str) -> list[int]:
@@ -75,94 +151,114 @@ def write_spec_snapshot(
     on another column) are conservatively kept by band reads.
     """
     spark = df.sparkSession
-    missing = [c for c in spec_cols if c not in df.columns]
+    fields = _parse_spec(spec_cols)
+    missing = [f.source for f in fields if f.source not in df.columns]
     if missing:
         raise KeyError(f"spec columns not in frame: {missing}")
     null_hits = df.filter(
-        " OR ".join(f"{c} IS NULL" for c in spec_cols)
+        " OR ".join(f"{f.source} IS NULL" for f in fields)
     ).limit(1).count()
     if null_hits:
         raise ValueError(f"null partition value in spec {spec_cols}")
-    try:
-        version = spec_versions(spark, path)[-1] + 1
-    except Exception:  # first snapshot: no manifest yet
-        version = 1
-    # same atomic commit point as the manifest table layer
-    from .manifest import CommitConflict, _claim_version
+    # same atomic commit point as the manifest table layer; existence-
+    # probed bootstrap (a _specmanifest that EXISTS but fails to read
+    # is corruption and must raise, not fork a parallel v=1 history)
+    from .manifest import (
+        CommitConflict,
+        _abort_claim,
+        _claim_version,
+        _latest_version,
+    )
 
+    version = (_latest_version(spark, path, _MANIFEST) or 0) + 1
     if not _claim_version(spark, path, version):
         raise CommitConflict(
             f"spec write to {path} lost the claim for v={version}"
         )
     data_dir = f"{path}/v={version}"
-    shadows = [f"_p_{c}" for c in spec_cols]
+    shadows = [f.shadow for f in fields]
     # _v_* twins carry the EXACT string value inside the files:
     # directory-read partition inference re-types dir names ("007" ->
     # int 7 -> "7"), which would silently break _keep's string
     # equality for numeric-looking or boolean values; the in-file twin
     # is inference-proof
-    values = [f"_v_{c}" for c in spec_cols]
+    values = [f.infile for f in fields]
     out = df
-    for c, pc, vc in zip(spec_cols, shadows, values):
-        out = out.withColumn(pc, F.col(c).cast("string")).withColumn(
-            vc, F.col(c).cast("string")
+    for fld in fields:
+        expr = fld.value_expr()
+        out = out.withColumn(fld.shadow, expr).withColumn(
+            fld.infile, expr
         )
-    (
-        out.repartition(*[F.col(pc) for pc in shadows])
-        .write.mode("errorifexists")
-        .partitionBy(*shadows)
-        .parquet(data_dir)
-    )
-    back = spark.read.parquet(data_dir)
-    stat_cols = [stats_col] if stats_col else []
-    new_rows = (
-        back.select(
-            F.input_file_name().alias("file"), *values, *stat_cols
+    try:
+        (
+            out.repartition(*[F.col(pc) for pc in shadows])
+            .write.mode("errorifexists")
+            .partitionBy(*shadows)
+            .parquet(data_dir)
         )
-        .groupBy("file")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            *[F.first(F.col(vc)).alias(pc) for pc, vc in zip(shadows, values)],
-            *(
-                [
-                    F.min(F.col(stats_col).cast("double")).alias("stat_min"),
-                    F.max(F.col(stats_col).cast("double")).alias("stat_max"),
-                ]
-                if stats_col
-                else [
-                    F.lit(None).cast("double").alias("stat_min"),
-                    F.lit(None).cast("double").alias("stat_max"),
-                ]
-            ),
-        )
-        .select(
-            "file",
-            "n_rows",
-            F.create_map(
-                *chain.from_iterable(
-                    (F.lit(c), F.col(pc))
-                    for c, pc in zip(spec_cols, shadows)
-                )
-            ).alias("part"),
-            F.lit(version).alias("origin"),
-            F.lit(stats_col).cast("string").alias("stat_col"),
-            "stat_min",
-            "stat_max",
-        )
-    )
-    if version > 1:
-        carried = (
-            spark.read.parquet(f"{path}/{_MANIFEST}")
-            .filter(F.col("v") == version - 1)
+        back = spark.read.parquet(data_dir)
+        stat_cols = [stats_col] if stats_col else []
+        new_rows = (
+            back.select(
+                F.input_file_name().alias("file"), *values, *stat_cols
+            )
+            .groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[
+                    F.first(F.col(vc)).alias(pc)
+                    for pc, vc in zip(shadows, values)
+                ],
+                *(
+                    [
+                        F.min(F.col(stats_col).cast("double")).alias(
+                            "stat_min"
+                        ),
+                        F.max(F.col(stats_col).cast("double")).alias(
+                            "stat_max"
+                        ),
+                    ]
+                    if stats_col
+                    else [
+                        F.lit(None).cast("double").alias("stat_min"),
+                        F.lit(None).cast("double").alias("stat_max"),
+                    ]
+                ),
+            )
             .select(
-                "file", "n_rows", "part", "origin",
-                "stat_col", "stat_min", "stat_max",
+                "file",
+                "n_rows",
+                F.create_map(
+                    *chain.from_iterable(
+                        (F.lit(fld.key), F.col(fld.shadow))
+                        for fld in fields
+                    )
+                ).alias("part"),
+                F.lit(version).alias("origin"),
+                F.lit(stats_col).cast("string").alias("stat_col"),
+                "stat_min",
+                "stat_max",
             )
         )
-        new_rows = carried.unionByName(new_rows)
-    new_rows.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/{_MANIFEST}/v={version}"
-    )
+        if version > 1:
+            carried = (
+                spark.read.parquet(f"{path}/{_MANIFEST}")
+                .filter(F.col("v") == version - 1)
+                .select(
+                    "file", "n_rows", "part", "origin",
+                    "stat_col", "stat_min", "stat_max",
+                )
+            )
+            new_rows = carried.unionByName(new_rows)
+        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/{_MANIFEST}/v={version}"
+        )
+    except Exception:
+        # failed post-claim commit: drop the partial data dir, release
+        # the claim (manifest._abort_claim) so the spec table is not
+        # wedged, and surface the real error (ADVICE r9)
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 
@@ -184,11 +280,34 @@ def _norm(v) -> str:
     return str(v)
 
 
-def _keep(row, eq: dict) -> bool:
+def _eq_targets(
+    spark: SparkSession, manifest: list, eq: dict
+) -> dict[str, str]:
+    """{manifest part key -> expected partition value} for the
+    equality predicates ``eq`` (keyed by SOURCE column): identity keys
+    map to the value's string rendering; transform keys whose source
+    column is predicated map to the TRANSFORMED value — the bucket id
+    computed by Spark's own hash (one 1-row job per bucketed key), the
+    truncate prefix directly. Keys over unpredicated columns are
+    absent, so files recording them are kept (residual restores
+    exactness)."""
+    keys: set[str] = set()
+    for r in manifest:
+        keys.update((r["part"] or {}).keys())
+    targets: dict[str, str] = {}
+    for k in keys:
+        m = _TRANSFORM_RE.match(k)
+        if m:
+            if m.group(3) in eq:
+                targets[k] = _SpecField(k).value_of(spark, eq[m.group(3)])
+        elif k in eq:
+            targets[k] = _norm(eq[k])
+    return targets
+
+
+def _keep(row, targets: dict[str, str]) -> bool:
     part = row["part"] or {}
-    return all(
-        part[c] == _norm(v) for c, v in eq.items() if c in part
-    )
+    return all(part[k] == v for k, v in targets.items() if k in part)
 
 
 def _keep_band(row, band) -> bool:
@@ -219,10 +338,11 @@ def read_spec_pruned(
     filters restore exactness). ``version=None`` reads the latest;
     earlier versions time-travel."""
     manifest, v = _manifest_rows(spark, path, version)
+    targets = _eq_targets(spark, manifest, eq)
     keep = [
         r["file"]
         for r in manifest
-        if _keep(r, eq) and _keep_band(r, band)
+        if _keep(r, targets) and _keep_band(r, band)
     ]
     if not keep:
         all_files = [r["file"] for r in manifest]
@@ -266,8 +386,9 @@ def spec_pruned_file_count(
     pruning works per-spec (and per-band), checked physically in
     tests."""
     manifest, _ = _manifest_rows(spark, path, version)
+    targets = _eq_targets(spark, manifest, eq)
     kept = sum(
-        1 for r in manifest if _keep(r, eq) and _keep_band(r, band)
+        1 for r in manifest if _keep(r, targets) and _keep_band(r, band)
     )
     return kept, len(manifest)
 
@@ -284,7 +405,7 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
     new files). Returns the new version."""
     manifest, prev = _manifest_rows(spark, path, None)
     version = prev + 1
-    from .manifest import CommitConflict, _claim_version
+    from .manifest import CommitConflict, _abort_claim, _claim_version
 
     if not _claim_version(spark, path, version):
         raise CommitConflict(
@@ -296,50 +417,54 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
     for r in manifest:
         key = tuple(sorted((r["part"] or {}).items()))
         groups.setdefault(key, []).append(r["file"])
-    rows = []
-    for gi, (key, files) in enumerate(sorted(groups.items())):
-        part_dir = f"{data_dir}/g={gi}"
-        df = spark.read.parquet(*files)
-        df = df.drop(
-            *[
-                c
-                for c in df.columns
-                if c.startswith("_p_") or c.startswith("_v_")
-            ]
-        )
-        df.coalesce(1).write.mode("errorifexists").parquet(part_dir)
-        # per-file row counts from the written files themselves (the
-        # group total would be wrong if coalesce ever emits >1 part,
-        # and a driver-side df.count() re-scans the group's inputs)
-        back = spark.read.parquet(part_dir)
-        per_file = (
-            back.select(F.input_file_name().alias("file"))
-            .groupBy("file")
-            .count()
-            .collect()
-        )
-        for r2 in per_file:
-            rows.append(
-                (r2["file"], int(r2["count"]), dict(key), version)
+    try:
+        rows = []
+        for gi, (key, files) in enumerate(sorted(groups.items())):
+            part_dir = f"{data_dir}/g={gi}"
+            df = spark.read.parquet(*files)
+            df = df.drop(
+                *[
+                    c
+                    for c in df.columns
+                    if c.startswith("_p_") or c.startswith("_v_")
+                ]
             )
-    new_manifest = spark.createDataFrame(
-        rows,
-        "file string, n_rows bigint, part map<string,string>,"
-        " origin int",
-    ).select(
-        "file", "n_rows", "part", "origin",
-        # compaction merges files whose stats may differ; recomputing
-        # them needs a stats_col the caller no longer passes — the
-        # rewritten files carry NO stats and band reads keep them
-        # conservatively (correct, just unpruned until the next
-        # stats-bearing write)
-        F.lit(None).cast("string").alias("stat_col"),
-        F.lit(None).cast("double").alias("stat_min"),
-        F.lit(None).cast("double").alias("stat_max"),
-    )
-    new_manifest.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/{_MANIFEST}/v={version}"
-    )
+            df.coalesce(1).write.mode("errorifexists").parquet(part_dir)
+            # per-file row counts from the written files themselves (the
+            # group total would be wrong if coalesce ever emits >1 part,
+            # and a driver-side df.count() re-scans the group's inputs)
+            back = spark.read.parquet(part_dir)
+            per_file = (
+                back.select(F.input_file_name().alias("file"))
+                .groupBy("file")
+                .count()
+                .collect()
+            )
+            for r2 in per_file:
+                rows.append(
+                    (r2["file"], int(r2["count"]), dict(key), version)
+                )
+        new_manifest = spark.createDataFrame(
+            rows,
+            "file string, n_rows bigint, part map<string,string>,"
+            " origin int",
+        ).select(
+            "file", "n_rows", "part", "origin",
+            # compaction merges files whose stats may differ; recomputing
+            # them needs a stats_col the caller no longer passes — the
+            # rewritten files carry NO stats and band reads keep them
+            # conservatively (correct, just unpruned until the next
+            # stats-bearing write)
+            F.lit(None).cast("string").alias("stat_col"),
+            F.lit(None).cast("double").alias("stat_min"),
+            F.lit(None).cast("double").alias("stat_max"),
+        )
+        new_manifest.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/{_MANIFEST}/v={version}"
+        )
+    except Exception:
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 

@@ -218,9 +218,11 @@ from . import pipelines  # noqa: E402,F401
 # SLAs bound only the freshness of the DRIVER's independent evidence.
 # ---------------------------------------------------------------------------
 # Round-10 window, filled by the standing schedule:
-# (a) rule 1 — never driver-checked: none at pin time; round-10
-#     registrations are swapped in (displacing rule-4 tail members,
-#     newest evidence first) in the same commit that registers them.
+# (a) rule 1 — never driver-checked: partition_spec_bucket_scan
+#     (bucket(N,col) partition transform, registered this round),
+#     swapped in displacing approx_distinct_users (r4 evidence, ages
+#     to 7 at round 11 — still inside the query SLA; leads round 11's
+#     rule-4 fill).
 # (b) rule 2 — code touched this round (VERDICT/ADVICE items: atomic
 #     _refs seq claims + claim-release-on-failure + injectable claim
 #     backend in operators/manifest.py; _sidecar_exists-style version
@@ -244,6 +246,8 @@ from . import pipelines  # noqa: E402,F401
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
+    # (a) rule 1: registered this round, never driver-checked
+    "partition_spec_bucket_scan",
     # (b) rule 2: table-layer commit/bootstrap code touched this round
     "table_tag_travel",
     "table_format_lifecycle",
@@ -295,7 +299,6 @@ _CHECK_FIRST = [
     "dedup_keep_first",
     "bloom_semi_join_revenue",
     "array_envelope",
-    "approx_distinct_users",
 ]
 
 

@@ -1441,3 +1441,86 @@ def partition_spec_band_scan(
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum("cents").cast("long") / 100.0).alias("band_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-transform scan (round 10; VERDICT r09 item 5): the Iceberg
+# bucket(N,col) partition transform applied to the HIGH-CARDINALITY
+# key the identity spec cannot handle — the reference partitions
+# datasets by image_name/item_id (TrainDatasets.py:383-385, its own
+# TODO regrets it), which at 100 TB means either one directory per key
+# (a metadata storm) or no pruning at all. bucket(16,o_custkey) caps
+# the directory count at 16 FOREVER while an equality predicate still
+# prunes to ONE bucket: the writer materializes
+# pmod(hash(cast(key AS string)), 16) via Spark's own hash, the read
+# path maps the literal through the SAME hash (a one-row job), and the
+# residual filter restores exactness for the other keys sharing the
+# bucket. Two snapshots (odd/even orderkeys) exercise appends into the
+# same bucket space. The oracle is the plain declarative filter over
+# the source table; a write/read hash disagreement, a mis-recorded
+# tuple, or a missing residual breaks the hash. Physical one-bucket
+# pruning is asserted in tests/test_partspec.py.
+# ---------------------------------------------------------------------------
+_SPEC_BUCKET_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _spec_bucket_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.partspec import write_spec_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPEC_BUCKET_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="partspec_bucket_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_spec_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            out_dir,
+            ["bucket(16,o_custkey)"],
+        )
+        write_spec_snapshot(
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            out_dir,
+            ["bucket(16,o_custkey)"],
+        )
+        _SPEC_BUCKET_DIRS[key] = out_dir
+    return _SPEC_BUCKET_DIRS[key]
+
+
+@query(
+    "partition_spec_bucket_scan",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS cust_value
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def partition_spec_bucket_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.partspec import read_spec_pruned
+
+    path = _spec_bucket_dir(spark, sf_dir)
+    key = int(
+        t(spark, sf_dir, "orders").agg(F.min("o_custkey")).collect()[0][0]
+    )
+    scan = read_spec_pruned(spark, path, {"o_custkey": key})
+    return (
+        scan.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents").cast("long") / 100.0).alias("cust_value"),
+        )
+        .orderBy("o_orderpriority")
+    )

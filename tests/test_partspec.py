@@ -345,3 +345,121 @@ def test_spec_writers_respect_version_claims(spark):
         assert write_spec_snapshot(df, d, ["status"]) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: bucket(N,col) / truncate(W,col) partition transforms
+# (VERDICT r09 item 5) — the Iceberg answer to high-cardinality keys
+# (the reference's per-image partitioning). Write and read must agree
+# on bucket ids via Spark's own hash; equality predicates prune to ONE
+# bucket, physically asserted by file counts.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def bucket_table(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="partspec_bucket_")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    write_spec_snapshot(orders, out, ["bucket(8,o_custkey)"])
+    yield out, orders
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bucket_transform_prunes_to_one_bucket(spark, bucket_table):
+    out, orders = bucket_table
+    # 8 buckets -> 8 tuple dirs; an equality predicate on the SOURCE
+    # column keeps exactly the files of one bucket
+    man = spark.read.parquet(f"{out}/_specmanifest").collect()
+    buckets = {(r["part"] or {}).get("bucket(8,o_custkey)") for r in man}
+    assert len(buckets) == 8
+    key = int(orders.select(F.min("o_custkey")).collect()[0][0])
+    kept, total = spec_pruned_file_count(spark, out, {"o_custkey": key})
+    per_bucket = total / 8
+    assert kept <= per_bucket  # one bucket's files only
+    assert kept >= 1
+
+
+def test_bucket_transform_read_is_exact(spark, bucket_table):
+    out, orders = bucket_table
+    key = int(orders.select(F.min("o_custkey")).collect()[0][0])
+    got = read_spec_pruned(spark, out, {"o_custkey": key})
+    want = orders.filter(F.col("o_custkey") == key)
+    assert got.count() == want.count() > 0
+    assert (
+        got.agg(F.sum("cents")).collect()[0][0]
+        == want.agg(F.sum("cents")).collect()[0][0]
+    )
+    # no shadow columns leak
+    assert all(not c.startswith(("_p_", "_v_")) for c in got.columns)
+
+
+def test_bucket_keeps_files_opened_to_one_bucket(spark, bucket_table):
+    # physical assertion: the pruned read OPENS only the kept files
+    out, orders = bucket_table
+    key = int(orders.select(F.min("o_custkey")).collect()[0][0])
+    kept, total = spec_pruned_file_count(spark, out, {"o_custkey": key})
+    got = read_spec_pruned(spark, out, {"o_custkey": key})
+    opened = {
+        r["f"]
+        for r in got.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert len(opened) <= kept < total
+
+
+def test_truncate_transform_prunes_and_is_exact(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="partspec_trunc_")
+    try:
+        cust = t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+        # c_name is 'Customer#000000001' — truncate(10) groups by the
+        # shared prefix; use c_custkey cast to string via truncate(2)
+        # for real grouping instead
+        df = cust.withColumn("ck", F.col("c_custkey").cast("string"))
+        write_spec_snapshot(df, out, ["truncate(1,ck)"])
+        man = spark.read.parquet(f"{out}/_specmanifest").collect()
+        prefixes = {(r["part"] or {}).get("truncate(1,ck)") for r in man}
+        assert prefixes <= set("0123456789")  # first digit of the key
+        # equality on the source column prunes to one prefix group
+        kept, total = spec_pruned_file_count(spark, out, {"ck": "42"})
+        assert kept < total
+        got = read_spec_pruned(spark, out, {"ck": "42"})
+        assert got.count() == 1
+        assert got.collect()[0]["c_custkey"] == 42
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_identity_and_bucket_compose(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="partspec_compose_")
+    try:
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        write_spec_snapshot(
+            orders, out, ["o_orderstatus", "bucket(4,o_custkey)"]
+        )
+        key = int(orders.select(F.min("o_custkey")).collect()[0][0])
+        # both predicates prune multiplicatively: <= files of one
+        # (status, bucket) tuple
+        k_both, total = spec_pruned_file_count(
+            spark, out, {"o_orderstatus": "F", "o_custkey": key}
+        )
+        k_status, _ = spec_pruned_file_count(
+            spark, out, {"o_orderstatus": "F"}
+        )
+        assert k_both < k_status < total
+        got = read_spec_pruned(
+            spark, out, {"o_orderstatus": "F", "o_custkey": key}
+        )
+        want = orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_custkey") == key)
+        )
+        assert got.count() == want.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
