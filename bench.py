@@ -371,6 +371,8 @@ HEADLINE = [
     # spec-table band scan: tuple pruning + per-file column stats
     "partition_spec_band_scan",
     "partition_spec_bucket_scan",
+    "hilbert_rectangle_scan",
+    "dv_position_delete_audit",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
     # round 9: the reference's image_sampler lifecycle composed

@@ -379,6 +379,7 @@ def write_manifest_table_zordered(
     col_b: str,
     num_files: int = 16,
     bits: int = 8,
+    curve: str = "morton",
 ) -> int:
     """Append a snapshot clustered by the MORTON KEY of (col_a, col_b)
     instead of a linear sort — each file then owns a small RECTANGLE of
@@ -389,8 +390,13 @@ def write_manifest_table_zordered(
     and ``read_pruned_stats`` serves band reads on either. This is the
     OPTIMIZE ZORDER BY shape for the manifest table — the layout for
     tables queried along two axes (user x time, key x date) at 100 TB.
+    ``curve="hilbert"`` clusters by the Hilbert position instead
+    (round 10): unit curve steps are unit grid steps, so file regions
+    are squarer and fewer files straddle a rectangle's boundary —
+    measurably tighter keep sets on the same rectangle-scan harness
+    (tests/test_layout.py compares both curves' pruning head to head).
     Returns the new version."""
-    from .layout import zorder_key
+    from .layout import hilbert_key, zorder_key
     from .manifest import (
         CommitConflict,
         _abort_claim,
@@ -408,7 +414,13 @@ def write_manifest_table_zordered(
             f"z-ordered write to {path} lost the claim for v={version}"
         )
     data_dir = f"{path}/v={version}"
-    z = df.withColumn("__z", zorder_key(df, col_a, col_b, bits))
+    if curve == "morton":
+        key = zorder_key(df, col_a, col_b, bits)
+    elif curve == "hilbert":
+        key = hilbert_key(df, col_a, col_b, bits)
+    else:
+        raise ValueError(f"unknown curve {curve!r} (morton|hilbert)")
+    z = df.withColumn("__z", key)
     try:
         (
             z.repartitionByRange(num_files, "__z")

@@ -15,10 +15,21 @@ aggregate (driver scalars, embedded as literals), bucketing is
 is pure bit arithmetic in codegen, and the write is
 ``repartitionByRange`` on the key + in-partition sort — the same
 machinery as any sorted write.
+
+Round 10 adds the HILBERT curve (``hilbert_key``) as an alternative
+clustering key: Morton's bit-interleave takes long diagonal jumps at
+every quadrant boundary, so an unaligned run of consecutive Morton
+values can span distant grid regions; every unit step of a Hilbert
+curve is a unit grid step, so equal-length curve segments (= files)
+cover squarer, more compact regions and fewer files straddle a query
+rectangle. Measured head-to-head on the same rectangle-scan harness
+in tests/test_layout.py — Hilbert's aggregate keep set is strictly
+smaller at unaligned file counts.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,6 +68,72 @@ def zorder_key(
         return F.least(F.greatest(wb - 1, F.lit(0)), F.lit(n - 1)).cast("long")
 
     return interleave_bits(bucket(col_a, amin, amax), bucket(col_b, bmin, bmax), bits)
+
+
+def _hilbert_index(x, y, bits: int):
+    """Vectorized (x, y) -> Hilbert curve position on a 2^bits × 2^bits
+    grid (the classic iterative xy2d with rotate/reflect per level,
+    numpy-vectorized). Unlike Morton, every unit step along the curve
+    is a unit step on the grid, so equal-length curve segments cover
+    squarer, more compact regions — fewer files straddle a query
+    rectangle's boundary, which is the whole point of curve layout."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant so the curve direction stays consistent
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xr = np.where(refl, s - 1 - x, x)
+        yr = np.where(refl, s - 1 - y, y)
+        x = np.where(swap, yr, xr)
+        y = np.where(swap, xr, yr)
+        s >>= 1
+    return d
+
+
+def hilbert_key(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 8
+) -> Column:
+    """Hilbert-curve twin of ``zorder_key``: same equal-width bucketing
+    (driver-scalar min/max, ``width_bucket``, no shuffle), but the
+    bucket pair maps to its HILBERT position instead of the Morton
+    interleave. The curve index runs as an Arrow-batched pandas UDF —
+    a write-time-only cost (8 numpy passes per batch), acceptable
+    where a per-row expression tree for the 8-level rotate/reflect
+    recursion would blow past codegen limits; reads pay nothing, they
+    prune on the same per-file [min, max] stats as any layout."""
+    from pyspark.sql.functions import pandas_udf
+
+    row = df.select(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    amin, amax, bmin, bmax = (float(v) for v in row)
+    n = 2**bits
+
+    def bucket(c: str, lo: float, hi: float) -> Column:
+        if hi <= lo:
+            return F.lit(0).cast("long")
+        wb = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n)
+        )
+        return F.least(F.greatest(wb - 1, F.lit(0)), F.lit(n - 1)).cast(
+            "long"
+        )
+
+    @pandas_udf("long")
+    def _h(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            _hilbert_index(xs.to_numpy(), ys.to_numpy(), bits)
+        )
+
+    return _h(bucket(col_a, amin, amax), bucket(col_b, bmin, bmax))
 
 
 def write_zordered(

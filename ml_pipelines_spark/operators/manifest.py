@@ -296,12 +296,25 @@ def read_pruned(
     if not keep:
         # empty result with the snapshot's schema (lazy probe)
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
-    out = spark.read.parquet(*keep).filter(band)
+    from .posdeletes import (
+        _apply_pos_deletes,
+        _pos_delete_runs,
+        _strip_positions,
+        _with_positions,
+    )
+
+    out = spark.read.parquet(*keep)
+    runs = _pos_delete_runs(spark, path, v)
+    if runs is not None:
+        out = _with_positions(out)
+    out = out.filter(band)
     dels = _delete_keys(
         spark, path, v, min_origin=min(_file_origin(f) for f in keep)
     )
     if dels is not None:
         out = _apply_tombstones(out, dels, sort_col)
+    if runs is not None:
+        out = _strip_positions(_apply_pos_deletes(out, runs))
     return out
 
 
@@ -325,12 +338,23 @@ def read_snapshot(
     path: str,
     version: int | None = None,
     ref: str | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Full read of one snapshot (latest when ``version`` is None) —
     through the manifest's FILE LIST, so snapshots composed by
     metadata-only appends (files living under several ``v=`` dirs)
     read correctly. ``ref`` reads the version a named tag points at
-    (time travel by name, Iceberg ``VERSION AS OF 'tag'``)."""
+    (time travel by name, Iceberg ``VERSION AS OF 'tag'``).
+    ``with_positions`` keeps the posdeletes helper columns (file path +
+    row position) on the result — the seam ``delete_where`` records new
+    deletion vectors through."""
+    from .posdeletes import (
+        _apply_pos_deletes,
+        _pos_delete_runs,
+        _strip_positions,
+        _with_positions,
+    )
+
     if ref is not None:
         if version is not None:
             raise ValueError("pass version OR ref, not both")
@@ -338,14 +362,24 @@ def read_snapshot(
     manifest, v = _manifest_rows(spark, path, version)
     files = [r["file"] for r in manifest]
     if not files:
-        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+        out = spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+        return _with_positions(out) if with_positions else out
     out = spark.read.parquet(*files)
+    runs = _pos_delete_runs(spark, path, v)
+    if runs is not None or with_positions:
+        # capture the scan's native (file, row position) BEFORE any
+        # join strips _metadata resolution
+        out = _with_positions(out)
     dels = _delete_keys(
         spark, path, v, min_origin=min(_file_origin(f) for f in files)
     )
     if dels is not None:
         key = [c for c in dels.columns if c != "v"][0]
         out = _apply_tombstones(out, dels, key)
+    if runs is not None:
+        out = _apply_pos_deletes(out, runs)
+    if runs is not None and not with_positions:
+        out = _strip_positions(out)
     return out
 
 
@@ -595,8 +629,18 @@ def merge_snapshot(
                 )
             continue  # the winner committed — RE-PLAN from the new manifest
         if touched:
+            from .posdeletes import (
+                _apply_pos_deletes,
+                _pos_delete_runs,
+                _strip_positions,
+                _with_positions,
+            )
+
             touched_files = [r["file"] for r in touched]
             old_rows = spark.read.parquet(*touched_files)
+            runs = _pos_delete_runs(spark, path, prev)
+            if runs is not None:
+                old_rows = _with_positions(old_rows)
             dels = _delete_keys(
                 spark,
                 path,
@@ -608,6 +652,13 @@ def merge_snapshot(
                 # rows — origin-scoped, so a key re-inserted after its
                 # delete is NOT re-killed here
                 old_rows = _apply_tombstones(old_rows, dels, sort_col)
+            if runs is not None:
+                # same no-resurrection contract for deletion vectors;
+                # the rewrite drops these files from the manifest, so
+                # their DV rows go inert after this merge
+                old_rows = _strip_positions(
+                    _apply_pos_deletes(old_rows, runs)
+                )
             survivors = old_rows.join(
                 updates.select(sort_col).distinct(), sort_col, "left_anti"
             )
@@ -939,16 +990,31 @@ def read_snapshot_evolved(
     and the groups union by name. Tombstone keys are forward-mapped
     through renames issued after the delete. Without a ``_schema_events``
     log this equals ``read_snapshot``."""
+    from .posdeletes import (
+        _apply_pos_deletes,
+        _pos_delete_runs,
+        _strip_positions,
+        _with_positions,
+    )
+
     manifest, v = _manifest_rows(spark, path, version)
     files = [r["file"] for r in manifest]
     if not files:
         return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     events = _schema_events(spark, path, v)
+    runs = _pos_delete_runs(spark, path, v)
     by_origin: dict[int, list[str]] = {}
     for f in files:
         by_origin.setdefault(_file_origin(f), []).append(f)
+
+    def _scan(grp: list[str]) -> DataFrame:
+        df = spark.read.parquet(*grp)
+        # positions captured per GROUP scan, before event replay —
+        # schema events never touch the __pd_* helper names
+        return _with_positions(df) if runs is not None else df
+
     parts = [
-        _replay_events(spark.read.parquet(*grp), events, origin)
+        _replay_events(_scan(grp), events, origin)
         for origin, grp in sorted(by_origin.items())
     ]
     out = parts[0]
@@ -968,6 +1034,8 @@ def read_snapshot_evolved(
             out = _apply_tombstones(
                 out, batch.withColumnRenamed(key, cur), cur
             )
+    if runs is not None:
+        out = _strip_positions(_apply_pos_deletes(out, runs))
     return out
 
 
@@ -1413,6 +1481,45 @@ def expire_snapshots(
         kept_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
         fs.delete(subroot, True)
         fs.rename(_p(tmp), subroot)
+    # deletion-vector GC: DV runs are file-keyed, so a run whose file
+    # no retained manifest references is dead. DV paths come from
+    # _metadata.file_path (file:/x) while manifests store
+    # input_file_name (file:///x) — compare on the scheme-insensitive
+    # normalization or live runs would be misjudged dead.
+    pd_root = _p(f"{path}/_posdeletes")
+    if fs.exists(pd_root):
+        ref_norm = spark.createDataFrame(
+            [(f,) for f in sorted({_norm_uri(f) for f in referenced_raw})],
+            "nfile string",
+        )
+        norm_expr = F.regexp_replace(
+            F.regexp_replace(
+                F.col("file"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", ""
+            ),
+            r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/",
+            "/",
+        )
+        kept_rows = (
+            spark.read.parquet(f"{path}/_posdeletes")
+            .withColumn("_nfile", norm_expr)
+            .join(
+                ref_norm,
+                F.col("_nfile") == F.col("nfile"),
+                "left_semi",
+            )
+            .drop("_nfile")
+        )
+        if kept_rows.limit(1).count() == 0:
+            # nothing survives: drop the sidecar entirely (an empty
+            # partitioned dir would be unreadable, not just empty)
+            fs.delete(pd_root, True)
+        else:
+            tmp = f"{path}/_posdeletes__gc_tmp"
+            kept_rows.coalesce(1).write.mode("overwrite").partitionBy(
+                "v"
+            ).parquet(tmp)
+            fs.delete(pd_root, True)
+            fs.rename(_p(tmp), pd_root)
     # tombstone GC: version D is dead when every retained version either
     # predates it or contains only files written at/after it
     dels_root = _p(f"{path}/_deletes")
@@ -1515,6 +1622,13 @@ def read_staged(
     live — the staged manifest's files with the table's current
     tombstones applied. Quality gates run here; a failure costs an
     abort, never a bad published version."""
+    from .posdeletes import (
+        _apply_pos_deletes,
+        _pos_delete_runs,
+        _strip_positions,
+        _with_positions,
+    )
+
     manifest = [
         r
         for r in spark.read.parquet(f"{path}/_staged_manifest").collect()
@@ -1522,6 +1636,9 @@ def read_staged(
     ]
     files = [r["file"] for r in manifest]
     out = spark.read.parquet(*files)
+    runs = _pos_delete_runs(spark, path, version)
+    if runs is not None:
+        out = _with_positions(out)
     dels = _delete_keys(
         spark,
         path,
@@ -1531,6 +1648,8 @@ def read_staged(
     if dels is not None:
         key = [c for c in dels.columns if c != "v"][0]
         out = _apply_tombstones(out, dels, key)
+    if runs is not None:
+        out = _strip_positions(_apply_pos_deletes(out, runs))
     return out
 
 
@@ -1860,6 +1979,8 @@ def snapshot_row_count(
     count-from-manifest fast path a 100 TB table depends on. Snapshots
     carrying merge-on-read delete debt fall back to the tombstone-
     filtered read (the debt compaction clears)."""
+    from .posdeletes import _pos_delete_runs
+
     manifest, v = _manifest_rows(spark, path, version)
     if not manifest:
         return 0
@@ -1867,8 +1988,9 @@ def snapshot_row_count(
     dels = _delete_keys(
         spark, path, v, min_origin=min(_file_origin(f) for f in files)
     )
-    if dels is None:
+    if dels is None and _pos_delete_runs(spark, path, v) is None:
         return sum(int(r["n_rows"]) for r in manifest)
-    # tombstone debt: defer to read_snapshot so the counting path can
-    # never drift from the read path's delete semantics
+    # delete debt (key tombstones or deletion vectors): defer to
+    # read_snapshot so the counting path can never drift from the read
+    # path's delete semantics
     return read_snapshot(spark, path, v).count()

@@ -1,0 +1,177 @@
+"""Positional deletion vectors — Iceberg v2 / Delta DV merge-on-read.
+
+The key-tombstone path (``manifest.delete_from_snapshot``) records
+deleted KEYS and readers anti-join the accumulated key set — right
+when deletes are expressed by key, but the sidecar grows with the
+DELETED ROW COUNT and the anti-join hashes every recorded key on
+every read. For WIDE deletes (drop a retention window, purge a whole
+ingest batch, GDPR-erase a large id range) the industry answer is a
+DELETION VECTOR: per FILE, a compressed bitmap of deleted row
+POSITIONS. This module implements that natively in Spark:
+
+- ``delete_where``: evaluate a predicate over the current snapshot
+  ONCE, record the matching rows as per-file position RUNS
+  ``(file, pos_start, pos_end)`` under ``_posdeletes/v=N`` — the
+  run-length containers that make roaring bitmaps compact, derived
+  with a pure gaps-and-islands aggregation (no UDF). A contiguous
+  10^9-row delete costs ONE run row. Zero data files are touched; the
+  manifest is carried verbatim (the same merge-on-read contract as
+  key tombstones).
+- Readers stitch ``_metadata.row_index`` / ``_metadata.file_path``
+  (Spark's native parquet row-position metadata — no synthetic ids,
+  no zipWithIndex shuffle) and LEFT-ANTI join the broadcast run table
+  on file equality + position-in-run. The data side never shuffles
+  and the hash side is O(runs), not O(deleted rows) — the property
+  that makes DVs the wide-delete shape at 100 TB.
+
+Scoping semantics: a DV pins exact physical (file, position) pairs,
+so origin arithmetic is unnecessary — a DV for a file a later MERGE
+or compaction rewrote simply stops matching (the file left the
+manifest), and re-inserted keys are untouched by construction.
+Version scoping matches key tombstones: a DV issued at version D is
+visible to readers of version >= D, invisible to time travel before
+D, and restore-shadowed intervals hide it (``_visible_intervals``).
+
+Reference parity: the reference library has no deletes at all (it
+rewrites whole feather snapshots); this is part of the table-format
+surface a 100 TB training-data lake needs (Iceberg spec v2
+"Position Delete Files", Delta "Deletion Vectors").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SIDECAR = "_posdeletes"
+# helper column names threaded through reads while DVs are applied
+_PD_FILE, _PD_POS = "__pd_file", "__pd_pos"
+
+
+def delete_where(
+    spark: SparkSession, path: str, condition: Column | str
+) -> int:
+    """MERGE-ON-READ positional delete: record every current-snapshot
+    row matching ``condition`` as per-file position runs and append a
+    metadata-only version. Returns the new version number.
+
+    The predicate is evaluated once, at delete time, against the
+    snapshot state the caller sees (existing tombstones and DVs
+    applied first, so re-deleting already-dead rows records nothing).
+    """
+    from .manifest import (
+        CommitConflict,
+        _abort_claim,
+        _claim_version,
+        _manifest_rows,
+    )
+
+    manifest, prev = _manifest_rows(spark, path, None)
+    version = prev + 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"positional delete at {path} lost the claim for v={version}"
+        )
+    try:
+        from .manifest import read_snapshot
+
+        cur = read_snapshot(spark, path, prev, with_positions=True)
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        hit = cur.filter(condition).select(
+            F.col(_PD_FILE).alias("file"), F.col(_PD_POS).alias("pos")
+        )
+        # gaps-and-islands: consecutive positions share (pos - rank),
+        # so one groupBy collapses every contiguous run to a single
+        # (start, end) row — the RLE container, built distributed
+        w = Window.partitionBy("file").orderBy("pos")
+        runs = (
+            hit.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("file", "_grp")
+            .agg(
+                F.min("pos").alias("pos_start"),
+                F.max("pos").alias("pos_end"),
+            )
+            .select(
+                "file",
+                "pos_start",
+                "pos_end",
+                F.lit(version).alias("v"),
+            )
+        )
+        runs.coalesce(1).write.mode("append").partitionBy("v").parquet(
+            f"{path}/{_SIDECAR}"
+        )
+        carried = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in manifest
+            ],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
+        )
+    except Exception:
+        _abort_claim(spark, path, version)
+        raise
+    return version
+
+
+def _pos_delete_runs(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame | None:
+    """Run rows visible to a reader of ``version`` (restore-aware,
+    like ``_delete_keys``), or None when there are none."""
+    from .manifest import _sidecar_exists, _visible_intervals
+
+    if not _sidecar_exists(spark, path, _SIDECAR):
+        return None
+    try:
+        runs = spark.read.parquet(f"{path}/{_SIDECAR}")
+    except Exception:
+        # exists but empty/unreadable partial dir: no visible DVs
+        return None
+    vis = _visible_intervals(spark, path, version)
+    cond = None
+    for lo, hi in vis:
+        c = (F.col("v") > lo) & (F.col("v") <= hi)
+        cond = c if cond is None else (cond | c)
+    runs = runs.filter(cond if cond is not None else F.lit(False))
+    return runs if runs.limit(1).count() else None
+
+
+def _with_positions(out: DataFrame) -> DataFrame:
+    """Expose the scan's native file/row-position metadata as helper
+    columns (must be called on the scan output, before joins strip
+    ``_metadata`` resolution)."""
+    return out.select(
+        "*",
+        F.col("_metadata.file_path").alias(_PD_FILE),
+        F.col("_metadata.row_index").alias(_PD_POS),
+    )
+
+
+def _apply_pos_deletes(out: DataFrame, runs: DataFrame) -> DataFrame:
+    """Anti-join the position runs: drop rows whose (file, position)
+    falls inside any visible run. The run table is metadata-sized and
+    broadcast; the data side never shuffles."""
+    r = F.broadcast(
+        runs.select(
+            F.col("file").alias("_r_file"),
+            F.col("pos_start").alias("_r_lo"),
+            F.col("pos_end").alias("_r_hi"),
+        )
+    )
+    return out.join(
+        r,
+        (F.col(_PD_FILE) == F.col("_r_file"))
+        & (F.col(_PD_POS) >= F.col("_r_lo"))
+        & (F.col(_PD_POS) <= F.col("_r_hi")),
+        "left_anti",
+    )
+
+
+def _strip_positions(out: DataFrame) -> DataFrame:
+    return out.drop(_PD_FILE, _PD_POS)

@@ -219,10 +219,12 @@ from . import pipelines  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Round-10 window, filled by the standing schedule:
 # (a) rule 1 — never driver-checked: partition_spec_bucket_scan
-#     (bucket(N,col) partition transform, registered this round),
-#     swapped in displacing approx_distinct_users (r4 evidence, ages
-#     to 7 at round 11 — still inside the query SLA; leads round 11's
-#     rule-4 fill).
+#     (bucket(N,col) partition transform), hilbert_rectangle_scan
+#     (Hilbert-curve layout) and dv_position_delete_audit (positional
+#     deletion vectors), all registered this round, swapped in
+#     displacing approx_distinct_users, array_envelope and
+#     bloom_semi_join_revenue (r4 evidence, ages to 7 at round 11 —
+#     still inside the query SLA; they lead round 11's rule-4 fill).
 # (b) rule 2 — code touched this round (VERDICT/ADVICE items: atomic
 #     _refs seq claims + claim-release-on-failure + injectable claim
 #     backend in operators/manifest.py; _sidecar_exists-style version
@@ -248,6 +250,8 @@ _CHECK_FIRST = [
     "q1_pricing_summary",
     # (a) rule 1: registered this round, never driver-checked
     "partition_spec_bucket_scan",
+    "hilbert_rectangle_scan",
+    "dv_position_delete_audit",
     # (b) rule 2: table-layer commit/bootstrap code touched this round
     "table_tag_travel",
     "table_format_lifecycle",
@@ -297,8 +301,6 @@ _CHECK_FIRST = [
     "exact_percentiles",
     "doc_length_quartiles",
     "dedup_keep_first",
-    "bloom_semi_join_revenue",
-    "array_envelope",
 ]
 
 

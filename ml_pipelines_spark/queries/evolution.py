@@ -1524,3 +1524,173 @@ def partition_spec_bucket_scan(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve rectangle scan (round 10; VERDICT r09 item 8): the same
+# two-axis table as zorder_rectangle_scan laid out by the HILBERT
+# position instead of the Morton interleave. Every unit step along a
+# Hilbert curve is a unit grid step, so equal-length curve segments
+# (= files) cover squarer regions and fewer files straddle a query
+# rectangle — measured head-to-head against Morton on the same
+# harness in tests/test_layout.py (aggregate keep set strictly
+# smaller). The result is layout-independent (the residual filter
+# restores exactness), so the oracle is the same declarative
+# rectangle aggregate — what the layout changes is only WHICH files
+# open, asserted physically in pytest.
+# ---------------------------------------------------------------------------
+_HILBERT_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _hilbert_rect_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.filestats import write_manifest_table_zordered
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _HILBERT_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_hilbert_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table_zordered(
+            orders, out_dir, "o_custkey", "cents",
+            num_files=16, curve="hilbert",
+        )
+        _HILBERT_DIRS[key] = out_dir
+    return _HILBERT_DIRS[key]
+
+
+@query(
+    "hilbert_rectangle_scan",
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), span AS (
+        SELECT MIN(o_custkey) AS ka, MAX(o_custkey) AS kb,
+               MIN(cents) AS ca, MAX(cents) AS cb
+        FROM src
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS rect_value,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM src, span
+    WHERE o_custkey BETWEEN ka + (kb - ka) // 2 AND ka + 3 * (kb - ka) // 4
+      AND cents BETWEEN ca + (cb - ca) // 2 AND ca + 3 * (cb - ca) // 4
+    """,
+)
+def hilbert_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import read_pruned_rect
+
+    path = _hilbert_rect_dir(spark, sf_dir)
+    span = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(
+            F.min("o_custkey").alias("ka"),
+            F.max("o_custkey").alias("kb"),
+            F.min("cents").alias("ca"),
+            F.max("cents").alias("cb"),
+        )
+        .collect()[0]
+    )
+    ka, kb, ca, cb = (int(span[c]) for c in ("ka", "kb", "ca", "cb"))
+    rect = read_pruned_rect(
+        spark,
+        path,
+        ("o_custkey", ka + (kb - ka) // 2, ka + 3 * (kb - ka) // 4),
+        ("cents", ca + (cb - ca) // 2, ca + 3 * (cb - ca) // 4),
+    )
+    return rect.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("long") / 100.0).alias("rect_value"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional deletion vectors under the oracle gate (round 10; VERDICT
+# r09 item 8): the WIDE-delete shape. A manifest table of orders takes
+# a merge-on-read positional delete of every 'F'-status row —
+# operators/posdeletes records per-file (pos_start, pos_end) RUNS from
+# Spark's native _metadata.row_index (zero data files rewritten,
+# sidecar size O(runs) not O(deleted rows)) — and the audit reads the
+# survivor state back THROUGH the DV filter: per-priority counts and
+# values, plus before/after totals from the table layer (the before
+# total is the count-from-metadata fast path on v1). The oracle
+# re-derives everything declaratively from the source table; a
+# position off by one, a run boundary bug, or a DV leaking across
+# versions breaks the hash. Physical zero-rewrite, RLE compression,
+# merge/compaction interplay and GC are pytest-asserted
+# (tests/test_posdeletes.py).
+# ---------------------------------------------------------------------------
+_DV_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _dv_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import write_manifest_table
+    from ..operators.posdeletes import delete_where
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DV_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="dv_orders_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(orders, out_dir, "o_orderkey", num_files=8)
+        delete_where(spark, out_dir, "o_orderstatus = 'F'")
+        _DV_DIRS[key] = out_dir
+    return _DV_DIRS[key]
+
+
+@query(
+    "dv_position_delete_audit",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS surv_value,
+           (SELECT COUNT(*) FROM orders) AS rows_before,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus <> 'F') AS rows_after
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dv_position_delete_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.manifest import read_snapshot, snapshot_row_count
+
+    path = _dv_orders_dir(spark, sf_dir)
+    before = snapshot_row_count(spark, path, version=1)  # metadata-only
+    after = snapshot_row_count(spark, path)  # through the DV filter
+    surv = read_snapshot(spark, path)
+    return (
+        surv.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents").cast("long") / 100.0).alias("surv_value"),
+        )
+        .withColumn("rows_before", F.lit(before))
+        .withColumn("rows_after", F.lit(after))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,159 @@
+"""Positional deletion vectors (round 10; VERDICT r09 item 8):
+merge-on-read by (file, row position) runs — zero data files touched,
+O(runs) sidecar instead of O(deleted rows), readers stitch Spark's
+native ``_metadata.row_index``."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ml_pipelines_spark.operators.manifest import (
+    append_snapshot,
+    compact_snapshot,
+    expire_snapshots,
+    merge_snapshot,
+    read_pruned,
+    read_snapshot,
+    snapshot_row_count,
+    write_manifest_table,
+)
+from ml_pipelines_spark.operators.posdeletes import delete_where
+
+
+@pytest.fixture()
+def table(spark):
+    out = tempfile.mkdtemp(prefix="posdel_test_")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("val"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+    write_manifest_table(base, out, "k", num_files=4)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _mtimes(table):
+    return {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{table}/v=*/**/*.parquet", recursive=True)
+    }
+
+
+def test_delete_where_zero_data_files_touched(spark, table):
+    before = _mtimes(table)
+    v = delete_where(spark, table, "k >= 100 AND k < 600")
+    assert v == 2
+    assert _mtimes(table) == before  # merge-on-read: bytes untouched
+    got = read_snapshot(spark, table)
+    assert got.count() == 500
+    assert got.filter((F.col("k") >= 100) & (F.col("k") < 600)).count() == 0
+    # time travel: v1 still sees every row
+    assert read_snapshot(spark, table, 1).count() == 1000
+    assert snapshot_row_count(spark, table) == 500
+    assert snapshot_row_count(spark, table, 1) == 1000
+
+
+def test_wide_delete_compresses_to_one_run_per_file(spark, table):
+    # the table is range-clustered on k, so a contiguous k-band is a
+    # contiguous POSITION band within each file: the gaps-and-islands
+    # RLE must record at most one run per touched file — the O(runs)
+    # story that makes DVs the wide-delete shape
+    delete_where(spark, table, "k >= 100 AND k < 600")
+    runs = spark.read.parquet(f"{table}/_posdeletes").collect()
+    assert 1 <= len(runs) <= 4  # ≤ one run per file, for 500 dead rows
+    assert sum(r["pos_end"] - r["pos_start"] + 1 for r in runs) == 500
+
+
+def test_scattered_delete_runs_still_exact(spark, table):
+    delete_where(spark, table, "bucket = 3")  # every 7th row
+    got = read_snapshot(spark, table)
+    assert got.count() == 1000 - len([k for k in range(1000) if k % 7 == 3])
+    assert got.filter(F.col("bucket") == 3).count() == 0
+
+
+def test_reinserted_keys_survive_old_dv(spark, table):
+    delete_where(spark, table, "k < 10")
+    re_ins = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.lit(-1).alias("val"),
+        F.lit(99).alias("bucket"),
+    )
+    append_snapshot(re_ins, table, "k")
+    got = read_snapshot(spark, table)
+    assert got.count() == 1000  # 990 survivors + 10 re-inserts
+    # the re-inserted rows are the NEW values (positions pin old files)
+    assert {
+        r["val"] for r in got.filter(F.col("k") < 10).collect()
+    } == {-1}
+
+
+def test_merge_does_not_resurrect_dv_deleted_rows(spark, table):
+    delete_where(spark, table, "k >= 200 AND k < 300")
+    updates = spark.range(250, 260).select(
+        F.col("id").alias("k"),
+        F.lit(7).alias("val"),
+        F.lit(7).alias("bucket"),
+    )
+    merge_snapshot(spark, table, "k", updates)
+    got = read_snapshot(spark, table)
+    # 900 survivors + 10 upserted keys back in
+    assert got.count() == 910
+    assert got.filter((F.col("k") >= 200) & (F.col("k") < 250)).count() == 0
+    assert {
+        r["val"] for r in got.filter(F.col("k") == 255).collect()
+    } == {7}
+
+
+def test_dv_composes_with_key_tombstones(spark, table):
+    from ml_pipelines_spark.operators.manifest import delete_from_snapshot
+
+    delete_where(spark, table, "k < 100")
+    delete_from_snapshot(
+        spark, table, "k",
+        spark.range(900, 1000).select(F.col("id").alias("k")),
+    )
+    got = read_snapshot(spark, table)
+    assert got.count() == 800
+    assert got.agg(F.min("k"), F.max("k")).collect()[0] == (100, 899)
+    assert snapshot_row_count(spark, table) == 800
+
+
+def test_pruned_read_honors_dvs(spark, table):
+    delete_where(spark, table, "k >= 100 AND k < 600")
+    got = read_pruned(spark, table, "k", 50, 150)
+    assert got.count() == 50  # 50..99 survive, 100..150 are dead
+    assert got.agg(F.max("k")).collect()[0][0] == 99
+
+
+def test_compact_purges_dv_debt_then_expire_gcs_runs(spark, table):
+    delete_where(spark, table, "k >= 100 AND k < 600")
+    cv = compact_snapshot(spark, table, "k", target_rows=300)
+    got = read_snapshot(spark, table, cv)
+    assert got.count() == 500  # compaction read through the DV filter
+    # runs still reference the OLD files; after expire drops them, the
+    # dead DV rows are GC'd with them
+    expire_snapshots(spark, table, keep_last=1)
+    assert read_snapshot(spark, table).count() == 500
+    # every run referenced a now-deleted file: the sidecar itself is gone
+    assert not os.path.exists(f"{table}/_posdeletes")
+
+
+def test_evolved_read_honors_dvs(spark, table):
+    from ml_pipelines_spark.operators.manifest import (
+        add_column,
+        read_snapshot_evolved,
+    )
+
+    add_column(spark, table, "flag", "string", "'x'")
+    delete_where(spark, table, "k >= 500")
+    got = read_snapshot_evolved(spark, table)
+    assert got.count() == 500
+    assert set(got.columns) == {"k", "val", "bucket", "flag"}
+    assert got.filter(F.col("k") >= 500).count() == 0
