@@ -373,6 +373,8 @@ HEADLINE = [
     "partition_spec_bucket_scan",
     "hilbert_rectangle_scan",
     "dv_position_delete_audit",
+    "mor_merge_audit",
+    "dv_schema_evolution_scan",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
     # round 9: the reference's image_sampler lifecycle composed

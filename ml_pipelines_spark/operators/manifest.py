@@ -132,6 +132,31 @@ def _abort_claim(spark: SparkSession, path: str, version: int) -> None:
         pass
 
 
+def _purge_sidecar_partition(
+    spark: SparkSession, path: str, sidecar: str, version: int
+) -> None:
+    """Best-effort removal of a delete-sidecar's ``v=N`` partition —
+    backing out a failed commit. A STRANDED sidecar partition is a
+    data-loss hazard, not mere litter: tombstones or DV runs written
+    for a version that never produced a manifest become ACTIVE the
+    moment a later writer commits the same version number, silently
+    deleting rows no committed operation asked to delete. While the
+    claim is held the stranded rows are invisible (readers cap at the
+    latest manifest), so purging before the claim is released closes
+    the window. Never raises (cleanup path — the caller re-raises the
+    original error)."""
+    try:
+        fs, jvm = _fs(spark, path)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{sidecar}/v={version}"
+            ),
+            True,
+        )
+    except Exception:
+        pass
+
+
 def _await_claim_release(
     spark: SparkSession, path: str, claimed: int
 ) -> bool:
@@ -282,10 +307,21 @@ def read_pruned(
     lo,
     hi,
     version: int | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Read only the files of one snapshot whose zone-map interval
     overlaps [lo, hi], with the band re-applied as a residual filter.
-    ``version=None`` = latest snapshot; earlier versions time-travel."""
+    ``version=None`` = latest snapshot; earlier versions time-travel.
+    ``with_positions`` keeps the posdeletes helper columns (file path +
+    row position) — the seam ``merge_on_read`` finds matched-row
+    positions through WITHOUT scanning non-overlapping files."""
+    from .posdeletes import (
+        _apply_pos_deletes,
+        _pos_delete_runs,
+        _strip_positions,
+        _with_positions,
+    )
+
     manifest, v = _manifest_rows(spark, path, version)
     keep = [
         r["file"]
@@ -295,17 +331,11 @@ def read_pruned(
     band = (F.col(sort_col) >= F.lit(lo)) & (F.col(sort_col) <= F.lit(hi))
     if not keep:
         # empty result with the snapshot's schema (lazy probe)
-        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
-    from .posdeletes import (
-        _apply_pos_deletes,
-        _pos_delete_runs,
-        _strip_positions,
-        _with_positions,
-    )
-
+        out = spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+        return _with_positions(out) if with_positions else out
     out = spark.read.parquet(*keep)
     runs = _pos_delete_runs(spark, path, v)
-    if runs is not None:
+    if runs is not None or with_positions:
         out = _with_positions(out)
     out = out.filter(band)
     dels = _delete_keys(
@@ -314,7 +344,9 @@ def read_pruned(
     if dels is not None:
         out = _apply_tombstones(out, dels, sort_col)
     if runs is not None:
-        out = _strip_positions(_apply_pos_deletes(out, runs))
+        out = _apply_pos_deletes(out, runs)
+    if runs is not None and not with_positions:
+        out = _strip_positions(out)
     return out
 
 
@@ -1130,24 +1162,56 @@ def delete_from_snapshot(
     files); delete-heavy workloads take tombstones now and pay the
     rewrite once at compaction — the Delta/Iceberg deletion-vector
     trade. Returns the new version.
+
+    Commit protocol (round 10): the version is CLAIMED before the
+    tombstone sidecar lands. Without the claim, two writers racing to
+    v=N would BOTH append into ``_deletes/v=N`` (the sidecar write is
+    mode=append by design — one delete batch per version id), and the
+    manifest LOSER's tombstones would activate under the winner's
+    commit, deleting keys no committed operation asked for. The
+    failure path purges the sidecar partition before releasing the
+    claim (see ``_purge_sidecar_partition``); a lost claim raises
+    ``CommitConflict`` — re-issue the delete against the advanced
+    table (deletes are predicate/key-scoped, so the retry is a fresh
+    call, not a replay).
     """
     manifest, prev = _manifest_rows(spark, path, None)
     version = prev + 1
-    keys.select(F.col(sort_col)).distinct().withColumn(
-        "v", F.lit(version)
-    ).coalesce(1).write.mode("append").partitionBy("v").parquet(
-        f"{path}/_deletes"
-    )
-    carried = spark.createDataFrame(
-        [
-            (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-            for r in manifest
-        ],
-        "file string, min_v bigint, max_v bigint, n_rows bigint",
-    )
-    carried.coalesce(1).write.mode("errorifexists").parquet(
-        f"{path}/_manifest/v={version}"
-    )
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"delete from {path} lost the claim for v={version}; "
+            "another writer is committing — retry against the "
+            "advanced table"
+        )
+    try:
+        keys.select(F.col(sort_col)).distinct().withColumn(
+            "v", F.lit(version)
+        ).coalesce(1).write.mode("append").partitionBy("v").parquet(
+            f"{path}/_deletes"
+        )
+        carried = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in manifest
+            ],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.coalesce(1).write.mode("errorifexists").parquet(
+            f"{path}/_manifest/v={version}"
+        )
+    except Exception as e:
+        _purge_sidecar_partition(spark, path, "_deletes", version)
+        if _is_path_exists_error(e):
+            # claimed, yet the manifest path exists: wreckage of a
+            # crashed pre-claim writer — not ours to delete
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"delete from {path} claimed v={version} but its "
+                "manifest path already exists (unclaimed orphan); "
+                "run sweep_orphan_versions"
+            ) from e
+        _abort_claim(spark, path, version)
+        raise
     return version
 
 
@@ -1967,6 +2031,22 @@ def sweep_orphan_versions(spark: SparkSession, path: str) -> list[int]:
         if v > latest and v not in staged:
             backend.release(spark, path, key)
             swept.add(v)
+    # Stranded delete sidecars above latest are the crashed-writer twin
+    # of the live failure path's purge (_purge_sidecar_partition):
+    # tombstone/DV partitions written under a claim that never produced
+    # a manifest would ACTIVATE the moment a later writer commits the
+    # same version number — silent row loss, not litter. Same > latest
+    # scoping as the data dirs: at or below latest every sidecar
+    # partition belongs to a committed version.
+    for sidecar in ("_deletes", "_posdeletes"):
+        for st in fs.globStatus(_p(f"{path}/{sidecar}/v=*")) or []:
+            try:
+                v = int(st.getPath().getName().split("=", 1)[1])
+            except ValueError:
+                continue
+            if v > latest and v not in staged:
+                fs.delete(st.getPath(), True)
+                swept.add(v)
     return sorted(swept)
 
 

@@ -64,7 +64,10 @@ def delete_where(
         CommitConflict,
         _abort_claim,
         _claim_version,
+        _is_path_exists_error,
         _manifest_rows,
+        _purge_sidecar_partition,
+        _release_claim,
     )
 
     manifest, prev = _manifest_rows(spark, path, None)
@@ -82,24 +85,7 @@ def delete_where(
         hit = cur.filter(condition).select(
             F.col(_PD_FILE).alias("file"), F.col(_PD_POS).alias("pos")
         )
-        # gaps-and-islands: consecutive positions share (pos - rank),
-        # so one groupBy collapses every contiguous run to a single
-        # (start, end) row — the RLE container, built distributed
-        w = Window.partitionBy("file").orderBy("pos")
-        runs = (
-            hit.withColumn("_grp", F.col("pos") - F.row_number().over(w))
-            .groupBy("file", "_grp")
-            .agg(
-                F.min("pos").alias("pos_start"),
-                F.max("pos").alias("pos_end"),
-            )
-            .select(
-                "file",
-                "pos_start",
-                "pos_end",
-                F.lit(version).alias("v"),
-            )
-        )
+        runs = _runs_from_hits(hit, version)
         runs.coalesce(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/{_SIDECAR}"
         )
@@ -113,7 +99,163 @@ def delete_where(
         carried.coalesce(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
-    except Exception:
+    except Exception as e:
+        # a stranded _posdeletes/v=N partition would ACTIVATE under the
+        # next committed v=N — purge it before the claim goes away
+        _purge_sidecar_partition(spark, path, _SIDECAR, version)
+        if _is_path_exists_error(e):
+            # claimed, yet the manifest path exists: wreckage of a
+            # crashed pre-claim writer — not ours to delete
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"positional delete at {path} claimed v={version} but "
+                "its manifest path already exists (unclaimed orphan); "
+                "run sweep_orphan_versions"
+            ) from e
+        _abort_claim(spark, path, version)
+        raise
+    return version
+
+
+def _runs_from_hits(hit: DataFrame, version: int) -> DataFrame:
+    """(file, pos) hit rows → per-file position RUNS. Gaps-and-islands:
+    consecutive positions share (pos - rank), so one groupBy collapses
+    every contiguous run to a single (start, end) row — the RLE
+    container, built distributed (no UDF)."""
+    w = Window.partitionBy("file").orderBy("pos")
+    return (
+        hit.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("file", "_grp")
+        .agg(
+            F.min("pos").alias("pos_start"),
+            F.max("pos").alias("pos_end"),
+        )
+        .select(
+            "file",
+            "pos_start",
+            "pos_end",
+            F.lit(version).alias("v"),
+        )
+    )
+
+
+def merge_on_read(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    num_files: int = 4,
+) -> int:
+    """MERGE-ON-READ upsert (the Iceberg v2 MERGE shape): matched
+    current rows die by positional deletion-vector runs and the updates
+    batch appends as NEW files — untouched data files stay
+    byte-identical and the write cost is O(batch + matched positions),
+    never O(overlapping files) like the copy-on-write twin
+    (``manifest.merge_snapshot`` rewrites every file whose zone-map
+    interval the batch touches). At 100 TB this is the upsert default:
+    a narrow update batch costs the batch, and compaction pays the
+    rewrite once, amortized. Returns the new version.
+
+    The position-finding scan is FILE-PRUNED: only files whose zone-map
+    interval overlaps the batch's [min(key), max(key)] are opened
+    (``read_pruned`` with positions kept), so locating victims in a
+    wide table reads a handful of files. ``key`` must be the table's
+    sort/zone column and unique within ``updates`` (an upsert batch,
+    not a changelog — same contract as ``merge_snapshot``).
+
+    Semantics match ``merge_snapshot`` exactly: matched keys take the
+    batch's row, unmatched batch keys insert, and a later re-insert of
+    a DV-killed key survives (the DV pins physical positions in OLD
+    files; the new row lives in a new file). Readers need no new code —
+    every snapshot reader already stitches DV runs and the manifest.
+    """
+    from .manifest import (
+        CommitConflict,
+        _abort_claim,
+        _claim_version,
+        _is_path_exists_error,
+        _manifest_rows,
+        _purge_sidecar_partition,
+        _release_claim,
+        read_pruned,
+    )
+
+    band = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    if band["lo"] is None:
+        # refuse the no-op: an empty batch minting a version is far
+        # more often a broken upstream than an intent (the same guard
+        # as publish_branch's empty-branch rejection)
+        raise ValueError(f"merge_on_read into {path}: empty updates batch")
+    manifest, prev = _manifest_rows(spark, path, None)
+    version = prev + 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"merge_on_read into {path} lost the claim for v={version}; "
+            "another writer is committing — retry against the advanced "
+            "table"
+        )
+    data_dir = f"{path}/v={version}"
+    try:
+        cur = read_pruned(
+            spark,
+            path,
+            key,
+            band["lo"],
+            band["hi"],
+            version=prev,
+            with_positions=True,
+        )
+        hit = cur.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_semi"
+        ).select(
+            F.col(_PD_FILE).alias("file"), F.col(_PD_POS).alias("pos")
+        )
+        runs = _runs_from_hits(hit, version)
+        runs.coalesce(1).write.mode("append").partitionBy("v").parquet(
+            f"{path}/{_SIDECAR}"
+        )
+        (
+            updates.repartitionByRange(num_files, key)
+            .sortWithinPartitions(key)
+            .write.mode("errorifexists")
+            .parquet(data_dir)
+        )
+        new_rows = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(key).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        carried = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in manifest
+            ],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.unionByName(new_rows).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(f"{path}/_manifest/v={version}")
+    except Exception as e:
+        # a stranded _posdeletes/v=N partition would ACTIVATE under the
+        # next committed v=N — purge it before the claim goes away
+        _purge_sidecar_partition(spark, path, _SIDECAR, version)
+        if _is_path_exists_error(e):
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"merge_on_read into {path} claimed v={version} but its "
+                "target already exists (unclaimed orphan); run "
+                "sweep_orphan_versions"
+            ) from e
         _abort_claim(spark, path, version)
         raise
     return version

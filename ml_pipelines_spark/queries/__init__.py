@@ -252,6 +252,8 @@ _CHECK_FIRST = [
     "partition_spec_bucket_scan",
     "hilbert_rectangle_scan",
     "dv_position_delete_audit",
+    "mor_merge_audit",
+    "dv_schema_evolution_scan",
     # (b) rule 2: table-layer commit/bootstrap code touched this round
     "table_tag_travel",
     "table_format_lifecycle",
@@ -299,9 +301,12 @@ _CHECK_FIRST = [
     "intersect_except_custkeys",
     "grouping_sets_pricing",
     "exact_percentiles",
-    "doc_length_quartiles",
-    "dedup_keep_first",
 ]
+# Displaced mid-round for the two second-session registrations
+# (mor_merge_audit, dv_schema_evolution_scan — rule 1 outranks the
+# rule-4 tail): doc_length_quartiles, dedup_keep_first (r4 evidence,
+# age 7 at round 11 — they join the deferred nine at the head of round
+# 11's rule-4 fill).
 
 
 def _reorder_registry() -> None:

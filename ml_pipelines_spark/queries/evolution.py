@@ -1694,3 +1694,179 @@ def dv_position_delete_audit(
         .withColumn("rows_after", F.lit(after))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read MERGE (round 10, second session): the Iceberg v2 upsert
+# shape. A manifest table of orders takes a merge_on_read batch — half
+# UPDATES (every 97th key, value doubled, status 'U'), half INSERTS (50
+# brand-new keys past max) — matched rows die by positional DV runs and
+# the batch appends as new files; NO existing file is rewritten. The
+# audit reads the upserted state back through the DV filter (per-status
+# counts and values) and carries the no-rewrite property in-plan:
+# n_files_rewritten counts v1 manifest files absent from v2 (must be 0;
+# the DuckDB oracle pins the literal while re-deriving every value from
+# a declarative upsert). The CoW/MoR read-equivalence, zero-rewrite
+# byte-identity, pruned victim scan, claim/failure paths are
+# pytest-asserted (test_posdeletes.py, test_concurrency.py).
+# ---------------------------------------------------------------------------
+_MOR_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _mor_merge_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import write_manifest_table
+    from ..operators.posdeletes import merge_on_read
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MOR_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="mor_merge_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        base = t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(base, out_dir, "k", num_files=8)
+        maxk = base.agg(F.max("k")).first()[0]
+        matched = base.filter(F.col("k") % 97 == 0).select(
+            "k",
+            F.lit("U").alias("status"),
+            (F.col("cents") * 2).alias("cents"),
+        )
+        inserts = spark.range(1, 51).select(
+            (F.lit(maxk) + F.col("id")).alias("k"),
+            F.lit("N").alias("status"),
+            (F.col("id") * 1000).alias("cents"),
+        )
+        merge_on_read(
+            spark, out_dir, matched.unionByName(inserts), "k"
+        )
+        _MOR_DIRS[key] = out_dir
+    return _MOR_DIRS[key]
+
+
+@query(
+    "mor_merge_audit",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), upd AS (
+        SELECT k, 'U' AS status, cents * 2 AS cents
+        FROM base WHERE k % 97 = 0
+        UNION ALL
+        SELECT maxk + i, 'N', i * 1000
+        FROM generate_series(1, 50) AS g(i),
+             (SELECT MAX(k) AS maxk FROM base)
+    ), final AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+           CAST(0 AS BIGINT) AS n_files_rewritten
+    FROM final
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def mor_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    path = _mor_merge_dir(spark, sf_dir)
+    man = spark.read.parquet(f"{path}/_manifest")
+    v1 = {r["file"] for r in man.filter("v = 1").collect()}
+    v2 = {r["file"] for r in man.filter("v = 2").collect()}
+    rewritten = len(v1 - v2)  # MoR contract: every v1 file carried
+    surv = read_snapshot(spark, path)
+    return (
+        surv.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+        )
+        .withColumn(
+            "n_files_rewritten", F.lit(rewritten).cast("long")
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DVs x schema evolution under one reader (round 10, second session —
+# the round-11 lead from COVERAGE): metadata-only ALTERs (add with SQL
+# default, rename) and a positional DV delete issued BETWEEN them must
+# compose in read_snapshot_evolved — the evolved scan replays per
+# file-origin events AND stitches (file, position) runs on the same
+# pass. The oracle re-derives the final frame declaratively; a DV
+# filtering the pre-rename column name, a rename failing to forward-map
+# over DV-surviving rows, or the added default leaking onto deleted
+# rows all break the hash.
+# ---------------------------------------------------------------------------
+_DVEVO_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _dv_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        add_column,
+        rename_column,
+        write_manifest_table,
+    )
+    from ..operators.posdeletes import delete_where
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DVEVO_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="dv_evo_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        base = t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(base, out_dir, "k", num_files=8)  # v1
+        add_column(spark, out_dir, "src", "string", "'legacy'")  # v2
+        delete_where(spark, out_dir, "status = 'F'")  # v3: DV runs
+        rename_column(spark, out_dir, "cents", "cents_v2")  # v4
+        _DVEVO_DIRS[key] = out_dir
+    return _DVEVO_DIRS[key]
+
+
+@query(
+    "dv_schema_evolution_scan",
+    """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value,
+           'legacy' AS src
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dv_schema_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.manifest import read_snapshot_evolved
+
+    path = _dv_evolution_dir(spark, sf_dir)
+    got = read_snapshot_evolved(spark, path)
+    return (
+        got.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("cents_v2").cast("long") / 100.0).alias(
+                "total_value"
+            ),
+            F.min("src").alias("src"),
+        )
+        .orderBy("status")
+    )

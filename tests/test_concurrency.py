@@ -403,3 +403,136 @@ def test_corrupt_manifest_raises_instead_of_forking_history(spark):
         assert not os.path.exists(f"{out}/v=1")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Stranded delete-sidecar hazard (round 10, second session). Tombstone
+# and DV sidecars are written BEFORE their manifest (the claim makes
+# them invisible meanwhile) — so every path that releases a claim
+# without a manifest MUST purge the sidecar partition, or the next
+# committed v=N silently activates it: rows deleted that no committed
+# operation asked to delete.
+# ---------------------------------------------------------------------------
+def test_delete_from_snapshot_lost_claim_conflicts(spark, table):
+    import glob
+
+    assert M._claim_version(spark, table, 2)  # another writer holds v=2
+    try:
+        with pytest.raises(CommitConflict):
+            M.delete_from_snapshot(
+                spark, table, "k", _rows(spark, 0, 10)
+            )
+        assert glob.glob(f"{table}/_deletes/v=*") == []
+    finally:
+        M._release_claim(spark, table, 2)
+    # after the winner releases, the retry commits normally
+    assert (
+        M.delete_from_snapshot(spark, table, "k", _rows(spark, 0, 10))
+        == 2
+    )
+    assert read_snapshot(spark, table).count() == 90
+
+
+def test_merge_on_read_lost_claim_conflicts(spark, table):
+    import glob
+
+    from ml_pipelines_spark.operators.posdeletes import merge_on_read
+
+    upd = _rows(spark, 0, 10, mult=9)
+    assert M._claim_version(spark, table, 2)
+    try:
+        with pytest.raises(CommitConflict):
+            merge_on_read(spark, table, upd, "k")
+        assert glob.glob(f"{table}/_posdeletes/v=*") == []
+        assert not __import__("os").path.exists(f"{table}/v=2")
+    finally:
+        M._release_claim(spark, table, 2)
+    assert merge_on_read(spark, table, upd, "k") == 2
+    got = read_snapshot(spark, table)
+    assert got.count() == 100
+    assert got.filter(F.col("k") < 10).agg(
+        F.sum("val")
+    ).collect()[0][0] == sum(9 * k for k in range(10))
+
+
+def test_failed_tombstone_commit_purges_sidecar(spark, table, monkeypatch):
+    # manifest write fails AFTER the tombstone sidecar landed: the
+    # purge must remove _deletes/v=2 before the claim is released, and
+    # the NEXT committed v=2 must lose no rows
+    import glob
+
+    keys = _rows(spark, 0, 50)
+    with monkeypatch.context() as m:
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected manifest failure")
+
+        m.setattr(spark, "createDataFrame", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            M.delete_from_snapshot(spark, table, "k", keys)
+    assert glob.glob(f"{table}/_deletes/v=*") == []
+    # v=2 commits as a plain append — none of the 100 base rows may die
+    assert append_snapshot(_rows(spark, 100, 150), table, "k") == 2
+    assert read_snapshot(spark, table).count() == 150
+
+
+def test_failed_dv_commit_purges_sidecar(spark, table, monkeypatch):
+    import glob
+
+    from ml_pipelines_spark.operators.posdeletes import delete_where
+
+    with monkeypatch.context() as m:
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected manifest failure")
+
+        m.setattr(spark, "createDataFrame", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            delete_where(spark, table, "k < 50")
+    assert glob.glob(f"{table}/_posdeletes/v=*") == []
+    assert append_snapshot(_rows(spark, 100, 150), table, "k") == 2
+    assert read_snapshot(spark, table).count() == 150
+
+
+def test_sweep_purges_stranded_delete_sidecars(spark, table):
+    # a CRASHED writer (no live except path) left sidecar partitions +
+    # a claim above latest but no manifest: sweep must clear all three,
+    # and the next committed v=2 must not inherit the dead rows
+    import glob
+    import os
+
+    spark.range(0, 50).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(f"{table}/_deletes/v=2")
+    files = [
+        r["file"]
+        for r in spark.read.parquet(f"{table}/_manifest").collect()
+    ]
+    spark.createDataFrame(
+        [(files[0], 0, 10)], "file string, pos_start bigint, pos_end bigint"
+    ).coalesce(1).write.parquet(f"{table}/_posdeletes/v=2")
+    assert M._claim_version(spark, table, 2)
+    swept = sweep_orphan_versions(spark, table)
+    assert 2 in swept
+    assert glob.glob(f"{table}/_deletes/v=*") == []
+    assert glob.glob(f"{table}/_posdeletes/v=*") == []
+    assert not os.path.exists(f"{table}/v=2")
+    assert append_snapshot(_rows(spark, 100, 150), table, "k") == 2
+    assert read_snapshot(spark, table).count() == 150
+
+
+def test_sweep_spares_committed_sidecar_partitions(spark, table):
+    # sidecars AT or BELOW latest belong to committed versions — sweep
+    # must never touch them
+    import glob
+
+    from ml_pipelines_spark.operators.posdeletes import delete_where
+
+    delete_where(spark, table, "k < 20")  # commits v=2 with a DV
+    M.delete_from_snapshot(
+        spark, table, "k", _rows(spark, 90, 100)
+    )  # v=3 tombstones
+    assert sweep_orphan_versions(spark, table) == []
+    assert len(glob.glob(f"{table}/_posdeletes/v=*")) == 1
+    assert len(glob.glob(f"{table}/_deletes/v=*")) == 1
+    assert read_snapshot(spark, table).count() == 70

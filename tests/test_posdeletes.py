@@ -23,7 +23,10 @@ from ml_pipelines_spark.operators.manifest import (
     snapshot_row_count,
     write_manifest_table,
 )
-from ml_pipelines_spark.operators.posdeletes import delete_where
+from ml_pipelines_spark.operators.posdeletes import (
+    delete_where,
+    merge_on_read,
+)
 
 
 @pytest.fixture()
@@ -143,6 +146,143 @@ def test_compact_purges_dv_debt_then_expire_gcs_runs(spark, table):
     assert read_snapshot(spark, table).count() == 500
     # every run referenced a now-deleted file: the sidecar itself is gone
     assert not os.path.exists(f"{table}/_posdeletes")
+
+
+def _updates(spark, lo, hi, val=-5, bucket=42):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(val).cast("long").alias("val"),
+        F.lit(bucket).cast("long").alias("bucket"),
+    )
+
+
+def test_merge_on_read_upsert_zero_rewrite(spark, table):
+    before = _mtimes(table)
+    v = merge_on_read(spark, table, _updates(spark, 100, 120), "k")
+    assert v == 2
+    # every pre-merge data file byte-identical — MoR rewrites NOTHING
+    # (the CoW twin would rewrite the whole overlapping file)
+    after = _mtimes(table)
+    assert all(after[p] == t for p, t in before.items())
+    got = read_snapshot(spark, table)
+    assert got.count() == 1000
+    assert {
+        r["val"]
+        for r in got.filter(
+            (F.col("k") >= 100) & (F.col("k") < 120)
+        ).collect()
+    } == {-5}
+    # unmatched rows untouched; time travel sees pre-merge values
+    assert got.filter(F.col("k") == 50).collect()[0]["val"] == 150
+    v1 = read_snapshot(spark, table, 1)
+    assert v1.count() == 1000
+    assert v1.filter(F.col("k") == 100).collect()[0]["val"] == 300
+
+
+def test_merge_on_read_inserts_unmatched_keys(spark, table):
+    merge_on_read(spark, table, _updates(spark, 995, 1010), "k")
+    got = read_snapshot(spark, table)
+    assert got.count() == 1010  # 5 updated in place, 10 inserted
+    assert got.filter(F.col("k") >= 1000).count() == 10
+    assert {
+        r["val"] for r in got.filter(F.col("k") >= 995).collect()
+    } == {-5}
+
+
+def test_merge_on_read_matches_cow_merge(spark, table):
+    # semantic twin check: MoR and CoW merges of the same batch read
+    # back identically (only the physical strategy differs)
+    cow = tempfile.mkdtemp(prefix="posdel_cow_")
+    try:
+        write_manifest_table(
+            read_snapshot(spark, table, 1), cow, "k", num_files=4
+        )
+        batch = _updates(spark, 400, 450)
+        merge_on_read(spark, table, batch, "k")
+        merge_snapshot(spark, cow, "k", batch)
+        a = sorted(map(tuple, read_snapshot(spark, table).collect()))
+        b = sorted(map(tuple, read_snapshot(spark, cow).collect()))
+        assert a == b
+    finally:
+        shutil.rmtree(cow, ignore_errors=True)
+
+
+def test_merge_on_read_position_scan_prunes(spark, table):
+    # the victim-finding scan opens only zone-map-overlapping files:
+    # a batch confined to k<10 must record runs ONLY in the one
+    # range-clustered file that holds low k
+    import re
+
+    def _n(p):  # input_file_name says file:///, _metadata says file:/
+        return re.sub(r"^file:/+", "/", p)
+
+    merge_on_read(spark, table, _updates(spark, 0, 10), "k")
+    runs = spark.read.parquet(f"{table}/_posdeletes").collect()
+    manifest = spark.read.parquet(f"{table}/_manifest").filter(
+        F.col("v") == 1
+    ).collect()
+    overlapping = {_n(r["file"]) for r in manifest if r["min_v"] <= 9}
+    assert len(overlapping) == 1  # 4 range-clustered files over 0..999
+    assert {_n(r["file"]) for r in runs} <= overlapping
+    assert sum(r["pos_end"] - r["pos_start"] + 1 for r in runs) == 10
+
+
+def test_merge_on_read_rejects_empty_batch(spark, table):
+    with pytest.raises(ValueError, match="empty updates batch"):
+        merge_on_read(
+            spark, table, _updates(spark, 0, 10).filter("k < 0"), "k"
+        )
+    # no version minted, no sidecar stranded
+    assert read_snapshot(spark, table).count() == 1000
+    assert not os.path.exists(f"{table}/_posdeletes")
+
+
+def test_merge_on_read_then_compact_clears_debt(spark, table):
+    merge_on_read(spark, table, _updates(spark, 100, 200), "k")
+    cv = compact_snapshot(spark, table, "k", target_rows=500)
+    got = read_snapshot(spark, table, cv)
+    assert got.count() == 1000
+    assert {
+        r["val"]
+        for r in got.filter(
+            (F.col("k") >= 100) & (F.col("k") < 200)
+        ).collect()
+    } == {-5}
+    expire_snapshots(spark, table, keep_last=1)
+    assert read_snapshot(spark, table).count() == 1000
+    assert not os.path.exists(f"{table}/_posdeletes")
+
+
+def test_merge_on_read_after_dv_delete_reinserts(spark, table):
+    # keys killed by an earlier DV delete come BACK when a later MoR
+    # merge upserts them — the merge's rows live in a new file the old
+    # DV cannot touch (positions pin old files)
+    delete_where(spark, table, "k < 100")
+    assert read_snapshot(spark, table).count() == 900
+    merge_on_read(spark, table, _updates(spark, 50, 150), "k")
+    got = read_snapshot(spark, table)
+    # 900 live - 50 matched (100..149, DV-killed) + 100 batch rows:
+    # 50..99 resurrect as inserts, 0..49 stay dead
+    assert got.count() == 950
+    assert {
+        r["val"]
+        for r in got.filter(
+            (F.col("k") >= 50) & (F.col("k") < 150)
+        ).collect()
+    } == {-5}
+    assert got.filter(F.col("k") < 50).count() == 0  # still dead
+
+
+def test_sequential_mor_merges_compose(spark, table):
+    merge_on_read(spark, table, _updates(spark, 0, 500, val=-1), "k")
+    merge_on_read(spark, table, _updates(spark, 250, 750, val=-2), "k")
+    got = read_snapshot(spark, table)
+    assert got.count() == 1000
+    assert got.filter(F.col("val") == -1).count() == 250  # 0..249
+    assert got.filter(F.col("val") == -2).count() == 500  # 250..749
+    assert got.filter(F.col("k") >= 750).filter(
+        F.col("val") < 0
+    ).count() == 0
 
 
 def test_evolved_read_honors_dvs(spark, table):
