@@ -406,6 +406,10 @@ HEADLINE = [
 LATENCY_BOUND = [
     "stream_outer_join_replay",
     "stream_timeout_sessions_replay",
+    # round 10 second session: 3-batch CDC-apply replay — per-trigger
+    # commit latency (each micro-batch runs a full merge_on_read
+    # commit: victim scan, DV write, append, manifest), not throughput
+    "stream_mor_upsert_replay",
 ]
 
 RUNS = 3

@@ -261,6 +261,64 @@ def merge_on_read(
     return version
 
 
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    checkpoint_dir: str,
+    num_files: int = 4,
+    seq_col: str | None = None,
+):
+    """writeStream CDC-apply sink: each micro-batch UPSERTS into the
+    table via ``merge_on_read`` — matched keys die by DV runs, the
+    batch appends as new files, nothing rewrites. The first batch
+    bootstraps the table (``write_manifest_table``); replays are
+    idempotent via the shared batch ledger (``ledgered_batch_sink``).
+    Returns the StreamingQuery; callers stop it.
+
+    This is the change-data-capture apply shape at 100 TB: a stream of
+    row images keyed by ``key`` lands as O(batch) work per trigger
+    regardless of table size, and compaction amortizes the rewrite.
+    ``seq_col`` (the CDC sequence/LSN column) picks the LAST image when
+    one batch carries several rows for a key; without it, batches must
+    be key-unique (``merge_on_read``'s contract).
+    """
+    from .manifest import (
+        _sidecar_exists,
+        ledgered_batch_sink,
+        versions,
+        write_manifest_table,
+    )
+
+    def _apply(batch_df: DataFrame) -> int:
+        spark = batch_df.sparkSession
+        if batch_df.limit(1).count() == 0:
+            # an empty trigger must not mint a version (merge_on_read
+            # rejects empty batches for the same reason); record the
+            # current latest so the ledger entry is well-formed
+            vs = (
+                versions(spark, path)
+                if _sidecar_exists(spark, path, "_manifest")
+                else []
+            )
+            return vs[-1] if vs else 0
+        batch = batch_df
+        if seq_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+            batch = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if not _sidecar_exists(spark, path, "_manifest"):
+            return write_manifest_table(
+                batch, path, key, num_files=num_files
+            )
+        return merge_on_read(spark, path, batch, key, num_files=num_files)
+
+    return ledgered_batch_sink(stream_df, checkpoint_dir, _apply)
+
+
 def _pos_delete_runs(
     spark: SparkSession, path: str, version: int
 ) -> DataFrame | None:

@@ -1026,3 +1026,115 @@ def stream_spec_ingest_replay(
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC-apply under the gate (round 10, second session): a
+# 3-batch change stream replays through posdeletes.stream_upsert_sink —
+# batch 0 bootstraps the table, batches 1 and 2 UPSERT via
+# merge_on_read (matched rows die by DV runs, the batch appends; no
+# file rewrites) — and the final snapshot must equal the declarative
+# last-writer-wins state. Batch ORDER is what's under test (upserts
+# don't commute like appends): the file source processes source files
+# oldest-modification-first, pinned here with explicit utimes. A DV
+# mis-scope, a batch applied twice (ledger), or out-of-order apply all
+# break the hash; n_versions pins one snapshot per batch.
+# ---------------------------------------------------------------------------
+@query(
+    "stream_mor_upsert_replay",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT k,
+               CASE WHEN k % 5 = 0 THEN 'U2'
+                    WHEN k % 3 = 0 THEN 'U1'
+                    ELSE status END AS status,
+               CASE WHEN k % 5 = 0 THEN cents + 222
+                    WHEN k % 3 = 0 THEN cents + 111
+                    ELSE cents END AS cents
+        FROM base
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM final
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def stream_mor_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.manifest import read_snapshot, versions
+    from ..operators.posdeletes import stream_upsert_sink
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    b1 = base.filter(F.col("k") % 3 == 0).select(
+        "k",
+        F.lit("U1").alias("status"),
+        (F.col("cents") + 111).alias("cents"),
+    )
+    b2 = base.filter(F.col("k") % 5 == 0).select(
+        "k",
+        F.lit("U2").alias("status"),
+        (F.col("cents") + 222).alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="mlps_cdc_src_")
+    tbl = tempfile.mkdtemp(prefix="mlps_cdc_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="mlps_cdc_ck_") + f"/{uuid.uuid4().hex}"
+    try:
+        # one file per batch, modification times strictly increasing so
+        # the file source replays them in CDC order
+        for i, b in enumerate((base, b1, b2)):
+            stage = f"{src}/_stage{i}"
+            b.coalesce(1).write.parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src}/b{i}.parquet"
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        schema = spark.read.parquet(f"{src}/b0.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_upsert_sink(stream, tbl, "k", ckpt, num_files=4)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_versions = len(versions(spark, tbl))
+        final = (
+            read_snapshot(spark, tbl)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum("cents").cast("long") / 100.0).alias(
+                    "total_value"
+                ),
+            )
+            .withColumn(
+                "n_versions", F.lit(n_versions).cast("long")
+            )
+            .orderBy("status")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)

@@ -297,3 +297,68 @@ def test_evolved_read_honors_dvs(spark, table):
     assert got.count() == 500
     assert set(got.columns) == {"k", "val", "bucket", "flag"}
     assert got.filter(F.col("k") >= 500).count() == 0
+
+
+def test_stream_upsert_sink_bootstrap_and_lww(spark):
+    # batch 0 bootstraps the table; batch 1 carries TWO images for the
+    # same keys — seq_col must pick the later image (CDC
+    # last-writer-wins); the ledger mints exactly one version per batch
+    import glob as _glob
+    import uuid
+
+    from ml_pipelines_spark.operators.manifest import versions
+    from ml_pipelines_spark.operators.posdeletes import (
+        stream_upsert_sink,
+    )
+
+    src = tempfile.mkdtemp(prefix="cdc_sink_src_")
+    tbl = tempfile.mkdtemp(prefix="cdc_sink_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_sink_ck_") + f"/{uuid.uuid4().hex}"
+    try:
+        b0 = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("val"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+        b1 = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("long").alias("val"),
+            F.lit(1).cast("long").alias("seq"),
+        ).unionByName(
+            spark.range(0, 10).select(
+                F.col("id").alias("k"),
+                F.lit(-2).cast("long").alias("val"),
+                F.lit(2).cast("long").alias("seq"),
+            )
+        )
+        for i, b in enumerate((b0, b1)):
+            stage = f"{src}/_stage{i}"
+            b.coalesce(1).write.parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/b{i}.parquet")
+            shutil.rmtree(stage)
+            os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + i * 100,) * 2)
+        schema = spark.read.parquet(f"{src}/b0.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_upsert_sink(
+            stream, tbl, "k", ckpt, num_files=2, seq_col="seq"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert versions(spark, tbl) == [1, 2]
+        got = read_snapshot(spark, tbl)
+        assert got.count() == 100
+        assert {
+            r["val"] for r in got.filter(F.col("k") < 10).collect()
+        } == {-2}  # seq=2 image won
+        assert got.filter(F.col("k") == 50).collect()[0]["val"] == 50
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
