@@ -375,6 +375,7 @@ HEADLINE = [
     "dv_position_delete_audit",
     "mor_merge_audit",
     "dv_schema_evolution_scan",
+    "shallow_clone_divergence",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
     # round 9: the reference's image_sampler lifecycle composed

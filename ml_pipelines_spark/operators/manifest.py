@@ -1427,6 +1427,92 @@ def restore_snapshot(
     return version
 
 
+def shallow_clone(spark: SparkSession, src: str, dst: str) -> int:
+    """Delta-style SHALLOW CLONE: ``dst`` is born REFERENCING ``src``'s
+    current data files — zero data bytes move; only the metadata-sized
+    manifest and delete/restore/schema sidecars are copied. At 100 TB
+    a clone is how a team forks a table for an experiment in O(metadata)
+    — the Delta ``CREATE TABLE ... SHALLOW CLONE`` shape. Returns the
+    clone's birth version.
+
+    The clone is born at src's LATEST VERSION NUMBER, not v=1 — that is
+    what keeps key-tombstone origin arithmetic correct: a tombstone
+    applies to files whose origin (the v=N in their path) is below the
+    tombstone's version, and cloned files keep src-path origins <= the
+    birth version, so any delete issued in the clone (birth+1 or later)
+    covers all of them, exactly as it would have in src. Copying the
+    delete sidecars freezes src's visible state (a clone of a table
+    with live DVs/tombstones reads identically to src at clone time).
+
+    Isolation: writes to either table never touch the other — new files
+    land under the writer's own root, and expire/compact only delete
+    files under their OWN root (cloned references live outside it).
+    The one shared fate is src's data files themselves: if SRC later
+    expires or compacts away files the clone references, the clone
+    dangles (the same caveat as Delta shallow clones — deep-copy or
+    re-cluster the clone first if src's retention may fire)."""
+    if _sidecar_exists(spark, dst, "_manifest"):
+        raise ValueError(
+            f"shallow_clone target {dst} already holds a table"
+        )
+    manifest, v = _manifest_rows(spark, src, None)
+    if not _claim_version(spark, dst, v):
+        raise CommitConflict(
+            f"shallow_clone to {dst} lost the claim for v={v}; another "
+            "writer is bootstrapping the same target"
+        )
+    try:
+        carried = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in manifest
+            ],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.coalesce(1).write.mode("errorifexists").parquet(
+            f"{dst}/_manifest/v={v}"
+        )
+        sfs, jvm = _fs(spark, src)
+        dfs, _ = _fs(spark, dst)
+        conf = spark._jsc.hadoopConfiguration()
+        for sidecar in (
+            "_deletes",
+            "_posdeletes",
+            "_restores",
+            "_schema_events",
+        ):
+            sp = jvm.org.apache.hadoop.fs.Path(f"{src}/{sidecar}")
+            if sfs.exists(sp):
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    sfs,
+                    sp,
+                    dfs,
+                    jvm.org.apache.hadoop.fs.Path(f"{dst}/{sidecar}"),
+                    False,
+                    conf,
+                )
+    except Exception:
+        # dst had no table before us: back out everything we created so
+        # a retry starts clean (a half-born clone is unreadable litter)
+        try:
+            fs, jvm = _fs(spark, dst)
+            for sub in (
+                "_manifest",
+                "_deletes",
+                "_posdeletes",
+                "_restores",
+                "_schema_events",
+            ):
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{dst}/{sub}"), True
+                )
+        except Exception:
+            pass
+        _abort_claim(spark, dst, v)
+        raise
+    return v
+
+
 def _fs(spark: SparkSession, path: str):
     """Hadoop FileSystem for ``path`` — works for local paths, file://
     and any configured remote scheme (the scale-correct deletion API;

@@ -255,6 +255,7 @@ _CHECK_FIRST = [
     "mor_merge_audit",
     "dv_schema_evolution_scan",
     "stream_mor_upsert_replay",
+    "shallow_clone_divergence",
     # (b) rule 2: table-layer commit/bootstrap code touched this round
     "table_tag_travel",
     "table_format_lifecycle",
@@ -300,14 +301,13 @@ _CHECK_FIRST = [
     "pivot_event_counts",
     "monthly_rollup",
     "intersect_except_custkeys",
-    "grouping_sets_pricing",
 ]
-# Displaced mid-round for the three second-session registrations
-# (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay
-# — rule 1 outranks the rule-4 tail): exact_percentiles,
-# doc_length_quartiles, dedup_keep_first (r4 evidence, age 7 at round
-# 11 — they join the deferred nine at the head of round 11's rule-4
-# fill).
+# Displaced mid-round for the four second-session registrations
+# (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay,
+# shallow_clone_divergence — rule 1 outranks the rule-4 tail):
+# grouping_sets_pricing, exact_percentiles, doc_length_quartiles,
+# dedup_keep_first (r4 evidence, age 7 at round 11 — they join the
+# deferred nine at the head of round 11's rule-4 fill).
 
 
 def _reorder_registry() -> None:

@@ -11,6 +11,7 @@ replays the reconciliation declaratively from the registered tables.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -1869,4 +1870,128 @@ def dv_schema_evolution_scan(
             F.min("src").alias("src"),
         )
         .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone divergence (round 10, second session): the O(metadata)
+# table fork. orders becomes a manifest table, loses its 'F' rows to a
+# DV delete, then is SHALLOW-CLONED (zero data bytes copied — the clone
+# manifest references src's files; pytest asserts the no-copy and
+# origin-arithmetic properties in test_clone.py). The two tables then
+# DIVERGE: the clone upserts every 97th key via merge_on_read while src
+# appends 50 brand-new rows. The audit unions per-table per-status
+# aggregates; the oracle re-derives both final states declaratively —
+# a clone seeing src's append, src seeing the clone's upsert, or the
+# frozen DV state leaking either way all break the hash.
+# ---------------------------------------------------------------------------
+_CLONE_DIRS: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _clone_pair_dirs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    from ..operators.manifest import (
+        append_snapshot,
+        shallow_clone,
+        write_manifest_table,
+    )
+    from ..operators.posdeletes import delete_where, merge_on_read
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLONE_DIRS:
+        src_dir = tempfile.mkdtemp(prefix="clone_src_q_")
+        dst_dir = tempfile.mkdtemp(prefix="clone_dst_q_") + "/t"
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
+        atexit.register(
+            shutil.rmtree, os.path.dirname(dst_dir), ignore_errors=True
+        )
+        base = t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(base, src_dir, "k", num_files=8)  # v1
+        delete_where(spark, src_dir, "status = 'F'")  # v2 (DV)
+        shallow_clone(spark, src_dir, dst_dir)  # clone born at v2
+        # clone diverges: upsert every 97th surviving key
+        upd = base.filter(
+            (F.col("k") % 97 == 0) & (F.col("status") != "F")
+        ).select(
+            "k",
+            F.lit("U").alias("status"),
+            (F.col("cents") * 2).alias("cents"),
+        )
+        merge_on_read(spark, dst_dir, upd, "k")
+        # src diverges: append 50 new rows
+        maxk = base.agg(F.max("k")).first()[0]
+        news = spark.range(1, 51).select(
+            (F.lit(maxk) + F.col("id")).alias("k"),
+            F.lit("A").alias("status"),
+            (F.col("id") * 500).alias("cents"),
+        )
+        append_snapshot(news, src_dir, "k")
+        _CLONE_DIRS[key] = (src_dir, dst_dir)
+    return _CLONE_DIRS[key]
+
+
+@query(
+    "shallow_clone_divergence",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), surv AS (
+        SELECT * FROM base WHERE status <> 'F'
+    ), src_final AS (
+        SELECT status, cents FROM surv
+        UNION ALL
+        SELECT 'A', i * 500
+        FROM generate_series(1, 50) AS g(i),
+             (SELECT MAX(k) AS maxk FROM base)
+    ), clone_final AS (
+        SELECT CASE WHEN k % 97 = 0 THEN 'U' ELSE status END AS status,
+               CASE WHEN k % 97 = 0 THEN cents * 2 ELSE cents END AS cents
+        FROM surv
+    )
+    SELECT tbl, status, n_rows, total_value FROM (
+        SELECT 'clone' AS tbl, status, COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value
+        FROM clone_final GROUP BY status
+        UNION ALL
+        SELECT 'src', status, COUNT(*),
+               CAST(SUM(cents) AS BIGINT) / 100.0
+        FROM src_final GROUP BY status
+    )
+    ORDER BY tbl, status
+    """,
+)
+def shallow_clone_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.manifest import read_snapshot
+
+    src_dir, dst_dir = _clone_pair_dirs(spark, sf_dir)
+
+    def agg(path: str, tbl: str) -> DataFrame:
+        return (
+            read_snapshot(spark, path)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum("cents").cast("long") / 100.0).alias(
+                    "total_value"
+                ),
+            )
+            .withColumn("tbl", F.lit(tbl))
+        )
+
+    return (
+        agg(dst_dir, "clone")
+        .unionByName(agg(src_dir, "src"))
+        .select("tbl", "status", "n_rows", "total_value")
+        .orderBy("tbl", "status")
     )
