@@ -376,6 +376,7 @@ HEADLINE = [
     "mor_merge_audit",
     "dv_schema_evolution_scan",
     "shallow_clone_divergence",
+    "heavy_hitters_two_pass",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
     # round 9: the reference's image_sampler lifecycle composed

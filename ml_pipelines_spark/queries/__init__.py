@@ -256,6 +256,7 @@ _CHECK_FIRST = [
     "dv_schema_evolution_scan",
     "stream_mor_upsert_replay",
     "shallow_clone_divergence",
+    "heavy_hitters_two_pass",
     # (b) rule 2: table-layer commit/bootstrap code touched this round
     "table_tag_travel",
     "table_format_lifecycle",
@@ -300,14 +301,14 @@ _CHECK_FIRST = [
     "rollup_pricing",
     "pivot_event_counts",
     "monthly_rollup",
-    "intersect_except_custkeys",
 ]
-# Displaced mid-round for the four second-session registrations
+# Displaced mid-round for the five second-session registrations
 # (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay,
-# shallow_clone_divergence — rule 1 outranks the rule-4 tail):
-# grouping_sets_pricing, exact_percentiles, doc_length_quartiles,
-# dedup_keep_first (r4 evidence, age 7 at round 11 — they join the
-# deferred nine at the head of round 11's rule-4 fill).
+# shallow_clone_divergence, heavy_hitters_two_pass — rule 1 outranks
+# the rule-4 tail): intersect_except_custkeys, grouping_sets_pricing,
+# exact_percentiles, doc_length_quartiles, dedup_keep_first (r4
+# evidence, age 7 at round 11 — they join the deferred nine at the
+# head of round 11's rule-4 fill).
 
 
 def _reorder_registry() -> None:

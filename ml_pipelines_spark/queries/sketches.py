@@ -601,3 +601,43 @@ def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters, two bounded passes (round 10, second session):
+# candidates from Misra-Gries-style per-batch state (< 1/phi survivors
+# per Arrow batch, shuffle-free), then EXACT counts of candidate-
+# matching rows only — the shuffle is O(hitters' rows), never
+# O(distinct values), which is the 100 TB frequent-item shape. The
+# skewed test column floor(sqrt(o_orderkey)) gives a linearly growing
+# count profile (~90 true hitters at sf0.01 above phi=0.4%); the
+# oracle is the plain HAVING aggregate, so a candidate pass that drops
+# a true hitter breaks the hash. The superset guarantee and
+# partition-count invariance are property-tested in
+# tests/test_heavyhitters.py.
+# ---------------------------------------------------------------------------
+_HH_PHI = 0.004
+
+
+@query(
+    "heavy_hitters_two_pass",
+    """
+    WITH vals AS (
+        SELECT CAST(floor(sqrt(o_orderkey)) AS BIGINT) AS v FROM orders
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM vals
+    )
+    SELECT v, COUNT(*) AS cnt
+    FROM vals, tot
+    GROUP BY v, n
+    HAVING COUNT(*) > 0.004 * n
+    ORDER BY v
+    """,
+)
+def heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import exact_heavy_hitters
+
+    vals = t(spark, sf_dir, "orders").select(
+        F.floor(F.sqrt(F.col("o_orderkey"))).cast("long").alias("v")
+    )
+    return exact_heavy_hitters(vals, "v", _HH_PHI).orderBy("v")
