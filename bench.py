@@ -377,6 +377,7 @@ HEADLINE = [
     "dv_schema_evolution_scan",
     "shallow_clone_divergence",
     "heavy_hitters_two_pass",
+    "table_snapshots_metadata",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
     # round 9: the reference's image_sampler lifecycle composed

@@ -1995,3 +1995,108 @@ def shallow_clone_divergence(
         .select("tbl", "status", "n_rows", "total_value")
         .orderBy("tbl", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot metadata report (round 10, second session): the Iceberg
+# `tbl.snapshots`/`files` metadata-table parity — per-version file
+# counts, live row counts and merge-on-read delete DEBT, all answered
+# from the table layer's own metadata (manifest rows, count-from-
+# manifest fast path, DV run lengths). Built over a 3-version orders
+# table (write 8 files -> DV-delete 'F' rows -> append 4 files); the
+# oracle re-derives live/dead rows from the source table and pins the
+# deterministic file counts, so a manifest carrying the wrong rows, a
+# row-count fast path ignoring debt, or DV run-length bookkeeping
+# drift all break the hash. The observability story a 100 TB table
+# needs before anyone trusts expire/compact decisions.
+# ---------------------------------------------------------------------------
+_METRICS_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _metrics_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        append_snapshot,
+        write_manifest_table,
+    )
+    from ..operators.posdeletes import delete_where
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _METRICS_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="tbl_metrics_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        base = t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        write_manifest_table(base, out_dir, "k", num_files=8)  # v1
+        delete_where(spark, out_dir, "status = 'F'")  # v2
+        maxk = base.agg(F.max("k")).first()[0]
+        news = spark.range(1, 51).select(
+            (F.lit(maxk) + F.col("id")).alias("k"),
+            F.lit("A").alias("status"),
+        )
+        append_snapshot(news, out_dir, "k", num_files=4)  # v3
+        _METRICS_DIRS[key] = out_dir
+    return _METRICS_DIRS[key]
+
+
+@query(
+    "table_snapshots_metadata",
+    """
+    WITH tot AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f
+        FROM orders
+    )
+    SELECT version, n_files, live_rows, dead_rows FROM (
+        SELECT 1 AS version, CAST(8 AS BIGINT) AS n_files,
+               n AS live_rows, CAST(0 AS BIGINT) AS dead_rows FROM tot
+        UNION ALL
+        SELECT 2, CAST(8 AS BIGINT), n - f, f FROM tot
+        UNION ALL
+        SELECT 3, CAST(12 AS BIGINT), n - f + 50, f FROM tot
+    )
+    ORDER BY version
+    """,
+)
+def table_snapshots_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.manifest import snapshot_row_count, versions
+    from ..operators.posdeletes import _pos_delete_runs
+
+    path = _metrics_table_dir(spark, sf_dir)
+    man = spark.read.parquet(f"{path}/_manifest")
+    files_by_v = {
+        int(r["v"]): int(r["nf"])
+        for r in man.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .collect()
+    }
+    rows = []
+    for v in versions(spark, path):
+        runs = _pos_delete_runs(spark, path, v)
+        dead = (
+            0
+            if runs is None
+            else int(
+                runs.agg(
+                    F.sum(
+                        F.col("pos_end") - F.col("pos_start") + 1
+                    )
+                ).first()[0]
+            )
+        )
+        rows.append(
+            (
+                v,
+                files_by_v[v],
+                snapshot_row_count(spark, path, v),
+                dead,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, n_files bigint, live_rows bigint, dead_rows bigint",
+    ).orderBy("version")

@@ -116,3 +116,109 @@ def test_two_process_writers_both_commit(spark, tmp_path):
         assert sweep_orphan_versions(spark, table) == []
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+_DELETER = textwrap.dedent(
+    """
+    import os, sys, time
+    sys.path.insert(0, {repo!r})
+    table, lo, hi, ready, go = sys.argv[1:6]
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    import ml_pipelines_spark.operators.manifest as M
+    M._CLAIM_WAIT_S = 120.0
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("race-deleter")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "1500m")
+        .getOrCreate()
+    )
+    keys = spark.range(int(lo), int(hi)).select(F.col("id").alias("k"))
+    keys.count()  # warm the JVM
+    open(ready, "w").close()
+    while not os.path.exists(go):
+        time.sleep(0.02)
+    # deletes surface lost claims as retryable CommitConflict; a real
+    # deployment retries against the advanced table, so do that here
+    deadline = time.monotonic() + 150
+    while True:
+        try:
+            v = M.delete_from_snapshot(spark, table, "k", keys)
+            break
+        except M.CommitConflict:
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(0.5)
+    print(f"VERSION {{v}}", flush=True)
+    spark.stop()
+    """
+).format(repo=_REPO)
+
+
+def test_append_races_delete_across_processes(spark, tmp_path):
+    """An appender and a MoR tombstone delete from SEPARATE Spark
+    sessions race the same table: both must commit on distinct
+    versions, the delete must kill exactly its keys, and no stranded
+    sidecar partition may survive (the hazard class the sidecar-purge
+    fixes closed)."""
+    import glob
+
+    table = tempfile.mkdtemp(prefix="mp_race_del_")
+    try:
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        write_manifest_table(base, table, "k", num_files=2)
+
+        a_script = tmp_path / "appender.py"
+        a_script.write_text(_WRITER)
+        d_script = tmp_path / "deleter.py"
+        d_script.write_text(_DELETER)
+        go = str(tmp_path / "go2")
+        specs = [
+            (a_script, 100, 150),  # append 50 new rows
+            (d_script, 0, 20),  # delete 20 existing keys
+        ]
+        procs, readies = [], []
+        for script, lo, hi in specs:
+            ready = str(tmp_path / f"ready2_{lo}_{hi}")
+            readies.append(ready)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(script), table,
+                     str(lo), str(hi), ready, go],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                )
+            )
+        deadline = time.monotonic() + 240
+        while not all(os.path.exists(r) for r in readies):
+            if time.monotonic() > deadline:
+                for p in procs:
+                    p.kill()
+                raise AssertionError("writers never reached the barrier")
+            time.sleep(0.1)
+        open(go, "w").close()
+        outs = [p.communicate(timeout=300) for p in procs]
+        got_versions = []
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, f"writer failed:\n{out}\n{err[-3000:]}"
+            got_versions.extend(
+                int(line.split()[1])
+                for line in out.splitlines()
+                if line.startswith("VERSION ")
+            )
+        assert sorted(got_versions) == [2, 3]
+        assert versions(spark, table) == [1, 2, 3]
+        got = read_snapshot(spark, table)
+        assert got.count() == 130  # 100 - 20 deleted + 50 appended
+        assert got.filter(F.col("k") < 20).count() == 0
+        # exactly one committed tombstone partition, no strays
+        parts = glob.glob(f"{table}/_deletes/v=*")
+        assert len(parts) == 1
+        assert sweep_orphan_versions(spark, table) == []
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
