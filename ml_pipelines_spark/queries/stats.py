@@ -1201,3 +1201,90 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("s1") / f - F.col("exact_cents")) <= hw
         ).alias("within_ci"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (round 10, second session): the standard
+# feature-drift monitor for ML pipelines (PSI < 0.1 stable, > 0.25
+# action) — here between the even- and odd-epoch-day halves of the
+# event stream, per event type. PSI = sum (p-q)*ln(p/q) over the
+# categorical buckets; everything is exact integer counts until the
+# final share division, rounded identically on both sides. The
+# per-type shares, per-type PSI terms AND the windowed total all ride
+# the value hash. One groupBy (5-row dictionary output), one
+# unpartitioned window over that dictionary — the 100 TB-safe shape
+# (state is O(types), never O(events)).
+# ---------------------------------------------------------------------------
+@query(
+    "drift_psi_events",
+    """
+    WITH tagged AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) % 2 AS half
+        FROM events
+    ), c AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pc,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS qc
+        FROM tagged GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(pc) AS BIGINT) AS tp,
+               CAST(SUM(qc) AS BIGINT) AS tq
+        FROM c
+    ), terms AS (
+        SELECT event_type,
+               pc * 1.0 / tp AS p,
+               qc * 1.0 / tq AS q,
+               (pc * 1.0 / tp - qc * 1.0 / tq)
+                   * ln((pc * 1.0 / tp) / (qc * 1.0 / tq)) AS term
+        FROM c, tot
+    )
+    SELECT event_type,
+           round(p, 6) AS p_share,
+           round(q, 6) AS q_share,
+           round(term, 6) AS psi_term,
+           round(SUM(term) OVER (), 6) AS total_psi
+    FROM terms
+    ORDER BY event_type
+    """,
+)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    half = (
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long") % 2
+    )
+    c = (
+        t(spark, sf_dir, "events")
+        .select("event_type", half.alias("half"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("pc"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("qc"),
+        )
+    )
+    tot = c.agg(
+        F.sum("pc").cast("long").alias("tp"),
+        F.sum("qc").cast("long").alias("tq"),
+    )
+    p = F.col("pc") * 1.0 / F.col("tp")
+    q = F.col("qc") * 1.0 / F.col("tq")
+    terms = c.join(F.broadcast(tot)).select(
+        "event_type",
+        p.alias("p"),
+        q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    # unpartitioned window over the TYPE dictionary (5 rows) — bounded
+    w = Window.partitionBy()
+    return terms.select(
+        "event_type",
+        F.round("p", 6).alias("p_share"),
+        F.round("q", 6).alias("q_share"),
+        F.round("term", 6).alias("psi_term"),
+        F.round(F.sum("term").over(w), 6).alias("total_psi"),
+    ).orderBy("event_type")

@@ -48,6 +48,8 @@ CARTESIAN_SCALAR = {
     "curate_corpus_v2",
     "decayed_popularity",
     "dedup_recall_eval",
+    # 2-row (tp,tq) totals broadcast against the 5-row type dictionary
+    "drift_psi_events",
     "dsir_importance_weights",
     "hard_negative_mining",
     "histogram_equi_depth",
