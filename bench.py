@@ -378,7 +378,6 @@ HEADLINE = [
     "shallow_clone_divergence",
     "heavy_hitters_two_pass",
     "table_snapshots_metadata",
-    "pii_scrub_docs",
     "drift_psi_events",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",

@@ -258,8 +258,11 @@ _CHECK_FIRST = [
     "shallow_clone_divergence",
     "heavy_hitters_two_pass",
     "table_snapshots_metadata",
-    "pii_scrub_docs",
     "drift_psi_events",
+    # (a pii_scrub_docs registration was added and REMOVED mid-session:
+    # it duplicated the long-standing pii_redact_docs; the slot went
+    # back to the rule-4 tail)
+    "pivot_event_counts",
     # (b) rule 2: table-layer commit/bootstrap code touched this round
     "table_tag_travel",
     "table_format_lifecycle",
@@ -302,15 +305,16 @@ _CHECK_FIRST = [
     "diverse_curation",
     "ann_multiprobe_topk",
 ]
-# Displaced mid-round for the eight second-session registrations
+# Displaced mid-round for the seven second-session registrations
 # (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay,
 # shallow_clone_divergence, heavy_hitters_two_pass,
-# table_snapshots_metadata, pii_scrub_docs, drift_psi_events — rule 1
-# outranks the rule-4 tail): rollup_pricing, pivot_event_counts,
-# monthly_rollup, intersect_except_custkeys, grouping_sets_pricing,
-# exact_percentiles, doc_length_quartiles, dedup_keep_first (r4
-# evidence, age 7 at round 11 — they join the deferred nine at the
-# head of round 11's rule-4 fill).
+# table_snapshots_metadata, drift_psi_events — rule 1 outranks the
+# rule-4 tail): rollup_pricing, monthly_rollup,
+# intersect_except_custkeys, grouping_sets_pricing, exact_percentiles,
+# doc_length_quartiles, dedup_keep_first (r4 evidence, age 7 at round
+# 11 — they join the deferred nine at the head of round 11's rule-4
+# fill; pivot_event_counts was displaced and then restored when the
+# duplicate pii registration was removed).
 
 
 def _reorder_registry() -> None:

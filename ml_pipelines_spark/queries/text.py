@@ -1287,127 +1287,3 @@ def curation_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("drop_pct"),
     ).orderBy("stage_order")
-
-
-# ---------------------------------------------------------------------------
-# PII scrubbing (round 10, second session): the redaction stage every
-# LLM training corpus runs before anything else (emails, phone
-# numbers, IPs -> typed mask tokens). The synthetic documents carry no
-# PII, so deterministic PII is INJECTED from doc_id first (1 email per
-# doc + a cc address on every 3rd doc + a phone + an internal IP),
-# then scrubbed with patterns valid in BOTH regex engines (Java in
-# Spark, RE2 in DuckDB — no lookarounds, explicit classes). The audit
-# counts each PII type per language and sums the masked-character
-# delta; the oracle replays injection + scrub declaratively
-# (regexp_replace 'g'). Masks are JVM-side regexp_replace chains —
-# one projection, no UDF, the 100 TB text-pass shape.
-# ---------------------------------------------------------------------------
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+1-555-[0-9]{4}"
-_PII_IP = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-
-
-@query(
-    "pii_scrub_docs",
-    """
-    WITH aug AS (
-        SELECT lang,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@mail.example.com'
-                    || CASE WHEN doc_id % 3 = 0
-                            THEN ' cc admin' || CAST(doc_id AS VARCHAR)
-                                 || '@corp.example.org'
-                            ELSE '' END
-                    || ' or +1-555-'
-                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                    || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
-                    || '.' || CAST(doc_id % 97 AS VARCHAR)
-                    || '.' || CAST(doc_id % 250 AS VARCHAR) AS body
-        FROM documents
-    ), scrubbed AS (
-        SELECT lang, body,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(body,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                           '<EMAIL>', 'g'),
-                       '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
-                   '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
-                   '<IP>', 'g') AS clean,
-               len(regexp_extract_all(body,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                   AS n_email,
-               len(regexp_extract_all(body, '\\+1-555-[0-9]{4}'))
-                   AS n_phone,
-               len(regexp_extract_all(body,
-                   '\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
-                   AS n_ip
-        FROM aug
-    )
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_email) AS BIGINT) AS emails_masked,
-           CAST(SUM(n_phone) AS BIGINT) AS phones_masked,
-           CAST(SUM(n_ip) AS BIGINT) AS ips_masked,
-           CAST(SUM(len(body) - len(clean)) AS BIGINT) AS chars_removed
-    FROM scrubbed
-    GROUP BY lang
-    ORDER BY lang
-    """,
-)
-def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    did = F.col("doc_id")
-    body = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        did.cast("string"),
-        F.lit("@mail.example.com"),
-        F.when(
-            did % 3 == 0,
-            F.concat(
-                F.lit(" cc admin"),
-                did.cast("string"),
-                F.lit("@corp.example.org"),
-            ),
-        ).otherwise(F.lit("")),
-        F.lit(" or +1-555-"),
-        F.lpad((did % 10000).cast("string"), 4, "0"),
-        F.lit(" ip 10."),
-        (did % 200).cast("string"),
-        F.lit("."),
-        (did % 97).cast("string"),
-        F.lit("."),
-        (did % 250).cast("string"),
-    )
-    aug = docs.select("lang", body.alias("body"))
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("body"), _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
-    scrubbed = aug.select(
-        "lang",
-        F.length("body").alias("blen"),
-        F.length(clean).alias("clen"),
-        F.regexp_count(F.col("body"), F.lit(_PII_EMAIL)).alias("n_email"),
-        F.regexp_count(F.col("body"), F.lit(_PII_PHONE)).alias("n_phone"),
-        F.regexp_count(F.col("body"), F.lit(_PII_IP)).alias("n_ip"),
-    )
-    return (
-        scrubbed.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_email").cast("long").alias("emails_masked"),
-            F.sum("n_phone").cast("long").alias("phones_masked"),
-            F.sum("n_ip").cast("long").alias("ips_masked"),
-            F.sum(F.col("blen") - F.col("clen"))
-            .cast("long")
-            .alias("chars_removed"),
-        )
-        .orderBy("lang")
-    )
