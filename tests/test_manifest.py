@@ -642,14 +642,25 @@ def test_write_audit_publish(spark):
         assert publish_staged(spark, d, sv2) == sv2
         assert versions(spark, d) == [1, sv2]
         assert read_snapshot(spark, d).count() == 70
-        # stale stage: the table advances (here by a metadata-only
-        # delete that claims the version slot) while a stage is pending
+        # a pending stage HOLDS its version slot: now that the delete
+        # path claims versions too (round 10), a concurrent delete
+        # CONFLICTS instead of silently overtaking the stage
+        from ml_pipelines_spark.operators.manifest import (
+            CommitConflict,
+            _release_claim,
+        )
+
         sv3 = stage_snapshot(
             spark.range(70, 80).select(F.col("id").alias("k")), d, "k", 1
         )
-        delete_from_snapshot(
-            spark, d, "k", spark.range(0, 5).select(F.col("id").alias("k"))
-        )
+        keys = spark.range(0, 5).select(F.col("id").alias("k"))
+        with pytest.raises(CommitConflict):
+            delete_from_snapshot(spark, d, "k", keys)
+        # stale stage: simulate a CRASHED stage-holder (its claim
+        # released, stage files left behind) — the table advances past
+        # the slot, and publish must refuse the stale stage
+        _release_claim(spark, d, sv3)
+        delete_from_snapshot(spark, d, "k", keys)
         with pytest.raises(ValueError):
             publish_staged(spark, d, sv3)
         abort_staged(spark, d, sv3)
