@@ -2142,9 +2142,16 @@ def snapshot_row_count(
     """COUNT(*) of one snapshot, answered from METADATA when possible:
     the manifest already stores per-file row counts, so a snapshot with
     no visible tombstones costs zero data reads — the Iceberg/Delta
-    count-from-manifest fast path a 100 TB table depends on. Snapshots
-    carrying merge-on-read delete debt fall back to the tombstone-
-    filtered read (the debt compaction clears)."""
+    count-from-manifest fast path a 100 TB table depends on.
+
+    DV-only debt is STILL metadata: deletion-vector runs pin exact
+    physical positions and are globally disjoint, so the live count is
+    manifest row sum minus the visible runs' lengths (runs whose file
+    left the manifest are inert and excluded) — zero data reads even
+    mid-debt. Only KEY-tombstone debt forces the filtered read (a
+    tombstone's hit count is data-dependent), deferred to
+    ``read_snapshot`` so counting can never drift from read
+    semantics."""
     from .posdeletes import _pos_delete_runs
 
     manifest, v = _manifest_rows(spark, path, version)
@@ -2154,9 +2161,31 @@ def snapshot_row_count(
     dels = _delete_keys(
         spark, path, v, min_origin=min(_file_origin(f) for f in files)
     )
-    if dels is None and _pos_delete_runs(spark, path, v) is None:
-        return sum(int(r["n_rows"]) for r in manifest)
-    # delete debt (key tombstones or deletion vectors): defer to
-    # read_snapshot so the counting path can never drift from the read
-    # path's delete semantics
-    return read_snapshot(spark, path, v).count()
+    if dels is not None:
+        # key-tombstone debt: defer to read_snapshot
+        return read_snapshot(spark, path, v).count()
+    total = sum(int(r["n_rows"]) for r in manifest)
+    runs = _pos_delete_runs(spark, path, v)
+    if runs is None:
+        return total
+    # DV paths come from _metadata.file_path (file:/x) while manifests
+    # store input_file_name (file:///x) — compare normalized (the same
+    # discipline as expire's DV GC)
+    live = spark.createDataFrame(
+        [(f,) for f in sorted({_norm_uri(f) for f in files})],
+        "nfile string",
+    )
+    norm_expr = F.regexp_replace(
+        F.regexp_replace(
+            F.col("file"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", ""
+        ),
+        r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/",
+        "/",
+    )
+    dead = (
+        runs.withColumn("_nfile", norm_expr)
+        .join(F.broadcast(live), F.col("_nfile") == F.col("nfile"), "left_semi")
+        .agg(F.sum(F.col("pos_end") - F.col("pos_start") + F.lit(1)))
+        .first()[0]
+    )
+    return total - int(dead or 0)
