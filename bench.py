@@ -379,6 +379,7 @@ HEADLINE = [
     "heavy_hitters_two_pass",
     "table_snapshots_metadata",
     "drift_psi_events",
+    "small_file_compaction_audit",
     # streaming ingest into the spec table (2-batch replay, ledger)
     "stream_spec_ingest_replay",
     # round 9: the reference's image_sampler lifecycle composed

@@ -441,6 +441,111 @@ def compact_snapshot(
     )
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    sort_col: str,
+    target_rows: int,
+    small_rows: int | None = None,
+) -> int:
+    """SELECTIVE binpack compaction (Iceberg ``rewrite_data_files``
+    with a size filter): rewrite ONLY the files below ``small_rows``
+    (default ``target_rows // 2``) into ~``target_rows``-row files;
+    every other file carries into the new manifest VERBATIM — zero
+    bytes touched. ``compact_snapshot`` rewrites the whole snapshot,
+    which at 100 TB is a job nobody runs; the steady-state maintenance
+    loop compacts the small-file debt a streaming/CDC writer accretes
+    and leaves the big files alone. Planned entirely from the manifest
+    (no data scan decides the file set). Returns the new version, or
+    the current one when fewer than two small files exist (a no-op
+    compaction is not worth a version).
+
+    Delete debt follows the rewrite boundary: the small files are read
+    THROUGH visible tombstones and deletion vectors, so their debt is
+    cleared (their DV runs go inert when the files leave the
+    manifest); untouched files keep their debt until their own
+    rewrite — exactly Iceberg's per-file delete-file scoping."""
+    from .posdeletes import (
+        _apply_pos_deletes,
+        _pos_delete_runs,
+        _strip_positions,
+        _with_positions,
+    )
+
+    if small_rows is None:
+        small_rows = target_rows // 2
+    manifest, prev = _manifest_rows(spark, path, None)
+    small = [r for r in manifest if int(r["n_rows"]) < small_rows]
+    if len(small) < 2:
+        return prev
+    big = [r for r in manifest if int(r["n_rows"]) >= small_rows]
+    version = prev + 1
+    if not _claim_version(spark, path, version):
+        raise CommitConflict(
+            f"compact_small_files at {path} lost the claim for "
+            f"v={version}; another writer is committing — retry"
+        )
+    data_dir = f"{path}/v={version}"
+    try:
+        files = [r["file"] for r in small]
+        out = spark.read.parquet(*files)
+        runs = _pos_delete_runs(spark, path, prev)
+        if runs is not None:
+            out = _with_positions(out)
+        dels = _delete_keys(
+            spark,
+            path,
+            prev,
+            min_origin=min(_file_origin(f) for f in files),
+        )
+        if dels is not None:
+            out = _apply_tombstones(out, dels, sort_col)
+        if runs is not None:
+            out = _strip_positions(_apply_pos_deletes(out, runs))
+        total = sum(int(r["n_rows"]) for r in small)  # pre-delete bound
+        n_files = max(1, -(-total // target_rows))
+        (
+            out.repartitionByRange(n_files, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("errorifexists")
+            .parquet(data_dir)
+        )
+        new_rows = (
+            spark.read.parquet(data_dir)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col(sort_col).alias("v_"),
+            )
+            .groupBy("file")
+            .agg(
+                F.min("v_").alias("min_v"),
+                F.max("v_").alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        carried = spark.createDataFrame(
+            [
+                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+                for r in big
+            ],
+            "file string, min_v bigint, max_v bigint, n_rows bigint",
+        )
+        carried.unionByName(new_rows).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(f"{path}/_manifest/v={version}")
+    except Exception as e:
+        if _is_path_exists_error(e):
+            _release_claim(spark, path, version)
+            raise CommitConflict(
+                f"compact_small_files at {path} claimed v={version} "
+                "but its target already exists (unclaimed orphan); "
+                "run sweep_orphan_versions"
+            ) from e
+        _abort_claim(spark, path, version)
+        raise
+    return version
+
+
 def append_snapshot(
     df: DataFrame,
     path: str,

@@ -259,6 +259,7 @@ _CHECK_FIRST = [
     "heavy_hitters_two_pass",
     "table_snapshots_metadata",
     "drift_psi_events",
+    "small_file_compaction_audit",
     # (a pii_scrub_docs registration was added and REMOVED mid-session:
     # it duplicated the long-standing pii_redact_docs; the slot went
     # back to the rule-4 tail)
@@ -303,13 +304,13 @@ _CHECK_FIRST = [
     "kmeans_embeddings",
     "embedding_outliers",
     "diverse_curation",
-    "ann_multiprobe_topk",
 ]
-# Displaced mid-round for the seven second-session registrations
+# Displaced mid-round for the eight second-session registrations
 # (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay,
 # shallow_clone_divergence, heavy_hitters_two_pass,
-# table_snapshots_metadata, drift_psi_events — rule 1 outranks the
-# rule-4 tail): rollup_pricing, monthly_rollup,
+# table_snapshots_metadata, drift_psi_events,
+# small_file_compaction_audit — rule 1 outranks the rule-4 tail):
+# ann_multiprobe_topk, rollup_pricing, monthly_rollup,
 # intersect_except_custkeys, grouping_sets_pricing, exact_percentiles,
 # doc_length_quartiles, dedup_keep_first (r4 evidence, age 7 at round
 # 11 — they join the deferred nine at the head of round 11's rule-4

@@ -2100,3 +2100,109 @@ def table_snapshots_metadata(
         rows,
         "version int, n_files bigint, live_rows bigint, dead_rows bigint",
     ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Selective small-file compaction (round 10, second session): the
+# steady-state maintenance loop — a CDC/streaming writer accretes tiny
+# files; `compact_small_files` rewrites ONLY those (planned from the
+# manifest alone), reads them through the visible delete debt, and
+# carries every big file verbatim. The audit checks the surviving
+# values by status AND the physical plan of the table: exactly the 8
+# original big files carried + 1 new compacted file (pinned as
+# literals in the value hash), with the DV delete issued before the
+# compaction still honored. Byte-identity of carried files and
+# debt-scoping are pytest-asserted (test_posdeletes.py).
+# ---------------------------------------------------------------------------
+_SFC_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _sfc_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import (
+        append_snapshot,
+        compact_small_files,
+        write_manifest_table,
+    )
+    from ..operators.posdeletes import delete_where
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SFC_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="sfc_orders_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        base = t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(base, out_dir, "k", num_files=8)
+        maxk = base.agg(F.max("k")).first()[0]
+        for i in range(5):
+            batch = spark.range(1 + i * 40, 41 + i * 40).select(
+                (F.lit(maxk) + F.col("id")).alias("k"),
+                F.lit("S").alias("status"),
+                (F.col("id") * 100).alias("cents"),
+            )
+            append_snapshot(batch, out_dir, "k", num_files=1)
+        delete_where(spark, out_dir, "status = 'F'")
+        # scale-independent threshold: the 40-row append files are
+        # "small", the 8 range-clustered base files (n/8 rows) are not
+        n_base = base.count()
+        compact_small_files(
+            spark,
+            out_dir,
+            "k",
+            target_rows=200,
+            small_rows=max(41, n_base // 16),
+        )
+        _SFC_DIRS[key] = out_dir
+    return _SFC_DIRS[key]
+
+
+@query(
+    "small_file_compaction_audit",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT status, cents FROM base WHERE status <> 'F'
+        UNION ALL
+        SELECT 'S', i * 100
+        FROM generate_series(1, 200) AS g(i)
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+           CAST(9 AS BIGINT) AS n_files,
+           CAST(8 AS BIGINT) AS n_big_carried
+    FROM final
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def small_file_compaction_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.manifest import read_snapshot, versions
+
+    path = _sfc_table_dir(spark, sf_dir)
+    man = spark.read.parquet(f"{path}/_manifest")
+    latest = versions(spark, path)[-1]
+    cur = {r["file"] for r in man.filter(F.col("v") == latest).collect()}
+    v1 = {r["file"] for r in man.filter(F.col("v") == 1).collect()}
+    n_files = len(cur)
+    n_big = len(cur & v1)
+    return (
+        read_snapshot(spark, path)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+        )
+        .withColumn("n_files", F.lit(n_files).cast("long"))
+        .withColumn("n_big_carried", F.lit(n_big).cast("long"))
+        .orderBy("status")
+    )

@@ -362,3 +362,74 @@ def test_stream_upsert_sink_bootstrap_and_lww(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl, ignore_errors=True)
         shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
+
+
+def test_compact_small_files_selective(spark):
+    # 2 big files + 6 small append files with DV debt across both
+    # classes: selective compaction must rewrite ONLY the small files,
+    # clear ONLY their debt, and leave the big bytes untouched
+    from ml_pipelines_spark.operators.manifest import (
+        compact_small_files,
+    )
+
+    out = tempfile.mkdtemp(prefix="smallfiles_")
+    try:
+        base = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+        )
+        write_manifest_table(base, out, "k", num_files=2)  # 2x500 rows
+        for i in range(6):
+            batch = spark.range(1000 + i * 30, 1030 + i * 30).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("val")
+            )
+            append_snapshot(batch, out, "k", num_files=1)
+        delete_where(spark, out, "k % 10 = 7")  # debt on big AND small
+        want = sorted(
+            map(tuple, read_snapshot(spark, out).collect())
+        )
+        before = _mtimes(out)
+        big_files = {
+            p for p in before if "/v=1/" in p
+        }
+        v = compact_small_files(spark, out, "k", target_rows=100)
+        assert v == 9
+        after = _mtimes(out)
+        # big files byte-identical and still part of the snapshot
+        assert all(after[p] == before[p] for p in big_files)
+        man = {
+            r["file"]
+            for r in spark.read.parquet(f"{out}/_manifest")
+            .filter(F.col("v") == v)
+            .collect()
+        }
+        assert sum(1 for f in man if "/v=1/" in f) == 2
+        # the 6 small files left the manifest; ~180 live rows in 2 new
+        new_files = {f for f in man if f"/v={v}/" in f}
+        assert 1 <= len(new_files) <= 2
+        got = sorted(map(tuple, read_snapshot(spark, out).collect()))
+        assert got == want  # read-equivalence through the rewrite
+        # big files' DV debt still applies (k%10==7 from 0..999 dead)
+        assert (
+            read_snapshot(spark, out)
+            .filter((F.col("k") < 1000) & (F.col("k") % 10 == 7))
+            .count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_small_files_noop_below_two(spark, table):
+    from ml_pipelines_spark.operators.manifest import (
+        compact_small_files,
+    )
+
+    # all 4 files are >= small_rows: returns the current version,
+    # mints nothing
+    v = compact_small_files(
+        spark, table, "k", target_rows=100, small_rows=10
+    )
+    assert v == 1
+    from ml_pipelines_spark.operators.manifest import versions
+
+    assert versions(spark, table) == [1]
