@@ -260,6 +260,12 @@ _CHECK_FIRST = [
     "table_snapshots_metadata",
     "drift_psi_events",
     "small_file_compaction_audit",
+    # rule 2 (second session): the SimHash signature widened 16 -> 32
+    # bits with 16-bit bands (the 8-bit banding measured quadratic at
+    # the 10x tier) — code AND oracle changed, so both queries
+    # re-evidence this round
+    "simhash_docs",
+    "simhash_near_dup",
     # (a pii_scrub_docs registration was added and REMOVED mid-session:
     # it duplicated the long-standing pii_redact_docs; the slot went
     # back to the rule-4 tail)
@@ -302,15 +308,14 @@ _CHECK_FIRST = [
     "incremental_rollup_events",
     "semantic_dedup_pairs",
     "kmeans_embeddings",
-    "embedding_outliers",
-    "diverse_curation",
 ]
 # Displaced mid-round for the eight second-session registrations
 # (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay,
 # shallow_clone_divergence, heavy_hitters_two_pass,
 # table_snapshots_metadata, drift_psi_events,
-# small_file_compaction_audit — rule 1 outranks the rule-4 tail):
-# ann_multiprobe_topk, rollup_pricing, monthly_rollup,
+# small_file_compaction_audit — rule 1 outranks the rule-4 tail — and
+# the rule-2 simhash re-evidence pair): embedding_outliers,
+# diverse_curation, ann_multiprobe_topk, rollup_pricing, monthly_rollup,
 # intersect_except_custkeys, grouping_sets_pricing, exact_percentiles,
 # doc_length_quartiles, dedup_keep_first (r4 evidence, age 7 at round
 # 11 — they join the deferred nine at the head of round 11's rule-4

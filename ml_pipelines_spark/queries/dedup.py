@@ -237,10 +237,19 @@ def _jaccard_pairs_08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit portable variant). Bit construction from md5 hex digits
-# is replicated digit-for-digit in the oracle.
+# SimHash (32-bit portable variant — md5-hex arithmetic stays exact in
+# both engines up to 32 bits). Bit construction from md5 hex digits is
+# replicated digit-for-digit in the oracle. Round 10 widened the
+# signature from 16 to 32 bits: candidate volume under banding is
+# n^2 / 2^band_bits, and 8-bit bands (256 buckets) measured QUADRATIC at
+# the 10x tier (46 s for 50k docs); 16-bit bands (65536 buckets) hold
+# the same 2-band pigeonhole recall class (hamming < 2 guaranteed,
+# hamming = 2 found with the same ~47% band-clean probability) while
+# deferring the quadratic term to multi-million-doc corpora — at which
+# point widen again or add bands, the standard SimHash scale knob
+# (Manku et al., WWW'07, use 64-bit signatures).
 # ---------------------------------------------------------------------------
-_BITS = 16
+_BITS = 32
 
 def _sql_digit(j: int) -> str:
     p = j // 4 + 1
@@ -272,8 +281,8 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs: banded collision on the 16-bit signature (two
-# 8-bit bands — total recall for hamming < 2 by pigeonhole, probabilistic
+# SimHash near-dup pairs: banded collision on the 32-bit signature (two
+# 16-bit bands — total recall for hamming < 2 by pigeonhole, probabilistic
 # above, the same knob as MinHash banding), exact Hamming verify via
 # xor bit-count. Verification is two longs per pair — no shingle
 # intersection — making this the cheap first-pass near-dup filter.
@@ -289,9 +298,9 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (SELECT doc_id, {_SUMS} FROM h GROUP BY doc_id),
     sig AS (SELECT doc_id, CAST({_VALUE} AS BIGINT) AS simhash FROM sums),
     banded AS (
-        SELECT doc_id, simhash, 0 AS band_idx, simhash % 256 AS band_val FROM sig
+        SELECT doc_id, simhash, 0 AS band_idx, simhash % 65536 AS band_val FROM sig
         UNION ALL
-        SELECT doc_id, simhash, 1 AS band_idx, simhash // 256 % 256 AS band_val FROM sig
+        SELECT doc_id, simhash, 1 AS band_idx, simhash // 65536 % 65536 AS band_val FROM sig
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
