@@ -25,6 +25,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ml_pipelines_spark.operators.manifest import (
+    compact_small_files,
     compact_snapshot,
     delete_from_snapshot,
     expire_snapshots,
@@ -81,6 +82,7 @@ def test_random_lifecycle_matches_model(spark, seed):
                     "dv_delete",
                     "key_delete",
                     "compact",
+                    "compact_small",
                     "expire",
                 ]
             )
@@ -150,6 +152,14 @@ def test_random_lifecycle_matches_model(spark, seed):
                     spark, path, "k", target_rows=120
                 )
                 commit(v)
+            elif op == "compact_small":
+                v = compact_small_files(
+                    spark, path, "k", target_rows=120, small_rows=60
+                )
+                if v in history or v == 1:
+                    trace[-1] = "compact_small(noop)"
+                else:
+                    commit(v)
             elif op == "expire":
                 expire_snapshots(spark, path, keep_last=2)
                 retained = set(versions(spark, path))
