@@ -491,6 +491,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from ml_pipelines_spark.queries import QUERIES
+    from ml_pipelines_spark.queries.registry import BENCH_ONLY
+
+    # The bench's universe is the driver-checkable registry PLUS the
+    # bench-only shapes (engine-specific-value queries whose correctness
+    # rides on a registered invariant twin — registry.BENCH_ONLY).
+    QUERIES = {**QUERIES, **BENCH_ONLY}
 
     # Optional subset (comma-separated names): scale-contract runs time
     # a handful of superlinear-risk queries at a generated scale factor

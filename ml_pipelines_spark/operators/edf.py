@@ -70,6 +70,71 @@ def ordered_cumsum(
     )
 
 
+def ordered_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` with NO
+    unpartitioned window and NO data-sized funnel (VERDICT r10 item 2).
+
+    ``NTILE`` is pure rank arithmetic: with N rows, q = N div n,
+    rem = N mod n, the first ``rem`` buckets hold q+1 rows —
+    bucket(r) = ceil(r/(q+1)) for r <= rem*(q+1), else
+    rem + ceil((r - rem*(q+1))/q). So the only distributed work is the
+    global rank, computed with the dense-ids range-bucket machinery
+    (operators/ids.py): sampled cut points -> per-bucket partitioned
+    row_number (P-way parallel) + per-bucket counts. Unlike
+    ``dense_ids``/``ordered_cumsum``, the <=P bucket counts are
+    cumulated on the DRIVER (they are at most `parts` rows — bytes)
+    and rejoined as a broadcast literal frame, so the physical plan
+    carries zero unpartitioned Window nodes — the shape the plan
+    linter can pass with no global-window waiver at all.
+
+    ``order_cols`` must be a total order (add a unique tiebreaker) of
+    non-null columns, matching NTILE's determinism requirement.
+    """
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    bounds = _cut_points(df, order_cols, parts)
+    keyed = df.withColumn("__b", _bucket_expr(order_cols, bounds))
+    counts = {
+        r["__b"]: r["c"]
+        for r in keyed.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    running, offsets = 0, []
+    for b in sorted(counts):
+        offsets.append((b, running))
+        running += counts[b]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__b int, __off long")
+    )
+    w_local = Window.partitionBy("__b").orderBy(*order_cols)
+    rank = F.col("__off") + F.row_number().over(w_local)
+    q, rem = divmod(total, n)
+    cut = rem * (q + 1)
+    tile = (
+        F.when(rank <= cut, F.floor((rank - 1) / (q + 1)) + 1)
+        # q == 0 only when total < n, where every rank <= cut = total;
+        # max(q,1) keeps the dead branch free of a zero divisor
+        .otherwise(rem + F.floor((rank - cut - 1) / max(q, 1)) + 1)
+    )
+    return (
+        keyed.join(off, "__b")
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__b", "__off")
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,

@@ -36,7 +36,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def heavy_hitter_candidates(
@@ -44,7 +44,9 @@ def heavy_hitter_candidates(
 ) -> DataFrame:
     """Pass 1: a superset of all values with global share > ``phi``,
     from bounded per-batch state (< ceil(1/phi) survivors per Arrow
-    batch), no shuffle."""
+    batch), no shuffle. NULL is a value (``value_counts(dropna=False)``
+    — ADVICE r10): a null whose share exceeds phi survives like any
+    other candidate, matching ``groupBy().count()`` semantics."""
     if not 0 < phi < 1:
         raise ValueError(f"phi must be in (0,1), got {phi}")
     k = math.ceil(1.0 / phi)
@@ -57,7 +59,7 @@ def heavy_hitter_candidates(
             n_b = len(pdf)
             if not n_b:
                 continue
-            vc = pdf[col].value_counts()
+            vc = pdf[col].value_counts(dropna=False)
             keep = vc[vc * k > n_b]
             if len(keep):
                 yield pd.DataFrame({col: keep.index})
@@ -69,12 +71,51 @@ def exact_heavy_hitters(
     df: DataFrame, col: str, phi: float
 ) -> DataFrame:
     """All values of ``col`` with frequency strictly above
-    ``phi * count(df)``, with their EXACT counts — two scans, zero
-    wide shuffle. Returns columns ``(col, cnt)``."""
-    total = df.count()
-    cand = heavy_hitter_candidates(df, col, phi).distinct()
+    ``phi * count(df)``, with their EXACT counts — two scans of ``df``
+    total (ADVICE r10: the global row count rides pass 1 as per-batch
+    marker rows instead of a third ``df.count()`` scan), zero wide
+    shuffle. NULL-safe end to end: candidates keep nulls
+    (``dropna=False``) and the probe join matches on ``<=>``, so a
+    null heavy hitter is reported exactly like ``groupBy().count()``
+    would. Returns columns ``(col, cnt)``."""
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    if col == "__n":
+        raise ValueError("column name __n is reserved by the marker rows")
+    k = math.ceil(1.0 / phi)
+    out_schema = StructType(
+        [df.schema[col], StructField("__n", LongType(), True)]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_b = len(pdf)
+            if not n_b:
+                continue
+            vc = pdf[col].value_counts(dropna=False)
+            keep = vc[vc * k > n_b]
+            out = pd.DataFrame({col: keep.index, "__n": None})
+            marker = pd.DataFrame({col: [None], "__n": [n_b]})
+            yield pd.concat([out, marker], ignore_index=True)
+
+    # pass-1 output is bounded (<= k candidates + 1 marker per batch) —
+    # checkpoint it so the total and the candidate set are two jobs
+    # over a few kilobytes, not two more scans of df
+    pass1 = df.select(col).mapInPandas(gen, schema=out_schema).localCheckpoint()
+    total = pass1.agg(F.sum("__n")).collect()[0][0] or 0
+    cand = (
+        pass1.filter(F.col("__n").isNull())
+        .select(F.col(col).alias("__cand"))
+        .distinct()
+    )
     return (
-        df.join(F.broadcast(cand), col, "left_semi")
+        df.join(
+            F.broadcast(cand),
+            F.col(col).eqNullSafe(F.col("__cand")),
+            "left_semi",
+        )
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > phi * total)

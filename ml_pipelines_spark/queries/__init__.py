@@ -217,110 +217,91 @@ from . import pipelines  # noqa: E402,F401
 # Local DuckDB parity still covers ALL queries every pytest run; the
 # SLAs bound only the freshness of the DRIVER's independent evidence.
 # ---------------------------------------------------------------------------
-# Round-10 window, filled by the standing schedule:
-# (a) rule 1 — never driver-checked: partition_spec_bucket_scan
-#     (bucket(N,col) partition transform), hilbert_rectangle_scan
-#     (Hilbert-curve layout) and dv_position_delete_audit (positional
-#     deletion vectors), all registered this round, swapped in
-#     displacing approx_distinct_users, array_envelope and
-#     bloom_semi_join_revenue (r4 evidence, ages to 7 at round 11 —
-#     still inside the query SLA; they lead round 11's rule-4 fill).
-# (b) rule 2 — code touched this round (VERDICT/ADVICE items: atomic
-#     _refs seq claims + claim-release-on-failure + injectable claim
-#     backend in operators/manifest.py; _sidecar_exists-style version
-#     bootstrap in filestats.py/partspec.py/manifest.py) →
-#     table_tag_travel (tag/retag/drop path), table_format_lifecycle
-#     (append/merge claim lifecycle), manifest_stats_scan +
-#     zorder_rectangle_scan (filestats bootstrap sites),
-#     partition_spec_evolution_scan (partspec bootstrap site).
+# Round-11 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: none (every registered query has
+#     at least one green driver row across rounds 1-10).
+# (b) rule 2 — code touched this round (VERDICT top-next + ADVICE
+#     items): rfm_segments (global-NTILE → two-phase ordered_cumsum
+#     rewrite), stream_mor_upsert_replay + mor_merge_audit (MoR commit
+#     probe-job fold; evolved-reader victim scan),
+#     small_file_compaction_audit + table_format_lifecycle
+#     (schema-events compaction guard; sidecar-sweep race guard),
+#     dv_position_delete_audit (sidecar verify-before-commit),
+#     heavy_hitters_two_pass (null-safe counts, two scans),
+#     drift_psi_events (epsilon smoothing).
 # (c) the flagship.
-# (d) SLA pressure, oldest first: embedding_centroids (r3 evidence,
-#     age 7 — the single oldest query); both linalg members (r6, the
-#     only family past the 3-round family SLA at the round-9/10
-#     boundary); one representative each for the families at the SLA
-#     edge (multimodal/audio/mixture/geo, refreshing their oldest
-#     members); then 37 of the 46-query round-4 evidence tail.
-#     Deferred to round 11 (age 7 there — still inside the query SLA):
-#     nine relational-family members (anti_join, dict_encode,
-#     filter_array_overlap, flatten_collect, group_collect_sorted,
-#     proj_cast, semi_join, star_join_revenue, topk_per_group) — the
-#     relational family keeps fresh evidence through many other rows.
+# (d) SLA pressure, oldest first: ALL 22 queries whose evidence is r4
+#     (age 7 — the hard query-SLA edge; the 9 relational members
+#     deferred from round 10 plus the 13 displaced by round 10's
+#     second-session registrations); one refresher each for the four
+#     families whose freshest member would age past 3 next round
+#     (classifier → quality_classifier_scores, tpch →
+#     q9_profit_nation_year, timeseries → seasonal_naive_forecast,
+#     recsys → item_item_cosine); then the first 15 of the r5-evidence
+#     (age 6) tail, alphabetical.
+# approx_distinct_users_sketch was DE-REGISTERED this round (VERDICT
+# item 3): the only oracle-less entry in the registry is now bench/
+# pytest-only (tests/test_sketches.py checks it against its exact and
+# full-HLL twins), so every registry row the driver can sample is
+# hash-checkable.
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
-    # (a) rule 1: registered this round, never driver-checked
-    "partition_spec_bucket_scan",
-    "hilbert_rectangle_scan",
-    "dv_position_delete_audit",
-    "mor_merge_audit",
-    "dv_schema_evolution_scan",
+    # (b) rule 2: code touched this round
+    "rfm_segments",
     "stream_mor_upsert_replay",
-    "shallow_clone_divergence",
-    "heavy_hitters_two_pass",
-    "table_snapshots_metadata",
-    "drift_psi_events",
+    "mor_merge_audit",
     "small_file_compaction_audit",
-    # rule 2 (second session): the SimHash signature widened 16 -> 32
-    # bits with 16-bit bands (the 8-bit banding measured quadratic at
-    # the 10x tier) — code AND oracle changed, so both queries
-    # re-evidence this round
-    "simhash_docs",
-    "simhash_near_dup",
-    # (a pii_scrub_docs registration was added and REMOVED mid-session:
-    # it duplicated the long-standing pii_redact_docs; the slot went
-    # back to the rule-4 tail)
-    "pivot_event_counts",
-    # (b) rule 2: table-layer commit/bootstrap code touched this round
-    "table_tag_travel",
     "table_format_lifecycle",
-    "manifest_stats_scan",
-    "zorder_rectangle_scan",
-    "partition_spec_evolution_scan",
-    # (d) SLA: oldest query + linalg family (past SLA) + edge families
-    "embedding_centroids",
-    "pca_top_component",
-    "pca_project_embeddings",
-    "video_frame_sample",
-    "audio_fingerprint_near_dup",
-    "source_mix_kl",
-    "geo_nearest_city",
-    # (d) rule 4: round-4 evidence tail (37 of 46, oldest block)
-    "yolo_export_lines",
-    "coco_records",
-    "word_shingles",
-    "vocab_topk",
-    "top_bigram_share",
-    "tfidf_top_terms",
-    "text_quality",
-    "lang_id",
-    "gopher_quality_flags",
-    "dup_ngram_fraction",
-    "doc_fingerprint",
-    "curate_corpus",
-    "stream_running_totals",
-    "stratified_sample_docs",
-    "seeded_nested_split",
-    "sample_k_per_source",
-    "hash_split_materialize",
-    "hash_split_assign",
-    "hash_sample",
-    "snapshot_diff_orders",
-    "incremental_rollup_events",
-    "semantic_dedup_pairs",
-    "kmeans_embeddings",
+    "dv_position_delete_audit",
+    "heavy_hitters_two_pass",
+    "drift_psi_events",
+    # (d) rule 4: the complete age-7 block (r4 evidence)
+    "anti_join",
+    "ann_multiprobe_topk",
+    "approx_distinct_users",
+    "array_envelope",
+    "bloom_semi_join_revenue",
+    "dedup_keep_first",
+    "dict_encode",
+    "diverse_curation",
+    "doc_length_quartiles",
+    "embedding_outliers",
+    "exact_percentiles",
+    "filter_array_overlap",
+    "flatten_collect",
+    "group_collect_sorted",
+    "grouping_sets_pricing",
+    "intersect_except_custkeys",
+    "monthly_rollup",
+    "proj_cast",
+    "rollup_pricing",
+    "semi_join",
+    "star_join_revenue",
+    "topk_per_group",
+    # (d) family SLA refreshers (freshest member would hit age 4 at
+    # round 12 otherwise; oldest member of each family chosen)
+    "quality_classifier_scores",
+    "q9_profit_nation_year",
+    "seasonal_naive_forecast",
+    "item_item_cosine",
+    # (d) rule 4 fill: age-6 (r5 evidence) tail, alphabetical
+    "annotator_agreement_iou",
+    "approx_median_band",
+    "cohort_retention",
+    "dataset_card",
+    "dup_rate_by_source",
+    "event_transitions",
+    "funnel_conversion",
+    "hashed_doc_vectors",
+    "hourly_anomaly_flags",
+    "image_redact_checksum",
+    "image_resize_checksum",
+    "incremental_dedup_batches",
+    "kmeans_inertia",
+    "lang_source_chisq",
+    "length_bucket_batches",
 ]
-# Displaced mid-round for the eight second-session registrations
-# (mor_merge_audit, dv_schema_evolution_scan, stream_mor_upsert_replay,
-# shallow_clone_divergence, heavy_hitters_two_pass,
-# table_snapshots_metadata, drift_psi_events,
-# small_file_compaction_audit — rule 1 outranks the rule-4 tail — and
-# the rule-2 simhash re-evidence pair): embedding_outliers,
-# diverse_curation, ann_multiprobe_topk, rollup_pricing, monthly_rollup,
-# intersect_except_custkeys, grouping_sets_pricing, exact_percentiles,
-# doc_length_quartiles, dedup_keep_first (r4 evidence, age 7 at round
-# 11 — they join the deferred nine at the head of round 11's rule-4
-# fill; pivot_event_counts was displaced and then restored when the
-# duplicate pii registration was removed).
 
 
 def _reorder_registry() -> None:

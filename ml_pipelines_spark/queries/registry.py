@@ -12,6 +12,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Bench-only surface (VERDICT r10 item 3): queries the bench times but
+# the driver must NOT sample, because no checkable contract exists even
+# at rows-only strength (engine-specific sketch values with a separate
+# invariant twin carrying the correctness weight). Keeping them out of
+# QUERIES means every row the driver can record is hash- (or at least
+# contract-) checkable — no permanent `err: no_oracle` registry entry.
+BENCH_ONLY: dict[str, QueryFn] = {}
+
 # query name -> operator family (the registering module's basename).
 # The evidence-rotation SLAs (queries/__init__.py round-9 note,
 # tests/test_registry_window.py) are enforced per family: every family
@@ -59,12 +67,31 @@ def query(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in BENCH_ONLY:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         FAMILIES[name] = fn.__module__.rsplit(".", 1)[-1]
         if sql is not None:
             ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def bench_only_query(name: str) -> Callable[[QueryFn], QueryFn]:
+    """Register a bench-timed query OUTSIDE the driver's universe.
+
+    For shapes whose output values are engine-specific by construction
+    (e.g. the raw HLL++ estimate) and whose correctness is carried by a
+    separately-registered invariant twin plus pytest: the bench still
+    times the production shape, but the driver never samples it, so the
+    registry can't accumulate permanently-unverifiable rows.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES or name in BENCH_ONLY:
+            raise ValueError(f"duplicate query name: {name}")
+        BENCH_ONLY[name] = fn
         return fn
 
     return deco

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from ..io import read_table, read_timestamp_table
 from ..schemas import TESTDATA_SCHEMAS
-from .registry import query
+from .registry import bench_only_query, query
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -743,18 +743,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users_sketch")
+@bench_only_query("approx_distinct_users_sketch")
 def approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production approximate-distinct rollup: ONE aggregation pass, the
     O(1)-memory HLL++ sketch only, estimate in the output schema — at
     100 TB this is the default shape (exact countDistinct is a full
     shuffle of the distinct pairs; the sketch is a fixed-size buffer per
-    group merged map-side). Registered rows-only: the estimate is
-    engine-specific by construction, so no cross-engine value oracle can
-    exist — ``approx_distinct_users`` (the invariant twin above) pins
-    this same sketch within ±5% of exact under the driver gate, and the
-    bench times THIS query so the recorded cost is the sketch-only cost
-    (VERDICT r4 item 5)."""
+    group merged map-side). BENCH-ONLY (VERDICT r10 item 3): the
+    estimate is engine-specific by construction, so no cross-engine
+    value oracle can exist and even a rows-only driver row is a
+    permanently-unverifiable registry entry — ``approx_distinct_users``
+    (the invariant twin above) pins this same sketch within ±5% of
+    exact under the driver gate, tests/test_sketches.py pins rows +
+    schema + tolerance, and the bench times THIS query so the recorded
+    cost is the sketch-only cost (VERDICT r4 item 5)."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

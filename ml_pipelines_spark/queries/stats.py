@@ -1214,6 +1214,13 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the value hash. One groupBy (5-row dictionary output), one
 # unpartitioned window over that dictionary — the 100 TB-safe shape
 # (state is O(types), never O(events)).
+#
+# Epsilon smoothing (ADVICE r10): a category present in only one half
+# would otherwise yield ln(0)/div-by-zero — NULL silently excluded
+# from total_psi in Spark while DuckDB errors, under-reporting exactly
+# the appearing/disappearing-category drift PSI exists to catch. The
+# standard fix: clamp both shares to eps=1e-6 inside the term (the
+# reported p_share/q_share stay raw), identically on both engines.
 # ---------------------------------------------------------------------------
 @query(
     "drift_psi_events",
@@ -1237,8 +1244,10 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                pc * 1.0 / tp AS p,
                qc * 1.0 / tq AS q,
-               (pc * 1.0 / tp - qc * 1.0 / tq)
-                   * ln((pc * 1.0 / tp) / (qc * 1.0 / tq)) AS term
+               (greatest(pc * 1.0 / tp, 1e-6)
+                    - greatest(qc * 1.0 / tq, 1e-6))
+                   * ln(greatest(pc * 1.0 / tp, 1e-6)
+                        / greatest(qc * 1.0 / tq, 1e-6)) AS term
         FROM c, tot
     )
     SELECT event_type,
@@ -1273,11 +1282,13 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("pc") * 1.0 / F.col("tp")
     q = F.col("qc") * 1.0 / F.col("tq")
+    pe = F.greatest(p, F.lit(1e-6))
+    qe = F.greatest(q, F.lit(1e-6))
     terms = c.join(F.broadcast(tot)).select(
         "event_type",
         p.alias("p"),
         q.alias("q"),
-        ((p - q) * F.log(p / q)).alias("term"),
+        ((pe - qe) * F.log(pe / qe)).alias("term"),
     )
     # unpartitioned window over the TYPE dictionary (5 rows) — bounded
     w = Window.partitionBy()

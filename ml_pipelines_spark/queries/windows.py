@@ -730,10 +730,20 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recency (days since last purchase vs the corpus anchor), Frequency
 # (purchase count), Monetary (revenue in integer CENTS — quantized
 # per-row before summing so the quintile order is exact cross-engine),
-# each scored into quintiles with NTILE(5) over a fully deterministic
-# (metric, user_id) order, then a rule segment label. One aggregation +
-# three dictionary-sized window passes over the per-user frame (bounded
-# by |users|, not |events|).
+# each scored into quintiles over a fully deterministic
+# (metric, user_id) order, then a rule segment label.
+#
+# The quintiles are NOT global NTILE windows (users are not a
+# dictionary at 100 TB — billions of per-user rows through one window
+# task). Each score is exact rank arithmetic over the two-phase
+# range-bucket rank (operators/edf.ordered_ntile, built on the
+# dense-ids cut-point machinery): sampled bucket bounds, per-bucket
+# partitioned row_number, driver-cumulated <=P bucket offsets
+# broadcast back. Zero unpartitioned Window nodes, zero cartesians
+# (the recency anchor is a driver-side literal) — the plan lints clean
+# with no waiver (VERDICT r10 item 2). The per-user frame is
+# localCheckpointed once so the three sample/count probe jobs re-read
+# materialized blocks instead of re-aggregating the event stream.
 # ---------------------------------------------------------------------------
 @query(
     "rfm_segments",
@@ -766,8 +776,12 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.edf import ordered_ntile
+
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    anchor = ev.agg(F.max("ts").alias("mx"))
+    # driver-side literal anchor: one tiny agg job instead of a 1-row
+    # BroadcastNestedLoopJoin in the main plan (no cartesian waiver)
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
     per_user = (
         ev.groupBy("user_id")
         .agg(
@@ -777,28 +791,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") * 100.0 + 0.5).cast("long")
             ).alias("cents"),
         )
-        .join(F.broadcast(anchor))
         .select(
             "user_id",
-            F.datediff(F.to_date("mx"), F.to_date("last_ts"))
+            F.datediff(F.to_date(F.lit(mx)), F.to_date("last_ts"))
             .cast("long")
             .alias("rec_days"),
             "freq",
             "cents",
         )
+        .localCheckpoint()  # 3 ntile probe jobs re-read blocks, not events
     )
-    # NTILE over |users| rows: the frame is already one row per user —
-    # dictionary-sized relative to the event stream. At true 100 TB user
-    # counts, swap for the rank-arithmetic form over a two-phase sort.
-    r = Window.orderBy(F.col("rec_days").desc(), "user_id")
-    f = Window.orderBy("freq", "user_id")
-    m = Window.orderBy("cents", "user_id")
-    scored = per_user.select(
-        "*",
-        F.ntile(5).over(r).alias("r_score"),
-        F.ntile(5).over(f).alias("f_score"),
-        F.ntile(5).over(m).alias("m_score"),
-    )
+    scored = ordered_ntile(
+        per_user.withColumn("__neg_rec", -F.col("rec_days")),
+        ["__neg_rec", "user_id"], 5, "r_score",
+    ).drop("__neg_rec")
+    scored = ordered_ntile(scored, ["freq", "user_id"], 5, "f_score")
+    scored = ordered_ntile(scored, ["cents", "user_id"], 5, "m_score")
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
         .when(F.col("r_score") >= 4, "recent")

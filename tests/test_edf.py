@@ -92,3 +92,43 @@ def test_mannwhitney_matches_serial_midranks(spark, sf_dir):
     )
     n_a = sum(1 for r in rows if r.is_a)
     assert (got.n_a, got.two_u1) == (n_a, two_r1 - n_a * (n_a + 1))
+
+
+@pytest.mark.parametrize("seed,n_rows,n", [(7, 137, 5), (9, 4, 5), (13, 500, 7)])
+def test_ordered_ntile_matches_serial_ntile(spark, seed, n_rows, n):
+    # exact SQL NTILE semantics: sizes differ by at most 1, larger
+    # buckets first, over a composite total order with heavy ties on
+    # the leading key (the skew case a per-value partition would lose)
+    from ml_pipelines_spark.operators.edf import ordered_ntile
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(0, 6), i) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, ["k", "uid"])
+    got = {
+        r.uid: r.tile
+        for r in ordered_ntile(
+            df, ["k", "uid"], n, "tile", num_partitions=8
+        ).collect()
+    }
+    order = sorted(rows)
+    q, rem = divmod(n_rows, n)
+    serial = {}
+    r = 0
+    for b in range(1, n + 1):
+        size = q + 1 if b <= rem else q
+        for _ in range(size):
+            if r < n_rows:
+                serial[order[r][1]] = b
+                r += 1
+    assert got == serial
+
+
+def test_ordered_ntile_no_global_window(spark):
+    from ml_pipelines_spark.operators.edf import ordered_ntile
+    from ml_pipelines_spark.plans.audit import lint
+
+    df = spark.range(1000).selectExpr("id % 37 AS k", "id AS uid")
+    out = ordered_ntile(df, ["k", "uid"], 5, "tile", num_partitions=8)
+    # zero unpartitioned Window nodes, no cartesian, no python UDF —
+    # the whole point of the driver-cumulated offsets
+    assert lint(out) == []

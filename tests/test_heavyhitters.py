@@ -101,3 +101,36 @@ def test_string_column(spark):
     }
     assert got == _exact(df, phi)
     assert got
+
+
+def test_null_heavy_hitter_found(spark):
+    # ADVICE r10: a NULL above the threshold must be reported exactly
+    # like groupBy().count() would report it — pandas value_counts
+    # dropped it and the equi semi-join never matched it
+    base = spark.range(0, 900).select((F.col("id") % 300).alias("v"))
+    nulls = spark.range(0, 100).select(F.lit(None).cast("long").alias("v"))
+    df = base.unionByName(nulls).repartition(8)
+    got = {(r["v"], r["cnt"]) for r in exact_heavy_hitters(df, "v", 0.05).collect()}
+    assert got == {(None, 100)}
+
+
+def test_null_string_heavy_hitter(spark):
+    base = spark.range(0, 900).select(
+        F.concat(F.lit("u"), (F.col("id") % 300).cast("string")).alias("v")
+    )
+    nulls = spark.range(0, 100).select(F.lit(None).cast("string").alias("v"))
+    df = base.unionByName(nulls).repartition(8)
+    got = {(r["v"], r["cnt"]) for r in exact_heavy_hitters(df, "v", 0.05).collect()}
+    assert got == {(None, 100)}
+
+
+def test_two_scans_not_three(spark):
+    # the returned plan reads the input ONCE (pass 2); pass 1 is the
+    # checkpointed candidate/total job — so two scans total, with no
+    # separate df.count() third scan
+    df = _zipfish(spark)
+    plan = (
+        exact_heavy_hitters(df, "v", 0.005)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Range (0, 20000") <= 1

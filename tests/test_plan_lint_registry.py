@@ -82,7 +82,6 @@ CARTESIAN_DIM = {
     "item_item_cosine",
     "kmeans_inertia",
     "quantile_normalize_lengths",
-    "rfm_segments",
     "triangle_count_near_dup",
 }
 
@@ -119,7 +118,6 @@ GLOBAL_WINDOW = {
     "q2_min_cost_supplier",
     "quantile_normalize_lengths",
     "quantile_treatment_effects",
-    "rfm_segments",
     "rrf_hybrid_search",
     # rank windows over two-phase-pruned k·P survivors + the 10-row
     # IDCG grid, same bounded class as bm25_top_docs/rrf_hybrid_search

@@ -553,3 +553,22 @@ def test_incremental_join_view_no_view_rescan(spark, sf_dir):
     plan = _plan(QUERIES["incremental_join_view"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_rfm_segments_zero_unpartitioned_windows(spark, sf_dir):
+    # VERDICT r10 item 2: the global-NTILE rewrite. Every Window node
+    # must be partitioned (the range-bucket local ranks); the <=P
+    # bucket offsets are driver-cumulated literals, and the recency
+    # anchor is a driver literal — so no global window AND no
+    # BroadcastNestedLoopJoin, with no lint waiver carried at all.
+    from ml_pipelines_spark.plans.audit import lint
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    df = QUERIES["rfm_segments"](spark, sf_dir)
+    # lint() == [] covers all four rules, including global-window at
+    # the default allowance of zero unpartitioned Window inputs
+    assert lint(df) == []
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the three score ranks each ride a bucket-partitioned window
+    assert plan.count("Window") >= 3

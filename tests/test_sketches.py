@@ -47,6 +47,44 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
     assert merged == whole
 
 
+def test_bench_only_sketch_contract(spark, sf_dir):
+    """approx_distinct_users_sketch is bench-only (VERDICT r10 item 3):
+    the driver never samples it, so THIS test is its checkable contract
+    — rows + schema + n_events pinned against the registered invariant
+    twin, estimate pinned within the twin's ±5% tolerance of exact."""
+    from ml_pipelines_spark.queries.registry import BENCH_ONLY, QUERIES
+    from ml_pipelines_spark.queries.relational import (
+        approx_distinct_users_sketch,
+        t,
+    )
+
+    # registry hygiene: bench-only means NOT driver-sampleable
+    assert "approx_distinct_users_sketch" in BENCH_ONLY
+    assert "approx_distinct_users_sketch" not in QUERIES
+
+    out = approx_distinct_users_sketch(spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == [
+        "event_type", "n_events", "approx_users",
+    ]
+    got = {r["event_type"]: r for r in out.collect()}
+
+    ev = t(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        assert r["n_events"] == exact[et]["n_events"]
+        e = exact[et]["exact_users"]
+        assert abs(r["approx_users"] - e) <= 0.05 * e, (et, r, e)
+
+
 def test_count_min_one_sided_and_additive(spark, sf_dir):
     from ml_pipelines_spark.queries.relational import t
     from ml_pipelines_spark.queries.sketches import count_min_user_freq
