@@ -110,7 +110,7 @@ def write_file_stats(
         )
         long = long.join(existing, ["file", "col"], "left_anti")
     n = long.count()
-    long.coalesce(1).write.mode("append").parquet(f"{path}/_filestats")
+    long.repartition(1).write.mode("append").parquet(f"{path}/_filestats")
     return n
 
 
@@ -256,7 +256,7 @@ def write_file_bloom(
             "positions",
         )
     )
-    blooms.coalesce(1).write.mode("append").parquet(f"{path}/_filebloom")
+    blooms.repartition(1).write.mode("append").parquet(f"{path}/_filebloom")
     return len(todo)
 
 
@@ -442,7 +442,7 @@ def write_manifest_table_zordered(
                 F.count(F.lit(1)).alias("n_rows"),
             )
         )
-        zone_map.coalesce(1).write.mode("errorifexists").parquet(
+        zone_map.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
         write_file_stats(spark, path, [col_a, col_b], version)

@@ -55,6 +55,76 @@ class CommitConflict(RuntimeError):
     ``v=N`` directory wedging the claim."""
 
 
+# ---------------------------------------------------------------------------
+# Driver-side metadata reads (VERDICT r10 item 4). Every table format
+# reads its metadata tier on the DRIVER (Iceberg manifests, Delta's
+# JSON log) — scheduling a distributed Spark job per tiny sidecar
+# probe (manifest collect, tombstone/DV limit-counts, schema events)
+# is pure scheduler latency: a MoR commit was ~10 blocking jobs per
+# trigger with most of them reading a few kilobytes. When the table's
+# resolved filesystem is LOCAL, the sidecars are read with pyarrow in
+# the driver process (zero jobs); remote filesystems and oversized
+# sidecars (> _DRIVER_METADATA_CAP — metadata that outgrew the driver)
+# keep the distributed read.
+# ---------------------------------------------------------------------------
+_DRIVER_METADATA_CAP = 64 * 1024 * 1024
+
+
+def _local_metadata_dir(
+    spark: SparkSession, path: str, name: str
+) -> str | None:
+    """Resolved LOCAL directory for sidecar ``<path>/<name>``, or None
+    when the table lives on a non-local filesystem. Resolution goes
+    through the Hadoop config (never urlparse — a scheme-less path
+    means the DEFAULT filesystem, which may be HDFS; ADVICE r9)."""
+    import os
+
+    try:
+        fs, jvm = _fs(spark, path)
+        if fs.getUri().getScheme() != "file":
+            return None
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        local = fs.makeQualified(p).toUri().getPath()
+    except Exception:
+        return None
+    return local if os.path.isdir(local) else None
+
+
+def _driver_sidecar_table(spark: SparkSession, path: str, name: str):
+    """A metadata sidecar as a pyarrow Table read in the driver — or
+    None when the caller must use the distributed read (remote
+    filesystem, or sidecar above the size cap). Raises when the
+    directory exists but holds no readable parquet, matching the
+    distributed read's behavior on half-written metadata (callers'
+    except-paths and bootstrap guards rely on the error)."""
+    import os
+
+    local = _local_metadata_dir(spark, path, name)
+    if local is None:
+        return None
+    import pyarrow.dataset as pds
+
+    total = 0
+    n_files = 0
+    for root, _dirs, files_ in os.walk(local):
+        for f in files_:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+            n_files += 1
+    if total > _DRIVER_METADATA_CAP:
+        return None
+    if n_files == 0:
+        raise IOError(
+            f"{local} exists but holds no parquet files — empty or "
+            "half-written metadata sidecar"
+        )
+    # default ignore_prefixes ('_', '.') skips _SUCCESS/_temporary,
+    # matching Spark's FileIndex convention
+    dset = pds.dataset(local, format="parquet", partitioning="hive")
+    return dset.to_table()
+
+
 def _is_path_exists_error(e: Exception) -> bool:
     """True when a write failed because the target path already exists
     — the version-claim collision signal under ``errorifexists``
@@ -157,6 +227,40 @@ def _purge_sidecar_partition(
         pass
 
 
+def _verify_sidecar_before_commit(
+    spark: SparkSession, path: str, sidecar: str, version: int
+) -> None:
+    """Immediately before the manifest write of a delete/merge commit:
+    confirm the just-written sidecar partition STILL exists and the
+    claim is STILL held (ADVICE r10). A concurrent
+    ``sweep_orphan_versions`` cannot tell an in-flight writer's claimed
+    version from a crashed writer's wreckage; if it swept this
+    writer's ``_deletes``/``_posdeletes`` partition and released the
+    claim, committing the manifest anyway would succeed with the
+    tombstones/DV runs silently dropped — a no-op delete that LOOKS
+    committed. This probe turns that race into a loud
+    ``CommitConflict``; the residual window between probe and manifest
+    write is the documented run-sweeps-only-when-quiescent contract."""
+    fs, jvm = _fs(spark, path)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{sidecar}/v={version}")
+    ):
+        raise CommitConflict(
+            f"commit of v={version} at {path}: the {sidecar} partition "
+            "written by this commit has vanished (a concurrent "
+            "sweep_orphan_versions?) — aborting instead of committing "
+            "a silent no-op delete; re-issue the operation"
+        )
+    from .claims import get_claim_backend
+
+    if f"v={version}" not in get_claim_backend().held(spark, path):
+        raise CommitConflict(
+            f"commit of v={version} at {path}: this writer's claim was "
+            "released externally (a concurrent sweep_orphan_versions?) "
+            "— aborting; re-issue the operation"
+        )
+
+
 def _await_claim_release(
     spark: SparkSession, path: str, claimed: int
 ) -> bool:
@@ -191,6 +295,9 @@ def _await_claim_release(
 
 def versions(spark: SparkSession, path: str) -> list[int]:
     """Snapshot versions present at ``path``, ascending."""
+    tbl = _driver_sidecar_table(spark, path, "_manifest")
+    if tbl is not None:
+        return sorted({int(v) for v in tbl.column("v").to_pylist()})
     vs = (
         spark.read.parquet(f"{path}/_manifest")
         .select("v")
@@ -218,13 +325,17 @@ def _latest_version(
         # the primary manifest (tests simulate stale reads there)
         vs = versions(spark, path)
     else:
-        vs = sorted(
-            int(r["v"])
-            for r in spark.read.parquet(f"{path}/{manifest_dir}")
-            .select("v")
-            .distinct()
-            .collect()
-        )
+        tbl = _driver_sidecar_table(spark, path, manifest_dir)
+        if tbl is not None:
+            vs = sorted({int(v) for v in tbl.column("v").to_pylist()})
+        else:
+            vs = sorted(
+                int(r["v"])
+                for r in spark.read.parquet(f"{path}/{manifest_dir}")
+                .select("v")
+                .distinct()
+                .collect()
+            )
     if not vs:
         raise IOError(
             f"{path}/{manifest_dir} exists but holds no versions — "
@@ -257,22 +368,7 @@ def write_manifest_table(
             .write.mode("errorifexists")
             .parquet(data_dir)
         )
-        zone_map = (
-            spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                F.col(sort_col).alias("v_"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v_").alias("min_v"),
-                F.max("v_").alias("max_v"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
-        )
-        zone_map.coalesce(1).write.mode("errorifexists").parquet(
-            f"{path}/_manifest/v={version}"
-        )
+        _commit_manifest(spark, path, version, data_dir, sort_col)
     except Exception as e:
         if _is_path_exists_error(e):
             # claimed, yet the target exists: wreckage of a crashed
@@ -289,7 +385,11 @@ def write_manifest_table(
 
 
 def _manifest_rows(spark: SparkSession, path: str, version: int | None):
-    rows = spark.read.parquet(f"{path}/_manifest").collect()
+    tbl = _driver_sidecar_table(spark, path, "_manifest")
+    if tbl is not None:
+        rows = tbl.to_pylist()  # dicts; callers index by name like Rows
+    else:
+        rows = spark.read.parquet(f"{path}/_manifest").collect()
     vs = sorted({int(r["v"]) for r in rows})
     v = version if version is not None else vs[-1]
     if v not in vs:
@@ -298,6 +398,70 @@ def _manifest_rows(spark: SparkSession, path: str, version: int | None):
         # caller believes exists
         raise ValueError(f"no snapshot v={v} at {path}")
     return [r for r in rows if int(r["v"]) == v], v
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    data_dir: str,
+    sort_col: str,
+    carried=(),
+) -> None:
+    """Derive the just-written files' zone map in ONE PARALLEL job and
+    commit the manifest as a LOCAL frame (VERDICT r10 item 4). The
+    previous shape ran ``coalesce(1)`` on the zone-map AGGREGATE —
+    coalesce inserts no shuffle, so the single output task re-ran the
+    whole data read-back serially (measured 6.7 s of a MoR commit's
+    8.4 s manifest phase at sf0.1); collecting the file-count-sized
+    zone map and writing it as a driver frame makes the read-back
+    parallel and the write trivial. ``carried``: prior manifest rows
+    (Rows or dicts) carried forward verbatim."""
+    _write_manifest_local(
+        spark, path, version, carried, _zone_map(spark, data_dir, sort_col)
+    )
+
+
+def _zone_map(spark: SparkSession, data_dir: str, sort_col: str):
+    """Zone-map aggregate over a just-written data dir (one parallel
+    job when collected)."""
+    return (
+        spark.read.parquet(data_dir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col(sort_col).alias("v_"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("v_").alias("min_v"),
+            F.max("v_").alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _write_manifest_local(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    carried,
+    zm,
+    manifest_dir: str = "_manifest",
+) -> None:
+    """Collect the zone-map aggregate ``zm`` (file-count rows) and
+    write carried + new manifest rows as one LOCAL frame. The zone
+    map's own schema carries the sort column's type (string/date
+    tables must not coerce to bigint)."""
+    rows = [
+        (r["file"], r["min_v"], r["max_v"], int(r["n_rows"]))
+        for r in carried
+    ] + [
+        (r["file"], r["min_v"], r["max_v"], int(r["n_rows"]))
+        for r in zm.collect()
+    ]
+    spark.createDataFrame(rows, zm.schema).repartition(1).write.mode(
+        "errorifexists"
+    ).parquet(f"{path}/{manifest_dir}/v={version}")
 
 
 def read_pruned(
@@ -432,12 +596,19 @@ def compact_snapshot(
     KB-sized files whose per-file open/seek overhead dominates scans
     and whose zone-map intervals overlap; compaction restores
     tight-interval, right-sized files and re-derives the zone map.
+
+    Reads through the EVOLVED pipeline (ADVICE r10): on a table with
+    schema events the rewrite replays them first, so the new files
+    physically carry the current logical schema their new origin
+    implies — a raw-schema rewrite would detach them from the event
+    log. ``sort_col`` is the column's CURRENT name.
     """
     manifest, v = _manifest_rows(spark, path, None)
     total = sum(int(r["n_rows"]) for r in manifest)
     n_files = max(1, -(-total // target_rows))
     return write_manifest_table(
-        read_snapshot(spark, path, v), path, sort_col, num_files=n_files
+        read_snapshot_evolved(spark, path, v), path, sort_col,
+        num_files=n_files,
     )
 
 
@@ -464,14 +635,15 @@ def compact_small_files(
     THROUGH visible tombstones and deletion vectors, so their debt is
     cleared (their DV runs go inert when the files leave the
     manifest); untouched files keep their debt until their own
-    rewrite — exactly Iceberg's per-file delete-file scoping."""
-    from .posdeletes import (
-        _apply_pos_deletes,
-        _pos_delete_runs,
-        _strip_positions,
-        _with_positions,
-    )
+    rewrite — exactly Iceberg's per-file delete-file scoping.
 
+    Schema events compose (ADVICE r10): the small files are read
+    through the EVOLVED pipeline, so a rewrite after an add/rename/drop
+    emits files that physically carry the current logical schema —
+    consistent with their new origin, which replays no events. The
+    UNTOUCHED files keep their old origins, so their events still
+    replay; mixed physical schemas never meet in one raw
+    ``spark.read.parquet(*files)``. ``sort_col`` is the CURRENT name."""
     if small_rows is None:
         small_rows = target_rows // 2
     manifest, prev = _manifest_rows(spark, path, None)
@@ -488,20 +660,7 @@ def compact_small_files(
     data_dir = f"{path}/v={version}"
     try:
         files = [r["file"] for r in small]
-        out = spark.read.parquet(*files)
-        runs = _pos_delete_runs(spark, path, prev)
-        if runs is not None:
-            out = _with_positions(out)
-        dels = _delete_keys(
-            spark,
-            path,
-            prev,
-            min_origin=min(_file_origin(f) for f in files),
-        )
-        if dels is not None:
-            out = _apply_tombstones(out, dels, sort_col)
-        if runs is not None:
-            out = _strip_positions(_apply_pos_deletes(out, runs))
+        out = _read_files_evolved(spark, path, prev, files)
         total = sum(int(r["n_rows"]) for r in small)  # pre-delete bound
         n_files = max(1, -(-total // target_rows))
         (
@@ -510,29 +669,9 @@ def compact_small_files(
             .write.mode("errorifexists")
             .parquet(data_dir)
         )
-        new_rows = (
-            spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                F.col(sort_col).alias("v_"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v_").alias("min_v"),
-                F.max("v_").alias("max_v"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+        _commit_manifest(
+            spark, path, version, data_dir, sort_col, carried=big
         )
-        carried = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in big
-            ],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
-        carried.unionByName(new_rows).coalesce(1).write.mode(
-            "errorifexists"
-        ).parquet(f"{path}/_manifest/v={version}")
     except Exception as e:
         if _is_path_exists_error(e):
             _release_claim(spark, path, version)
@@ -622,28 +761,11 @@ def append_snapshot(
                 "sweep_orphan_versions"
             ) from e
     try:
-        new_rows = (
-            spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                F.col(sort_col).alias("v_"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v_").alias("min_v"),
-                F.max("v_").alias("max_v"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+        carried = (
+            _manifest_rows(spark, path, prev)[0] if prev is not None else ()
         )
-        if prev is not None:
-            carried = (
-                spark.read.parquet(f"{path}/_manifest")
-                .filter(F.col("v") == prev)
-                .select("file", "min_v", "max_v", "n_rows")
-            )
-            new_rows = carried.unionByName(new_rows)
-        new_rows.coalesce(1).write.mode("errorifexists").parquet(
-            f"{path}/_manifest/v={version}"
+        _commit_manifest(
+            spark, path, version, data_dir, sort_col, carried=carried
         )
     except Exception:
         _abort_claim(spark, path, version)
@@ -821,30 +943,8 @@ def merge_snapshot(
                 "sweep_orphan_versions"
             ) from e
     try:
-        new_rows = (
-            spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                F.col(sort_col).alias("v_"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v_").alias("min_v"),
-                F.max("v_").alias("max_v"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
-        )
-        if carried:
-            carried_df = spark.createDataFrame(
-                [
-                    (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                    for r in carried
-                ],
-                new_rows.schema,
-            )
-            new_rows = carried_df.unionByName(new_rows)
-        new_rows.coalesce(1).write.mode("errorifexists").parquet(
-            f"{path}/_manifest/v={version}"
+        _commit_manifest(
+            spark, path, version, data_dir, sort_col, carried=carried
         )
     except Exception:
         _abort_claim(spark, path, version)
@@ -900,16 +1000,20 @@ def build_manifest_list(
             F.sum("n_rows").alias("n_rows"),
         )
     )
-    listing.coalesce(1).write.mode("errorifexists").parquet(
+    listing.repartition(1).write.mode("errorifexists").parquet(
         f"{path}/_manifest_list/v={v}"
     )
     return spark.read.parquet(f"{path}/_manifest_list/v={v}").count()
 
 
 def _list_rows(spark: SparkSession, path: str, version: int | None):
-    lst = spark.read.parquet(f"{path}/_manifest_list")
+    tbl = _driver_sidecar_table(spark, path, "_manifest_list")
+    if tbl is not None:
+        rows = tbl.to_pylist()
+    else:
+        rows = spark.read.parquet(f"{path}/_manifest_list").collect()
     v = version if version is not None else versions(spark, path)[-1]
-    return [r for r in lst.collect() if int(r["v"]) == v], v
+    return [r for r in rows if int(r["v"]) == v], v
 
 
 def read_pruned_two_tier(
@@ -991,15 +1095,20 @@ def _schema_events(spark: SparkSession, path: str, version: int):
     restore-aware: events shadowed by a RESTORE (see
     ``_visible_intervals``) are invisible, so restoring to a
     pre-rename version really shows the old schema."""
+    if not _sidecar_exists(spark, path, "_schema_events"):
+        return []
     try:
-        ev = spark.read.parquet(f"{path}/_schema_events")
+        tbl = _driver_sidecar_table(spark, path, "_schema_events")
+        all_rows = (
+            tbl.to_pylist()
+            if tbl is not None
+            else spark.read.parquet(f"{path}/_schema_events").collect()
+        )
     except Exception:
         return []
     vis = _visible_intervals(spark, path, version)
     rows = [
-        r
-        for r in ev.collect()
-        if any(lo < int(r["v"]) <= hi for lo, hi in vis)
+        r for r in all_rows if any(lo < int(r["v"]) <= hi for lo, hi in vis)
     ]
     return sorted(rows, key=lambda r: int(r["v"]))
 
@@ -1036,7 +1145,7 @@ def _append_schema_event(
             ],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        carried.coalesce(1).write.mode("errorifexists").parquet(
+        carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
     except Exception:
@@ -1046,7 +1155,7 @@ def _append_schema_event(
         [tuple(row.values())],
         "v bigint, kind string, name string, old_name string, "
         "dtype string, default_sql string",
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_schema_events")
+    ).repartition(1).write.mode("append").parquet(f"{path}/_schema_events")
     return version
 
 
@@ -1118,15 +1227,23 @@ def _current_key_name(events, key: str, from_version: int) -> str:
     return key
 
 
-def read_snapshot_evolved(
-    spark: SparkSession, path: str, version: int | None = None
+def _read_files_evolved(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    files: list[str],
+    with_positions: bool = False,
 ) -> DataFrame:
-    """Full snapshot read honoring the schema-event log: files are
-    grouped by origin version, each group replays the events issued
-    after its origin (adds fill defaults, renames alias, drops prune),
-    and the groups union by name. Tombstone keys are forward-mapped
-    through renames issued after the delete. Without a ``_schema_events``
-    log this equals ``read_snapshot``."""
+    """The evolved read pipeline restricted to an explicit NON-EMPTY
+    file subset of snapshot ``v``: per-origin event replay, tombstones
+    forward-mapped through renames, DV runs applied. This is the shared
+    engine of ``read_snapshot_evolved`` AND the maintenance writers
+    (``compact_small_files``, ``merge_on_read``'s victim scan) — a
+    rewriter that read raw physical schemas would emit new-origin files
+    carrying a pre-event schema, silently detaching them from the
+    event log (ADVICE r10). ``with_positions`` keeps the posdeletes
+    helper columns on the result (captured per ORIGIN-GROUP scan,
+    before replay — events never touch the ``__pd_*`` names)."""
     from .posdeletes import (
         _apply_pos_deletes,
         _pos_delete_runs,
@@ -1134,10 +1251,6 @@ def read_snapshot_evolved(
         _with_positions,
     )
 
-    manifest, v = _manifest_rows(spark, path, version)
-    files = [r["file"] for r in manifest]
-    if not files:
-        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
     events = _schema_events(spark, path, v)
     runs = _pos_delete_runs(spark, path, v)
     by_origin: dict[int, list[str]] = {}
@@ -1146,9 +1259,9 @@ def read_snapshot_evolved(
 
     def _scan(grp: list[str]) -> DataFrame:
         df = spark.read.parquet(*grp)
-        # positions captured per GROUP scan, before event replay —
-        # schema events never touch the __pd_* helper names
-        return _with_positions(df) if runs is not None else df
+        if runs is not None or with_positions:
+            df = _with_positions(df)
+        return df
 
     parts = [
         _replay_events(_scan(grp), events, origin)
@@ -1172,8 +1285,26 @@ def read_snapshot_evolved(
                 out, batch.withColumnRenamed(key, cur), cur
             )
     if runs is not None:
-        out = _strip_positions(_apply_pos_deletes(out, runs))
+        out = _apply_pos_deletes(out, runs)
+    if runs is not None and not with_positions:
+        out = _strip_positions(out)
     return out
+
+
+def read_snapshot_evolved(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Full snapshot read honoring the schema-event log: files are
+    grouped by origin version, each group replays the events issued
+    after its origin (adds fill defaults, renames alias, drops prune),
+    and the groups union by name. Tombstone keys are forward-mapped
+    through renames issued after the delete. Without a ``_schema_events``
+    log this equals ``read_snapshot``."""
+    manifest, v = _manifest_rows(spark, path, version)
+    files = [r["file"] for r in manifest]
+    if not files:
+        return spark.read.parquet(f"{path}/v={v}").filter(F.lit(False))
+    return _read_files_evolved(spark, path, v, files)
 
 
 def _file_origin(file: str) -> int:
@@ -1207,10 +1338,33 @@ def _delete_keys(
     try:
         # the dir can exist but hold zero files (expire_snapshots
         # purged every tombstone) — schema inference then throws
-        dels = spark.read.parquet(f"{path}/_deletes")
+        tbl = _driver_sidecar_table(spark, path, "_deletes")
     except Exception:
         return None
     vis = _visible_intervals(spark, path, version)
+    if tbl is not None:
+        # driver path: the visibility filter and the emptiness probe
+        # cost zero Spark jobs (the old limit-count was one per read).
+        # Small surviving key sets enter plans as local frames; a BIG
+        # tombstone set (mass erasure) goes back to the distributed
+        # scan — LocalTableScan is single-partition, so a huge local
+        # anti-join build side would serialize (same bound as
+        # posdeletes._LOCAL_RUNS_MAX).
+        pdf = tbl.to_pandas()
+        keep = pdf["v"].map(
+            lambda v: any(lo < v <= hi for lo, hi in vis)
+        )
+        if min_origin is not None:
+            keep &= pdf["v"] > min_origin
+        pdf = pdf[keep]
+        if not len(pdf):
+            return None
+        if len(pdf) <= 50_000:
+            return spark.createDataFrame(pdf)
+    try:
+        dels = spark.read.parquet(f"{path}/_deletes")
+    except Exception:
+        return None
     cond = None
     for lo, hi in vis:
         c = (F.col("v") > lo) & (F.col("v") <= hi)
@@ -1218,6 +1372,8 @@ def _delete_keys(
     dels = dels.filter(cond if cond is not None else F.lit(False))
     if min_origin is not None:
         dels = dels.filter(F.col("v") > min_origin)
+    if tbl is not None:
+        return dels  # non-emptiness already known driver-side
     return dels if dels.limit(1).count() else None
 
 
@@ -1289,9 +1445,12 @@ def delete_from_snapshot(
             "advanced table"
         )
     try:
+        # repartition(1), not coalesce(1): coalesce would collapse the
+        # final distinct stage into one task (every tombstone key
+        # through it); the exchange moves only finished key rows
         keys.select(F.col(sort_col)).distinct().withColumn(
             "v", F.lit(version)
-        ).coalesce(1).write.mode("append").partitionBy("v").parquet(
+        ).repartition(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/_deletes"
         )
         carried = spark.createDataFrame(
@@ -1301,7 +1460,8 @@ def delete_from_snapshot(
             ],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        carried.coalesce(1).write.mode("errorifexists").parquet(
+        _verify_sidecar_before_commit(spark, path, "_deletes", version)
+        carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
     except Exception as e:
@@ -1347,7 +1507,12 @@ def _restore_map(spark: SparkSession, path: str) -> dict[int, int]:
         # exists but unreadable (crashed writer left only _temporary/,
         # or an empty dir) degrades to "no restores", not a crash on
         # every subsequent snapshot read
-        rows = spark.read.parquet(f"{path}/_restores").collect()
+        tbl = _driver_sidecar_table(spark, path, "_restores")
+        rows = (
+            tbl.to_pylist()
+            if tbl is not None
+            else spark.read.parquet(f"{path}/_restores").collect()
+        )
     except Exception:
         return {}
     return {int(r["v"]): int(r["source_v"]) for r in rows}
@@ -1397,6 +1562,9 @@ def _visible_intervals(
 def _ref_log(spark: SparkSession, path: str) -> list:
     if not _sidecar_exists(spark, path, "_refs"):
         return []
+    tbl = _driver_sidecar_table(spark, path, "_refs")
+    if tbl is not None:
+        return tbl.to_pylist()
     return spark.read.parquet(f"{path}/_refs").collect()
 
 
@@ -1426,7 +1594,7 @@ def _append_ref(
         try:
             spark.createDataFrame(
                 [(name, version)], "name string, version bigint"
-            ).coalesce(1).write.mode("errorifexists").parquet(
+            ).repartition(1).write.mode("errorifexists").parquet(
                 f"{path}/_refs/seq={seq}"
             )
             return
@@ -1520,7 +1688,7 @@ def restore_snapshot(
             [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        carried.coalesce(1).write.mode("errorifexists").parquet(
+        carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
     except Exception:
@@ -1528,7 +1696,7 @@ def restore_snapshot(
         raise
     spark.createDataFrame(
         [(version, source_version)], "v bigint, source_v bigint"
-    ).coalesce(1).write.mode("append").parquet(f"{path}/_restores")
+    ).repartition(1).write.mode("append").parquet(f"{path}/_restores")
     return version
 
 
@@ -1574,7 +1742,7 @@ def shallow_clone(spark: SparkSession, src: str, dst: str) -> int:
             ],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        carried.coalesce(1).write.mode("errorifexists").parquet(
+        carried.repartition(1).write.mode("errorifexists").parquet(
             f"{dst}/_manifest/v={v}"
         )
         sfs, jvm = _fs(spark, src)
@@ -1733,7 +1901,7 @@ def expire_snapshots(
             ref_df, "file", "left_semi"
         )
         tmp = f"{path}/{sub}__gc_tmp"
-        kept_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        kept_rows.repartition(1).write.mode("overwrite").parquet(tmp)
         fs.delete(subroot, True)
         fs.rename(_p(tmp), subroot)
     # deletion-vector GC: DV runs are file-keyed, so a run whose file
@@ -1770,7 +1938,7 @@ def expire_snapshots(
             fs.delete(pd_root, True)
         else:
             tmp = f"{path}/_posdeletes__gc_tmp"
-            kept_rows.coalesce(1).write.mode("overwrite").partitionBy(
+            kept_rows.repartition(1).write.mode("overwrite").partitionBy(
                 "v"
             ).parquet(tmp)
             fs.delete(pd_root, True)
@@ -1822,28 +1990,16 @@ def stage_snapshot(
             .write.mode("errorifexists")
             .parquet(data_dir)
         )
-        new_rows = (
-            spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                F.col(sort_col).alias("v_"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v_").alias("min_v"),
-                F.max("v_").alias("max_v"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+        carried = (
+            _manifest_rows(spark, path, prev)[0] if prev is not None else ()
         )
-        if prev is not None:
-            carried = (
-                spark.read.parquet(f"{path}/_manifest")
-                .filter(F.col("v") == prev)
-                .select("file", "min_v", "max_v", "n_rows")
-            )
-            new_rows = carried.unionByName(new_rows)
-        new_rows.coalesce(1).write.mode("errorifexists").parquet(
-            f"{path}/_staged_manifest/v={version}"
+        _write_manifest_local(
+            spark,
+            path,
+            version,
+            carried,
+            _zone_map(spark, data_dir, sort_col),
+            manifest_dir="_staged_manifest",
         )
     except Exception as e:
         if _is_path_exists_error(e):
@@ -2012,7 +2168,7 @@ def stage_branch(
         raise ValueError(
             f"empty branch {branch!r}: staged DataFrame has no rows"
         )
-    spark.createDataFrame(rows_local, rows.schema).coalesce(1).write.mode(
+    spark.createDataFrame(rows_local, rows.schema).repartition(1).write.mode(
         "errorifexists"
     ).parquet(f"{path}/_branches/{branch}/manifest")
     return base
@@ -2120,13 +2276,15 @@ def publish_branch(
     )
     try:
         if latest > 0:
-            carried = (
-                spark.read.parquet(f"{path}/_manifest")
-                .filter(F.col("v") == latest)
-                .select("file", "min_v", "max_v", "n_rows")
+            carried_local = spark.createDataFrame(
+                [
+                    (r["file"], r["min_v"], r["max_v"], int(r["n_rows"]))
+                    for r in _manifest_rows(spark, path, latest)[0]
+                ],
+                new_rows.schema,
             )
-            new_rows = carried.unionByName(new_rows)
-        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+            new_rows = carried_local.unionByName(new_rows)
+        new_rows.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={new_v}"
         )
     except Exception:

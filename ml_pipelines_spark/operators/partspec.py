@@ -250,7 +250,7 @@ def write_spec_snapshot(
                 )
             )
             new_rows = carried.unionByName(new_rows)
-        new_rows.coalesce(1).write.mode("errorifexists").parquet(
+        new_rows.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/{_MANIFEST}/v={version}"
         )
     except Exception:
@@ -429,7 +429,7 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
                     if c.startswith("_p_") or c.startswith("_v_")
                 ]
             )
-            df.coalesce(1).write.mode("errorifexists").parquet(part_dir)
+            df.repartition(1).write.mode("errorifexists").parquet(part_dir)
             # per-file row counts from the written files themselves (the
             # group total would be wrong if coalesce ever emits >1 part,
             # and a driver-side df.count() re-scans the group's inputs)
@@ -459,7 +459,7 @@ def compact_spec_snapshot(spark: SparkSession, path: str) -> int:
             F.lit(None).cast("double").alias("stat_min"),
             F.lit(None).cast("double").alias("stat_max"),
         )
-        new_manifest.coalesce(1).write.mode("errorifexists").parquet(
+        new_manifest.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/{_MANIFEST}/v={version}"
         )
     except Exception:

@@ -47,6 +47,11 @@ from pyspark.sql.window import Window
 _SIDECAR = "_posdeletes"
 # helper column names threaded through reads while DVs are applied
 _PD_FILE, _PD_POS = "__pd_file", "__pd_pos"
+# DV run sets at or below this size enter plans as driver-local frames
+# (zero probe jobs); bigger ones go back to the distributed scan — a
+# LocalTableScan is single-partition, so exploding a near-row-count
+# scattered-delete run table locally serializes the DV join's build
+_LOCAL_RUNS_MAX = 50_000
 
 
 def delete_where(
@@ -68,6 +73,7 @@ def delete_where(
         _manifest_rows,
         _purge_sidecar_partition,
         _release_claim,
+        _verify_sidecar_before_commit,
     )
 
     manifest, prev = _manifest_rows(spark, path, None)
@@ -86,7 +92,11 @@ def delete_where(
             F.col(_PD_FILE).alias("file"), F.col(_PD_POS).alias("pos")
         )
         runs = _runs_from_hits(hit, version)
-        runs.coalesce(1).write.mode("append").partitionBy("v").parquet(
+        # repartition(1), not coalesce(1): coalesce collapses the
+        # window+agg stage into ONE task (a scattered delete funnels
+        # every matched row through it); the extra exchange moves only
+        # the finished run rows to the single writer
+        runs.repartition(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/{_SIDECAR}"
         )
         carried = spark.createDataFrame(
@@ -96,7 +106,8 @@ def delete_where(
             ],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        carried.coalesce(1).write.mode("errorifexists").parquet(
+        _verify_sidecar_before_commit(spark, path, _SIDECAR, version)
+        carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
     except Exception as e:
@@ -157,11 +168,14 @@ def merge_on_read(
     rewrite once, amortized. Returns the new version.
 
     The position-finding scan is FILE-PRUNED: only files whose zone-map
-    interval overlaps the batch's [min(key), max(key)] are opened
-    (``read_pruned`` with positions kept), so locating victims in a
-    wide table reads a handful of files. ``key`` must be the table's
-    sort/zone column and unique within ``updates`` (an upsert batch,
-    not a changelog — same contract as ``merge_snapshot``).
+    interval overlaps the batch's [min(key), max(key)] are opened, so
+    locating victims in a wide table reads a handful of files — and it
+    reads them through the EVOLVED pipeline (ADVICE r10), so on a
+    table whose key column was renamed the semi-join still matches old
+    files under the key's CURRENT name. ``key`` must be the table's
+    sort/zone column, by its current name, and unique within
+    ``updates`` (an upsert batch, not a changelog — same contract as
+    ``merge_snapshot``).
 
     Semantics match ``merge_snapshot`` exactly: matched keys take the
     batch's row, unmatched batch keys insert, and a later re-insert of
@@ -176,8 +190,9 @@ def merge_on_read(
         _is_path_exists_error,
         _manifest_rows,
         _purge_sidecar_partition,
+        _read_files_evolved,
         _release_claim,
-        read_pruned,
+        _verify_sidecar_before_commit,
     )
 
     band = updates.agg(
@@ -198,22 +213,33 @@ def merge_on_read(
         )
     data_dir = f"{path}/v={version}"
     try:
-        cur = read_pruned(
-            spark,
-            path,
-            key,
-            band["lo"],
-            band["hi"],
-            version=prev,
-            with_positions=True,
-        )
-        hit = cur.join(
-            F.broadcast(updates.select(key).distinct()), key, "left_semi"
-        ).select(
-            F.col(_PD_FILE).alias("file"), F.col(_PD_POS).alias("pos")
-        )
+        keep = [
+            r["file"]
+            for r in manifest
+            if not (r["max_v"] < band["lo"] or r["min_v"] > band["hi"])
+        ]
+        if keep:
+            band_f = (F.col(key) >= F.lit(band["lo"])) & (
+                F.col(key) <= F.lit(band["hi"])
+            )
+            cur = _read_files_evolved(
+                spark, path, prev, keep, with_positions=True
+            ).filter(band_f)
+            hit = cur.join(
+                F.broadcast(updates.select(key).distinct()),
+                key,
+                "left_semi",
+            ).select(
+                F.col(_PD_FILE).alias("file"), F.col(_PD_POS).alias("pos")
+            )
+        else:
+            hit = spark.createDataFrame([], "file string, pos bigint")
         runs = _runs_from_hits(hit, version)
-        runs.coalesce(1).write.mode("append").partitionBy("v").parquet(
+        # repartition(1), not coalesce(1): coalesce collapses the
+        # window+agg stage into ONE task (a scattered delete funnels
+        # every matched row through it); the extra exchange moves only
+        # the finished run rows to the single writer
+        runs.repartition(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/{_SIDECAR}"
         )
         (
@@ -222,29 +248,12 @@ def merge_on_read(
             .write.mode("errorifexists")
             .parquet(data_dir)
         )
-        new_rows = (
-            spark.read.parquet(data_dir)
-            .select(
-                F.input_file_name().alias("file"),
-                F.col(key).alias("v_"),
-            )
-            .groupBy("file")
-            .agg(
-                F.min("v_").alias("min_v"),
-                F.max("v_").alias("max_v"),
-                F.count(F.lit(1)).alias("n_rows"),
-            )
+        from .manifest import _commit_manifest
+
+        _verify_sidecar_before_commit(spark, path, _SIDECAR, version)
+        _commit_manifest(
+            spark, path, version, data_dir, key, carried=manifest
         )
-        carried = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in manifest
-            ],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
-        carried.unionByName(new_rows).coalesce(1).write.mode(
-            "errorifexists"
-        ).parquet(f"{path}/_manifest/v={version}")
     except Exception as e:
         # a stranded _posdeletes/v=N partition would ACTIVATE under the
         # next committed v=N — purge it before the claim goes away
@@ -324,21 +333,48 @@ def _pos_delete_runs(
 ) -> DataFrame | None:
     """Run rows visible to a reader of ``version`` (restore-aware,
     like ``_delete_keys``), or None when there are none."""
-    from .manifest import _sidecar_exists, _visible_intervals
+    from .manifest import (
+        _driver_sidecar_table,
+        _sidecar_exists,
+        _visible_intervals,
+    )
 
     if not _sidecar_exists(spark, path, _SIDECAR):
         return None
     try:
-        runs = spark.read.parquet(f"{path}/{_SIDECAR}")
+        tbl = _driver_sidecar_table(spark, path, _SIDECAR)
     except Exception:
         # exists but empty/unreadable partial dir: no visible DVs
         return None
     vis = _visible_intervals(spark, path, version)
+    if tbl is not None:
+        # driver path (VERDICT r10 item 4): visibility filter and the
+        # emptiness probe are zero Spark jobs. Small surviving run sets
+        # re-enter the plan as a local frame; a BIG run table (a
+        # scattered delete approaching row count) goes back to the
+        # distributed scan — a LocalTableScan explodes single-threaded,
+        # measured +6 s on the sf0.1 MoR replay when ~800k runs rode
+        # the local path.
+        pdf = tbl.to_pandas()
+        keep = pdf["v"].map(
+            lambda v: any(lo < v <= hi for lo, hi in vis)
+        )
+        pdf = pdf[keep]
+        if not len(pdf):
+            return None
+        if len(pdf) <= _LOCAL_RUNS_MAX:
+            return spark.createDataFrame(pdf)
+    try:
+        runs = spark.read.parquet(f"{path}/{_SIDECAR}")
+    except Exception:
+        return None
     cond = None
     for lo, hi in vis:
         c = (F.col("v") > lo) & (F.col("v") <= hi)
         cond = c if cond is None else (cond | c)
     runs = runs.filter(cond if cond is not None else F.lit(False))
+    if tbl is not None:
+        return runs  # non-emptiness already known driver-side
     return runs if runs.limit(1).count() else None
 
 

@@ -536,3 +536,60 @@ def test_sweep_spares_committed_sidecar_partitions(spark, table):
     assert len(glob.glob(f"{table}/_posdeletes/v=*")) == 1
     assert len(glob.glob(f"{table}/_deletes/v=*")) == 1
     assert read_snapshot(spark, table).count() == 70
+
+
+def _sweep_at_commit_point(monkeypatch):
+    """Simulate sweep_orphan_versions landing at the WORST moment: after
+    the writer's sidecar partition is written, immediately before its
+    manifest write — the sweep deletes the partition and releases the
+    claim (ADVICE r10)."""
+    real = M._verify_sidecar_before_commit
+
+    def sabotage(spark_, path, sidecar, version):
+        fs, jvm = M._fs(spark_, path)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{sidecar}/v={version}"),
+            True,
+        )
+        M._release_claim(spark_, path, version)
+        real(spark_, path, sidecar, version)
+
+    monkeypatch.setattr(M, "_verify_sidecar_before_commit", sabotage)
+
+
+def test_delete_commit_survives_sweep_race_loudly(spark, table, monkeypatch):
+    # a tombstone delete whose sidecar a concurrent sweep destroyed
+    # must FAIL LOUDLY, never commit a silent no-op delete
+    from ml_pipelines_spark.operators.manifest import delete_from_snapshot
+
+    _sweep_at_commit_point(monkeypatch)
+    dels = spark.range(10, 20).select(F.col("id").alias("k"))
+    with pytest.raises(CommitConflict):
+        delete_from_snapshot(spark, table, "k", dels)
+    # no manifest landed; the table still reads ALL rows
+    assert versions(spark, table) == [1]
+    assert read_snapshot(spark, table).count() == 100
+
+
+def test_merge_on_read_survives_sweep_race_loudly(spark, table, monkeypatch):
+    from ml_pipelines_spark.operators.posdeletes import merge_on_read
+
+    _sweep_at_commit_point(monkeypatch)
+    upd = spark.range(10, 15).select(
+        F.col("id").alias("k"), F.lit(-1).alias("val")
+    )
+    with pytest.raises(CommitConflict):
+        merge_on_read(spark, table, upd, "k")
+    assert versions(spark, table) == [1]
+    got = {r.k: r.val for r in read_snapshot(spark, table).collect()}
+    assert got == {k: k * 2 for k in range(100)}
+
+
+def test_delete_where_survives_sweep_race_loudly(spark, table, monkeypatch):
+    from ml_pipelines_spark.operators.posdeletes import delete_where
+
+    _sweep_at_commit_point(monkeypatch)
+    with pytest.raises(CommitConflict):
+        delete_where(spark, table, "k >= 90")
+    assert versions(spark, table) == [1]
+    assert read_snapshot(spark, table).count() == 100

@@ -762,3 +762,115 @@ def test_tagged_versions_survive_expire(spark):
         assert read_snapshot(spark, d).count() == 200
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compaction_composes_with_schema_events(spark):
+    """ADVICE r10 (medium): compact_small_files on a table with prior
+    add/rename events must rewrite through the EVOLVED pipeline — the
+    new files get origin = compaction version (replaying no events), so
+    they must physically carry the current logical schema, while the
+    untouched big file keeps replaying its events."""
+    import os
+
+    from ml_pipelines_spark.operators.manifest import (
+        add_column,
+        append_snapshot,
+        compact_small_files,
+        read_snapshot_evolved,
+        rename_column,
+    )
+
+    d = tempfile.mkdtemp(prefix="mlps_compact_evo_")
+    try:
+        # one BIG file (stays), then alters, then small appended files
+        big = spark.range(0, 900).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("cents")
+        )
+        write_manifest_table(big.coalesce(1), d, "k", num_files=1)
+        add_column(spark, d, "channel", "string", "'store'")
+        rename_column(spark, d, "cents", "price_cents")
+        for lo in (900, 920):
+            batch = spark.range(lo, lo + 20).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("price_cents"),
+                F.lit("web").alias("channel"),
+            )
+            append_snapshot(batch.coalesce(1), d, "k", num_files=1)
+        before = {
+            r.k: (r.price_cents, r.channel)
+            for r in read_snapshot_evolved(spark, d).collect()
+        }
+        v = compact_small_files(spark, d, "k", target_rows=100)
+        after_df = read_snapshot_evolved(spark, d)
+        assert set(after_df.columns) == {"k", "price_cents", "channel"}
+        after = {
+            r.k: (r.price_cents, r.channel) for r in after_df.collect()
+        }
+        assert after == before
+        # the rewritten files physically carry the CURRENT schema
+        import pyarrow.parquet as pq
+
+        new_files = [
+            f"{d}/v={v}/{f}"
+            for f in os.listdir(f"{d}/v={v}")
+            if f.endswith(".parquet")
+        ]
+        assert new_files
+        for f in new_files:
+            names = set(pq.read_schema(f).names)
+            assert {"k", "price_cents", "channel"} <= names
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_full_compaction_composes_with_schema_events(spark):
+    from ml_pipelines_spark.operators.manifest import (
+        compact_snapshot,
+        read_snapshot_evolved,
+        rename_column,
+    )
+
+    d = tempfile.mkdtemp(prefix="mlps_compactfull_evo_")
+    try:
+        df = spark.range(0, 300).select(F.col("id").alias("k"))
+        write_manifest_table(df, d, "k", num_files=3)
+        rename_column(spark, d, "k", "key_id")
+        compact_snapshot(spark, d, "key_id", target_rows=100)
+        got = sorted(
+            r.key_id for r in read_snapshot_evolved(spark, d).collect()
+        )
+        assert got == list(range(300))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_on_read_after_key_rename(spark):
+    """ADVICE r10: the MoR victim scan reads old files through the
+    evolved pipeline, so an upsert keyed by the CURRENT (renamed) name
+    still finds and kills matched rows in pre-rename files."""
+    from ml_pipelines_spark.operators.manifest import (
+        read_snapshot_evolved,
+        rename_column,
+    )
+    from ml_pipelines_spark.operators.posdeletes import merge_on_read
+
+    d = tempfile.mkdtemp(prefix="mlps_mor_evo_")
+    try:
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+        )
+        write_manifest_table(df, d, "k", num_files=4)
+        rename_column(spark, d, "k", "key_id")
+        upd = spark.range(40, 45).select(
+            F.col("id").alias("key_id"), F.lit(-1).alias("val")
+        )
+        merge_on_read(spark, d, upd, "key_id")
+        got = {
+            r.key_id: r.val
+            for r in read_snapshot_evolved(spark, d).collect()
+        }
+        assert len(got) == 100
+        assert all(got[k] == -1 for k in range(40, 45))
+        assert got[39] == 390 and got[45] == 450
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
