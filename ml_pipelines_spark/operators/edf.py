@@ -79,60 +79,120 @@ def ordered_ntile(
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` with NO
     unpartitioned window and NO data-sized funnel (VERDICT r10 item 2).
+    Single-spec convenience over ``ordered_ntiles``."""
+    return ordered_ntiles(
+        df, [(order_cols, out_col)], n, num_partitions=num_partitions
+    )
+
+
+def ordered_ntiles(
+    df: DataFrame,
+    specs: list[tuple[list[str], str]],
+    n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n)`` under SEVERAL orderings of the same frame —
+    e.g. RFM's three metric quintiles — with NO unpartitioned window,
+    NO data-sized funnel, and a FIXED number of probe jobs regardless
+    of how many orderings are scored (VERDICT r10 item 2).
 
     ``NTILE`` is pure rank arithmetic: with N rows, q = N div n,
     rem = N mod n, the first ``rem`` buckets hold q+1 rows —
     bucket(r) = ceil(r/(q+1)) for r <= rem*(q+1), else
     rem + ceil((r - rem*(q+1))/q). So the only distributed work is the
-    global rank, computed with the dense-ids range-bucket machinery
-    (operators/ids.py): sampled cut points -> per-bucket partitioned
-    row_number (P-way parallel) + per-bucket counts. Unlike
-    ``dense_ids``/``ordered_cumsum``, the <=P bucket counts are
-    cumulated on the DRIVER (they are at most `parts` rows — bytes)
-    and rejoined as a broadcast literal frame, so the physical plan
-    carries zero unpartitioned Window nodes — the shape the plan
-    linter can pass with no global-window waiver at all.
+    global rank per ordering, computed with the dense-ids range-bucket
+    machinery (operators/ids.py): sampled cut points -> per-bucket
+    partitioned row_number (P-way parallel). Two probe jobs total:
 
-    ``order_cols`` must be a total order (add a unique tiebreaker) of
-    non-null columns, matching NTILE's determinism requirement.
+    1. ONE uniform sample (distributed TakeOrdered over rand, never a
+       sort) covering every spec's columns; each spec's cut points are
+       derived from the same sample rows driver-side.
+    2. ONE bucket-count aggregation: each row explodes to
+       (spec_index, bucket) pairs, a single groupBy counts all specs'
+       histograms together; the <=specs*P counts are cumulated on the
+       DRIVER (bytes) and rejoined as broadcast literal frames — so
+       the physical plan carries zero unpartitioned Window nodes and
+       the plan linter passes with no global-window waiver at all.
+
+    Each spec's ``order_cols`` must be a total order (add a unique
+    tiebreaker) of non-null columns, matching NTILE's determinism.
     """
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    bounds = _cut_points(df, order_cols, parts)
-    keyed = df.withColumn("__b", _bucket_expr(order_cols, bounds))
-    counts = {
-        r["__b"]: r["c"]
-        for r in keyed.groupBy("__b").agg(
-            F.count(F.lit(1)).alias("c")
-        ).collect()
-    }
-    total = sum(counts.values())
-    if total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("int"))
-    running, offsets = 0, []
-    for b in sorted(counts):
-        offsets.append((b, running))
-        running += counts[b]
-    off = F.broadcast(
-        spark.createDataFrame(offsets, "__b int, __off long")
+    all_cols = sorted({c for cols, _ in specs for c in cols})
+    sample = (
+        df.select(
+            F.struct(*all_cols).alias("__k"), F.rand(42).alias("__r")
+        )
+        .orderBy("__r")
+        .limit(parts * 20)
+        .select("__k")
+        .collect()
     )
-    w_local = Window.partitionBy("__b").orderBy(*order_cols)
-    rank = F.col("__off") + F.row_number().over(w_local)
-    q, rem = divmod(total, n)
-    cut = rem * (q + 1)
-    tile = (
-        F.when(rank <= cut, F.floor((rank - 1) / (q + 1)) + 1)
-        # q == 0 only when total < n, where every rank <= cut = total;
-        # max(q,1) keeps the dead branch free of a zero divisor
-        .otherwise(rem + F.floor((rank - cut - 1) / max(q, 1)) + 1)
-    )
-    return (
-        keyed.join(off, "__b")
-        .withColumn(out_col, tile.cast("int"))
-        .drop("__b", "__off")
-    )
+    bounds_per_spec = []
+    for cols, _out in specs:
+        keys = sorted(tuple(r["__k"][c] for c in cols) for r in sample)
+        step = max(1, len(keys) // parts) if keys else 1
+        bounds = []
+        for i in range(step, len(keys), step):
+            if not bounds or keys[i] != bounds[-1]:
+                bounds.append(keys[i])
+        bounds_per_spec.append(bounds[: parts - 1])
+    bucket_exprs = [
+        _bucket_expr(cols, bounds)
+        for (cols, _out), bounds in zip(specs, bounds_per_spec)
+    ]
+    # one counts pass for every spec: explode to (spec, bucket) pairs
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("s"), b.cast("int").alias("b")
+                    )
+                    for i, b in enumerate(bucket_exprs)
+                ]
+            )
+        ).alias("p")
+    ).select("p.s", "p.b")
+    counts: list[dict[int, int]] = [dict() for _ in specs]
+    for r in (
+        pairs.groupBy("s", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+    ):
+        counts[r["s"]][r["b"]] = r["c"]
+    out = df
+    for i, ((cols, out_col), bucket) in enumerate(zip(specs, bucket_exprs)):
+        total = sum(counts[i].values())
+        if total == 0:
+            out = out.withColumn(out_col, F.lit(None).cast("int"))
+            continue
+        running, offsets = 0, []
+        for b in sorted(counts[i]):
+            offsets.append((b, running))
+            running += counts[i][b]
+        bcol, ocol = f"__b_{i}", f"__off_{i}"
+        off = F.broadcast(
+            spark.createDataFrame(offsets, f"{bcol} int, {ocol} long")
+        )
+        keyed = out.withColumn(bcol, bucket.cast("int"))
+        w_local = Window.partitionBy(bcol).orderBy(*cols)
+        rank = F.col(ocol) + F.row_number().over(w_local)
+        q, rem = divmod(total, n)
+        cut = rem * (q + 1)
+        tile = (
+            F.when(rank <= cut, F.floor((rank - 1) / (q + 1)) + 1)
+            # q == 0 only when total < n, where every rank <= cut;
+            # max(q,1) keeps the dead branch free of a zero divisor
+            .otherwise(rem + F.floor((rank - cut - 1) / max(q, 1)) + 1)
+        )
+        out = (
+            keyed.join(off, bcol)
+            .withColumn(out_col, tile.cast("int"))
+            .drop(bcol, ocol)
+        )
+    return out
 
 
 def ks_two_sample(

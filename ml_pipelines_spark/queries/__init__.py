@@ -237,8 +237,20 @@ from . import pipelines  # noqa: E402,F401
 #     families whose freshest member would age past 3 next round
 #     (classifier → quality_classifier_scores, tpch →
 #     q9_profit_nation_year, timeseries → seasonal_naive_forecast,
-#     recsys → item_item_cosine); then the first 15 of the r5-evidence
+#     recsys → item_item_cosine); then the first 8 of the r5-evidence
 #     (age 6) tail, alphabetical.
+# Mid-round rule-2 expansion: the metadata-read/commit-latency work
+# (driver-side sidecar reads, _commit_manifest, coalesce(1) →
+# repartition(1)) touched partspec.py, filestats.py, claims.py and the
+# clone/refs/snapshot-count paths in manifest.py, so one representative
+# per touched path re-evidences (partition_spec_evolution_scan,
+# manifest_stats_scan, zorder_rectangle_scan, table_tag_travel,
+# shallow_clone_divergence, dv_schema_evolution_scan,
+# table_snapshots_metadata), displacing the last 7 of the age-6 tail
+# (hourly_anomaly_flags, image_redact_checksum, image_resize_checksum,
+# incremental_dedup_batches, kmeans_inertia, lang_source_chisq,
+# length_bucket_batches — age 7 at round 12, they lead its rule-4
+# fill).
 # approx_distinct_users_sketch was DE-REGISTERED this round (VERDICT
 # item 3): the only oracle-less entry in the registry is now bench/
 # pytest-only (tests/test_sketches.py checks it against its exact and
@@ -285,6 +297,15 @@ _CHECK_FIRST = [
     "q9_profit_nation_year",
     "seasonal_naive_forecast",
     "item_item_cosine",
+    # (b) rule 2, mid-round expansion: one representative per code path
+    # touched by the metadata-read/commit-latency work
+    "partition_spec_evolution_scan",
+    "manifest_stats_scan",
+    "zorder_rectangle_scan",
+    "table_tag_travel",
+    "shallow_clone_divergence",
+    "dv_schema_evolution_scan",
+    "table_snapshots_metadata",
     # (d) rule 4 fill: age-6 (r5 evidence) tail, alphabetical
     "annotator_agreement_iou",
     "approx_median_band",
@@ -294,13 +315,6 @@ _CHECK_FIRST = [
     "event_transitions",
     "funnel_conversion",
     "hashed_doc_vectors",
-    "hourly_anomaly_flags",
-    "image_redact_checksum",
-    "image_resize_checksum",
-    "incremental_dedup_batches",
-    "kmeans_inertia",
-    "lang_source_chisq",
-    "length_bucket_batches",
 ]
 
 

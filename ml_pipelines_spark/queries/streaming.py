@@ -779,8 +779,8 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the sentinel must be the LAST file each source picks up:
         # FileStreamSource orders by modification time
         time.sleep(1.1)
-        sentinel_c.coalesce(1).write.mode("append").parquet(d1)
-        sentinel_b.coalesce(1).write.mode("append").parquet(d2)
+        sentinel_c.repartition(1).write.mode("append").parquet(d1)
+        sentinel_b.repartition(1).write.mode("append").parquet(d2)
         s1 = (
             spark.readStream.schema(spark.read.parquet(d1).schema)
             .option("maxFilesPerTrigger", "1")
@@ -909,7 +909,7 @@ def stream_timeout_sessions_replay(
             [("__sentinel__", "2030-01-01 00:00:00")], ["key", "ts"]
         ).select("key", F.col("ts").cast("timestamp").alias("ts"))
         time.sleep(1.1)
-        sentinel.coalesce(1).write.mode("append").parquet(d)
+        sentinel.repartition(1).write.mode("append").parquet(d)
         stream = (
             spark.readStream.schema(spark.read.parquet(d).schema)
             .option("maxFilesPerTrigger", "1")

@@ -776,13 +776,13 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.edf import ordered_ntile
+    from ..operators.edf import ordered_ntiles
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    # driver-side literal anchor: one tiny agg job instead of a 1-row
-    # BroadcastNestedLoopJoin in the main plan (no cartesian waiver)
-    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
-    per_user = (
+    # ONE events scan: the per-user rollup is checkpointed, then the
+    # corpus anchor (max last_ts == max ts, both maxima over the same
+    # rows) and every ntile probe read the materialized |users| blocks
+    raw = (
         ev.groupBy("user_id")
         .agg(
             F.max("ts").alias("last_ts"),
@@ -791,22 +791,28 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") * 100.0 + 0.5).cast("long")
             ).alias("cents"),
         )
-        .select(
-            "user_id",
-            F.datediff(F.to_date(F.lit(mx)), F.to_date("last_ts"))
-            .cast("long")
-            .alias("rec_days"),
-            "freq",
-            "cents",
-        )
-        .localCheckpoint()  # 3 ntile probe jobs re-read blocks, not events
+        .localCheckpoint()
     )
-    scored = ordered_ntile(
-        per_user.withColumn("__neg_rec", -F.col("rec_days")),
-        ["__neg_rec", "user_id"], 5, "r_score",
+    # driver-side literal anchor: a tiny agg over the checkpoint, not
+    # a 1-row BroadcastNestedLoopJoin in the plan (no cartesian waiver)
+    mx = raw.agg(F.max("last_ts").alias("mx")).collect()[0]["mx"]
+    rec = F.datediff(F.to_date(F.lit(mx)), F.to_date("last_ts")).cast("long")
+    per_user = raw.select(
+        "user_id",
+        rec.alias("rec_days"),
+        (-rec).alias("__neg_rec"),
+        "freq",
+        "cents",
+    )
+    scored = ordered_ntiles(
+        per_user,
+        [
+            (["__neg_rec", "user_id"], "r_score"),
+            (["freq", "user_id"], "f_score"),
+            (["cents", "user_id"], "m_score"),
+        ],
+        5,
     ).drop("__neg_rec")
-    scored = ordered_ntile(scored, ["freq", "user_id"], 5, "f_score")
-    scored = ordered_ntile(scored, ["cents", "user_id"], 5, "m_score")
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
         .when(F.col("r_score") >= 4, "recent")
