@@ -293,11 +293,37 @@ def _await_claim_release(
         time.sleep(0.25)
 
 
+def _committed_versions(local_manifest_dir: str) -> list[int]:
+    """Committed versions from the PARTITION LAYOUT alone: a ``v=N``
+    dir counts only when it holds at least one parquet file (a crashed
+    writer's ``_temporary``-only dir contributes no rows to the
+    distributed read either — same semantics, zero bytes read)."""
+    import os
+
+    out = []
+    for name in os.listdir(local_manifest_dir):
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        sub = os.path.join(local_manifest_dir, name)
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in os.listdir(sub)
+        ):
+            out.append(v)
+    return sorted(out)
+
+
 def versions(spark: SparkSession, path: str) -> list[int]:
-    """Snapshot versions present at ``path``, ascending."""
-    tbl = _driver_sidecar_table(spark, path, "_manifest")
-    if tbl is not None:
-        return sorted({int(v) for v in tbl.column("v").to_pylist()})
+    """Snapshot versions present at ``path``, ascending — answered
+    from the manifest PARTITION LISTING when the filesystem is local
+    (zero data bytes read; the distributed path reads rows)."""
+    local = _local_metadata_dir(spark, path, "_manifest")
+    if local is not None:
+        return _committed_versions(local)
     vs = (
         spark.read.parquet(f"{path}/_manifest")
         .select("v")
@@ -385,17 +411,32 @@ def write_manifest_table(
 
 
 def _manifest_rows(spark: SparkSession, path: str, version: int | None):
-    tbl = _driver_sidecar_table(spark, path, "_manifest")
-    if tbl is not None:
-        rows = tbl.to_pylist()  # dicts; callers index by name like Rows
-    else:
-        rows = spark.read.parquet(f"{path}/_manifest").collect()
+    local = _local_metadata_dir(spark, path, "_manifest")
+    if local is not None:
+        # partition-pruned driver read: ONE version's manifest file is
+        # opened — planning stays O(files-per-snapshot) however many
+        # commits the table has accumulated (the whole-dir read was
+        # O(files x versions))
+        import os
+
+        import pyarrow.dataset as pds
+
+        vs = _committed_versions(local)
+        if not vs:
+            raise IOError(
+                f"{local} exists but holds no committed versions"
+            )
+        v = version if version is not None else vs[-1]
+        if v not in vs:
+            # expired by ``expire_snapshots`` or never written — an
+            # error beats silently returning an empty frame
+            raise ValueError(f"no snapshot v={v} at {path}")
+        vdir = os.path.join(local, f"v={v}")
+        return pds.dataset(vdir, format="parquet").to_table().to_pylist(), v
+    rows = spark.read.parquet(f"{path}/_manifest").collect()
     vs = sorted({int(r["v"]) for r in rows})
     v = version if version is not None else vs[-1]
     if v not in vs:
-        # expired by ``expire_snapshots`` or never written — an error
-        # beats silently returning an empty frame for a version the
-        # caller believes exists
         raise ValueError(f"no snapshot v={v} at {path}")
     return [r for r in rows if int(r["v"]) == v], v
 
