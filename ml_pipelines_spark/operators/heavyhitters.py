@@ -83,8 +83,16 @@ def exact_heavy_hitters(
     if col == "__n":
         raise ValueError("column name __n is reserved by the marker rows")
     k = math.ceil(1.0 / phi)
+    field = df.schema[col]
     out_schema = StructType(
-        [df.schema[col], StructField("__n", LongType(), True)]
+        [
+            # nullable COPY: the per-batch marker rows carry NULL in
+            # this field, and declaring it non-null (e.g. a column
+            # derived from spark.range) would let codegen elide null
+            # checks over the pass-1 frame — undefined behavior
+            StructField(field.name, field.dataType, True),
+            StructField("__n", LongType(), True),
+        ]
     )
 
     def gen(batches):

@@ -69,6 +69,13 @@ class CommitConflict(RuntimeError):
 # ---------------------------------------------------------------------------
 _DRIVER_METADATA_CAP = 64 * 1024 * 1024
 
+# Delete-sidecar survivor sets at or below this row count enter plans
+# as driver-local frames (zero probe jobs); bigger ones go back to the
+# distributed scan — a LocalTableScan is single-partition, so a huge
+# local anti-join build side would serialize. posdeletes._LOCAL_RUNS_MAX
+# defaults to this same value.
+_LOCAL_SIDECAR_ROWS_MAX = 50_000
+
 
 def _local_metadata_dir(
     spark: SparkSession, path: str, name: str
@@ -106,7 +113,12 @@ def _driver_sidecar_table(spark: SparkSession, path: str, name: str):
 
     total = 0
     n_files = 0
-    for root, _dirs, files_ in os.walk(local):
+    for root, dirs, files_ in os.walk(local):
+        # prune hidden/temp SUBTREES (e.g. a crashed writer's
+        # _temporary/), matching pyarrow's per-segment ignore_prefixes
+        # — otherwise wreckage part-files count toward n_files/the cap
+        # while the dataset discovery below ignores them
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files_:
             if f.startswith(("_", ".")) or not f.endswith(".parquet"):
                 continue
@@ -123,6 +135,51 @@ def _driver_sidecar_table(spark: SparkSession, path: str, name: str):
     # matching Spark's FileIndex convention
     dset = pds.dataset(local, format="parquet", partitioning="hive")
     return dset.to_table()
+
+
+def _local_sidecar_rows(
+    spark: SparkSession,
+    path: str,
+    sidecar: str,
+    version: int,
+    min_origin: int | None = None,
+    max_rows: int | None = None,
+):
+    """Shared driver-read + visibility filter for the delete sidecars
+    (tombstones AND DV runs — one implementation so the two paths
+    cannot drift). Returns ``(status, pdf)``:
+
+    - ``("none", None)``: sidecar absent/unreadable, or no rows
+      survive the visibility/origin filters — the caller returns None
+      with ZERO Spark jobs spent.
+    - ``("local", pdf)``: survivors fit ``max_rows`` — enter the plan
+      as a local frame.
+    - ``("big", None)``: survivors exceed ``max_rows`` — the caller
+      must use the distributed scan, but non-emptiness is already
+      known (no limit-count probe needed).
+    - ``("fallback", None)``: remote filesystem or oversized sidecar —
+      full distributed path including the emptiness probe.
+    """
+    if not _sidecar_exists(spark, path, sidecar):
+        return "none", None
+    try:
+        tbl = _driver_sidecar_table(spark, path, sidecar)
+    except Exception:
+        return "none", None
+    if tbl is None:
+        return "fallback", None
+    vis = _visible_intervals(spark, path, version)
+    pdf = tbl.to_pandas()
+    keep = pdf["v"].map(lambda v: any(lo < v <= hi for lo, hi in vis))
+    if min_origin is not None:
+        keep &= pdf["v"] > min_origin
+    pdf = pdf[keep]
+    if not len(pdf):
+        return "none", None
+    cap = max_rows if max_rows is not None else _LOCAL_SIDECAR_ROWS_MAX
+    if len(pdf) > cap:
+        return "big", None
+    return "local", pdf
 
 
 def _is_path_exists_error(e: Exception) -> bool:
@@ -227,8 +284,21 @@ def _purge_sidecar_partition(
         pass
 
 
-def _verify_sidecar_before_commit(
+def _sidecar_partition_exists(
     spark: SparkSession, path: str, sidecar: str, version: int
+) -> bool:
+    fs, jvm = _fs(spark, path)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{sidecar}/v={version}")
+    )
+
+
+def _verify_sidecar_before_commit(
+    spark: SparkSession,
+    path: str,
+    sidecar: str,
+    version: int,
+    wrote: bool = True,
 ) -> None:
     """Immediately before the manifest write of a delete/merge commit:
     confirm the just-written sidecar partition STILL exists and the
@@ -240,11 +310,17 @@ def _verify_sidecar_before_commit(
     tombstones/DV runs silently dropped — a no-op delete that LOOKS
     committed. This probe turns that race into a loud
     ``CommitConflict``; the residual window between probe and manifest
-    write is the documented run-sweeps-only-when-quiescent contract."""
-    fs, jvm = _fs(spark, path)
-    if not fs.exists(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/{sidecar}/v={version}")
-    ):
+    write is the documented run-sweeps-only-when-quiescent contract.
+
+    ``wrote=False`` skips the partition-existence check: an EMPTY
+    delete set (zero-match predicate, insert-only upsert batch) writes
+    no partition directory at all — demanding one would permanently
+    fail every retry of a legitimate no-op delete. The claim check
+    still runs, and it alone catches the sweep race: the sweep deletes
+    sidecars and releases claims for the SAME version set, so a sweep
+    that could have removed this writer's partition has also released
+    its claim."""
+    if wrote and not _sidecar_partition_exists(spark, path, sidecar, version):
         raise CommitConflict(
             f"commit of v={version} at {path}: the {sidecar} partition "
             "written by this commit has vanished (a concurrent "
@@ -1374,38 +1450,18 @@ def _delete_keys(
     interval shadowed by a RESTORE (see ``_visible_intervals``) are
     invisible, so restoring to a pre-delete version resurrects the
     rows — and a fresh delete after the restore applies again."""
-    if not _sidecar_exists(spark, path, "_deletes"):
+    status, pdf = _local_sidecar_rows(
+        spark, path, "_deletes", version, min_origin=min_origin
+    )
+    if status == "none":
         return None
-    try:
-        # the dir can exist but hold zero files (expire_snapshots
-        # purged every tombstone) — schema inference then throws
-        tbl = _driver_sidecar_table(spark, path, "_deletes")
-    except Exception:
-        return None
-    vis = _visible_intervals(spark, path, version)
-    if tbl is not None:
-        # driver path: the visibility filter and the emptiness probe
-        # cost zero Spark jobs (the old limit-count was one per read).
-        # Small surviving key sets enter plans as local frames; a BIG
-        # tombstone set (mass erasure) goes back to the distributed
-        # scan — LocalTableScan is single-partition, so a huge local
-        # anti-join build side would serialize (same bound as
-        # posdeletes._LOCAL_RUNS_MAX).
-        pdf = tbl.to_pandas()
-        keep = pdf["v"].map(
-            lambda v: any(lo < v <= hi for lo, hi in vis)
-        )
-        if min_origin is not None:
-            keep &= pdf["v"] > min_origin
-        pdf = pdf[keep]
-        if not len(pdf):
-            return None
-        if len(pdf) <= 50_000:
-            return spark.createDataFrame(pdf)
+    if status == "local":
+        return spark.createDataFrame(pdf)
     try:
         dels = spark.read.parquet(f"{path}/_deletes")
     except Exception:
         return None
+    vis = _visible_intervals(spark, path, version)
     cond = None
     for lo, hi in vis:
         c = (F.col("v") > lo) & (F.col("v") <= hi)
@@ -1413,7 +1469,7 @@ def _delete_keys(
     dels = dels.filter(cond if cond is not None else F.lit(False))
     if min_origin is not None:
         dels = dels.filter(F.col("v") > min_origin)
-    if tbl is not None:
+    if status == "big":
         return dels  # non-emptiness already known driver-side
     return dels if dels.limit(1).count() else None
 
@@ -1494,6 +1550,9 @@ def delete_from_snapshot(
         ).repartition(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/_deletes"
         )
+        # an EMPTY key frame writes no partition dir — capture that
+        # now so the pre-commit verify knows not to demand one
+        wrote = _sidecar_partition_exists(spark, path, "_deletes", version)
         carried = spark.createDataFrame(
             [
                 (r["file"], r["min_v"], r["max_v"], r["n_rows"])
@@ -1501,7 +1560,9 @@ def delete_from_snapshot(
             ],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        _verify_sidecar_before_commit(spark, path, "_deletes", version)
+        _verify_sidecar_before_commit(
+            spark, path, "_deletes", version, wrote=wrote
+        )
         carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )

@@ -50,8 +50,11 @@ _PD_FILE, _PD_POS = "__pd_file", "__pd_pos"
 # DV run sets at or below this size enter plans as driver-local frames
 # (zero probe jobs); bigger ones go back to the distributed scan — a
 # LocalTableScan is single-partition, so exploding a near-row-count
-# scattered-delete run table locally serializes the DV join's build
-_LOCAL_RUNS_MAX = 50_000
+# scattered-delete run table locally serializes the DV join's build.
+# Defaults to the shared manifest._LOCAL_SIDECAR_ROWS_MAX (one knob,
+# two delete sidecars); kept as a module attr so tests can retune the
+# DV path independently.
+from .manifest import _LOCAL_SIDECAR_ROWS_MAX as _LOCAL_RUNS_MAX  # noqa: E402
 
 
 def delete_where(
@@ -73,6 +76,7 @@ def delete_where(
         _manifest_rows,
         _purge_sidecar_partition,
         _release_claim,
+        _sidecar_partition_exists,
         _verify_sidecar_before_commit,
     )
 
@@ -99,6 +103,10 @@ def delete_where(
         runs.repartition(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/{_SIDECAR}"
         )
+        # an EMPTY run set (zero-match predicate) writes no partition
+        # dir — capture that so the pre-commit verify skips its
+        # existence check (the claim check still runs)
+        wrote = _sidecar_partition_exists(spark, path, _SIDECAR, version)
         carried = spark.createDataFrame(
             [
                 (r["file"], r["min_v"], r["max_v"], r["n_rows"])
@@ -106,7 +114,9 @@ def delete_where(
             ],
             "file string, min_v bigint, max_v bigint, n_rows bigint",
         )
-        _verify_sidecar_before_commit(spark, path, _SIDECAR, version)
+        _verify_sidecar_before_commit(
+            spark, path, _SIDECAR, version, wrote=wrote
+        )
         carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
@@ -192,6 +202,7 @@ def merge_on_read(
         _purge_sidecar_partition,
         _read_files_evolved,
         _release_claim,
+        _sidecar_partition_exists,
         _verify_sidecar_before_commit,
     )
 
@@ -250,7 +261,12 @@ def merge_on_read(
         )
         from .manifest import _commit_manifest
 
-        _verify_sidecar_before_commit(spark, path, _SIDECAR, version)
+        # insert-only batches (no matched keys) write no DV partition;
+        # the verify must not demand one (the claim check still runs)
+        wrote = _sidecar_partition_exists(spark, path, _SIDECAR, version)
+        _verify_sidecar_before_commit(
+            spark, path, _SIDECAR, version, wrote=wrote
+        )
         _commit_manifest(
             spark, path, version, data_dir, key, carried=manifest
         )
@@ -332,48 +348,33 @@ def _pos_delete_runs(
     spark: SparkSession, path: str, version: int
 ) -> DataFrame | None:
     """Run rows visible to a reader of ``version`` (restore-aware,
-    like ``_delete_keys``), or None when there are none."""
-    from .manifest import (
-        _driver_sidecar_table,
-        _sidecar_exists,
-        _visible_intervals,
-    )
+    like ``_delete_keys``), or None when there are none. Driver path
+    (VERDICT r10 item 4): visibility filter + emptiness probe are zero
+    Spark jobs; small surviving run sets re-enter the plan as a local
+    frame, while a BIG run table (a scattered delete approaching row
+    count) goes back to the distributed scan — a LocalTableScan
+    explodes single-threaded, measured +6 s on the sf0.1 MoR replay
+    when ~800k runs rode the local path."""
+    from .manifest import _local_sidecar_rows, _visible_intervals
 
-    if not _sidecar_exists(spark, path, _SIDECAR):
+    status, pdf = _local_sidecar_rows(
+        spark, path, _SIDECAR, version, max_rows=_LOCAL_RUNS_MAX
+    )
+    if status == "none":
         return None
-    try:
-        tbl = _driver_sidecar_table(spark, path, _SIDECAR)
-    except Exception:
-        # exists but empty/unreadable partial dir: no visible DVs
-        return None
-    vis = _visible_intervals(spark, path, version)
-    if tbl is not None:
-        # driver path (VERDICT r10 item 4): visibility filter and the
-        # emptiness probe are zero Spark jobs. Small surviving run sets
-        # re-enter the plan as a local frame; a BIG run table (a
-        # scattered delete approaching row count) goes back to the
-        # distributed scan — a LocalTableScan explodes single-threaded,
-        # measured +6 s on the sf0.1 MoR replay when ~800k runs rode
-        # the local path.
-        pdf = tbl.to_pandas()
-        keep = pdf["v"].map(
-            lambda v: any(lo < v <= hi for lo, hi in vis)
-        )
-        pdf = pdf[keep]
-        if not len(pdf):
-            return None
-        if len(pdf) <= _LOCAL_RUNS_MAX:
-            return spark.createDataFrame(pdf)
+    if status == "local":
+        return spark.createDataFrame(pdf)
     try:
         runs = spark.read.parquet(f"{path}/{_SIDECAR}")
     except Exception:
         return None
+    vis = _visible_intervals(spark, path, version)
     cond = None
     for lo, hi in vis:
         c = (F.col("v") > lo) & (F.col("v") <= hi)
         cond = c if cond is None else (cond | c)
     runs = runs.filter(cond if cond is not None else F.lit(False))
-    if tbl is not None:
+    if status == "big":
         return runs  # non-emptiness already known driver-side
     return runs if runs.limit(1).count() else None
 

@@ -545,14 +545,14 @@ def _sweep_at_commit_point(monkeypatch):
     claim (ADVICE r10)."""
     real = M._verify_sidecar_before_commit
 
-    def sabotage(spark_, path, sidecar, version):
+    def sabotage(spark_, path, sidecar, version, **kw):
         fs, jvm = M._fs(spark_, path)
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{path}/{sidecar}/v={version}"),
             True,
         )
         M._release_claim(spark_, path, version)
-        real(spark_, path, sidecar, version)
+        real(spark_, path, sidecar, version, **kw)
 
     monkeypatch.setattr(M, "_verify_sidecar_before_commit", sabotage)
 

@@ -874,3 +874,24 @@ def test_merge_on_read_after_key_rename(spark):
         assert got[39] == 390 and got[45] == 450
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_key_delete_commits(spark):
+    """Self-review r11: deleting an EMPTY key set writes no _deletes
+    partition; the pre-commit verify must still commit the (no-op)
+    version instead of raising CommitConflict forever."""
+    from ml_pipelines_spark.operators.manifest import (
+        delete_from_snapshot,
+        read_snapshot,
+    )
+
+    d = tempfile.mkdtemp(prefix="mlps_emptydel_")
+    try:
+        base = spark.range(0, 40).select(F.col("id").alias("k"))
+        write_manifest_table(base, d, "k", num_files=2)
+        empty = spark.range(0, 0).select(F.col("id").alias("k"))
+        v = delete_from_snapshot(spark, d, "k", empty)
+        assert v == 2
+        assert read_snapshot(spark, d).count() == 40
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -117,3 +117,22 @@ def test_driver_sidecar_cap_falls_back(spark, monkeypatch):
         assert M.read_snapshot(spark, d).count() == 100
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_temporary_wreckage_is_not_metadata(spark, tmp_path):
+    """Self-review r11: a crashed writer's _temporary/ subtree must not
+    count toward the driver read's file census — the dataset discovery
+    ignores those files, so counting them would return an EMPTY table
+    where 'exists but holds no readable parquet' must raise."""
+    import os
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "table")
+    side = os.path.join(d, "_refs", "_temporary", "0")
+    os.makedirs(side)
+    # a parquet-named file inside the temp subtree (wreckage)
+    with open(os.path.join(side, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    with _pytest.raises(Exception):
+        M._driver_sidecar_table(spark, d, "_refs")

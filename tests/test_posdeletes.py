@@ -433,3 +433,59 @@ def test_compact_small_files_noop_below_two(spark, table):
     from ml_pipelines_spark.operators.manifest import versions
 
     assert versions(spark, table) == [1]
+
+
+def test_insert_only_upsert_batch_commits(spark):
+    """Self-review r11: an upsert batch with NO matched keys writes no
+    DV partition; the pre-commit sidecar verify must not mistake that
+    for a concurrent sweep and wedge the commit (this broke insert-only
+    CDC micro-batches)."""
+    import shutil
+    import tempfile
+
+    from ml_pipelines_spark.operators.manifest import (
+        read_snapshot,
+        write_manifest_table,
+    )
+    from ml_pipelines_spark.operators.posdeletes import merge_on_read
+
+    d = tempfile.mkdtemp(prefix="mlps_insertonly_")
+    try:
+        base = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        write_manifest_table(base, d, "k", num_files=2)
+        fresh = spark.range(100, 120).select(
+            F.col("id").alias("k"), F.lit(-1).alias("val")
+        )
+        v = merge_on_read(spark, d, fresh, "k")
+        assert v == 2
+        got = {r.k: r.val for r in read_snapshot(spark, d).collect()}
+        assert len(got) == 120
+        assert all(got[k] == -1 for k in range(100, 120))
+        assert got[50] == 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zero_match_delete_where_commits(spark):
+    import shutil
+    import tempfile
+
+    from ml_pipelines_spark.operators.manifest import (
+        read_snapshot,
+        versions,
+        write_manifest_table,
+    )
+    from ml_pipelines_spark.operators.posdeletes import delete_where
+
+    d = tempfile.mkdtemp(prefix="mlps_zeromatch_")
+    try:
+        base = spark.range(0, 50).select(F.col("id").alias("k"))
+        write_manifest_table(base, d, "k", num_files=2)
+        v = delete_where(spark, d, "k > 1000")  # matches nothing
+        assert v == 2
+        assert versions(spark, d) == [1, 2]
+        assert read_snapshot(spark, d).count() == 50
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
