@@ -147,27 +147,30 @@ def _local_sidecar_rows(
 ):
     """Shared driver-read + visibility filter for the delete sidecars
     (tombstones AND DV runs — one implementation so the two paths
-    cannot drift). Returns ``(status, pdf)``:
+    cannot drift). Returns ``(status, pdf, vis)`` — ``vis`` is the
+    visible-interval list (None only when it was never computed), so
+    the "big" fallback path reuses it instead of re-probing
+    ``_restores``:
 
-    - ``("none", None)``: sidecar absent/unreadable, or no rows
+    - ``("none", None, ...)``: sidecar absent/unreadable, or no rows
       survive the visibility/origin filters — the caller returns None
       with ZERO Spark jobs spent.
-    - ``("local", pdf)``: survivors fit ``max_rows`` — enter the plan
-      as a local frame.
-    - ``("big", None)``: survivors exceed ``max_rows`` — the caller
-      must use the distributed scan, but non-emptiness is already
-      known (no limit-count probe needed).
-    - ``("fallback", None)``: remote filesystem or oversized sidecar —
-      full distributed path including the emptiness probe.
+    - ``("local", pdf, vis)``: survivors fit ``max_rows`` — enter the
+      plan as a local frame.
+    - ``("big", None, vis)``: survivors exceed ``max_rows`` — the
+      caller must use the distributed scan, but non-emptiness is
+      already known (no limit-count probe needed).
+    - ``("fallback", None, None)``: remote filesystem or oversized
+      sidecar — full distributed path including the emptiness probe.
     """
     if not _sidecar_exists(spark, path, sidecar):
-        return "none", None
+        return "none", None, None
     try:
         tbl = _driver_sidecar_table(spark, path, sidecar)
     except Exception:
-        return "none", None
+        return "none", None, None
     if tbl is None:
-        return "fallback", None
+        return "fallback", None, None
     vis = _visible_intervals(spark, path, version)
     pdf = tbl.to_pandas()
     keep = pdf["v"].map(lambda v: any(lo < v <= hi for lo, hi in vis))
@@ -175,11 +178,11 @@ def _local_sidecar_rows(
         keep &= pdf["v"] > min_origin
     pdf = pdf[keep]
     if not len(pdf):
-        return "none", None
+        return "none", None, vis
     cap = max_rows if max_rows is not None else _LOCAL_SIDECAR_ROWS_MAX
     if len(pdf) > cap:
-        return "big", None
-    return "local", pdf
+        return "big", None, vis
+    return "local", pdf, vis
 
 
 def _is_path_exists_error(e: Exception) -> bool:
@@ -1450,7 +1453,7 @@ def _delete_keys(
     interval shadowed by a RESTORE (see ``_visible_intervals``) are
     invisible, so restoring to a pre-delete version resurrects the
     rows — and a fresh delete after the restore applies again."""
-    status, pdf = _local_sidecar_rows(
+    status, pdf, vis = _local_sidecar_rows(
         spark, path, "_deletes", version, min_origin=min_origin
     )
     if status == "none":
@@ -1461,7 +1464,8 @@ def _delete_keys(
         dels = spark.read.parquet(f"{path}/_deletes")
     except Exception:
         return None
-    vis = _visible_intervals(spark, path, version)
+    if vis is None:  # fallback path never computed the intervals
+        vis = _visible_intervals(spark, path, version)
     cond = None
     for lo, hi in vis:
         c = (F.col("v") > lo) & (F.col("v") <= hi)
@@ -1662,6 +1666,12 @@ def _visible_intervals(
 # bound as every manifest operation.
 # ---------------------------------------------------------------------------
 def _ref_log(spark: SparkSession, path: str) -> list:
+    # DELIBERATELY no except-path (unlike _restore_map): an existing
+    # but unreadable _refs raises, on the driver path (the empty-census
+    # IOError) exactly as on the distributed one. Degrading to [] here
+    # would tell expire_snapshots the table has NO tags — retention GC
+    # could then delete versions the user believes pinned. Corrupt tag
+    # logs must surface, not vanish.
     if not _sidecar_exists(spark, path, "_refs"):
         return []
     tbl = _driver_sidecar_table(spark, path, "_refs")

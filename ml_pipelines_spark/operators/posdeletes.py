@@ -253,6 +253,12 @@ def merge_on_read(
         runs.repartition(1).write.mode("append").partitionBy("v").parquet(
             f"{path}/{_SIDECAR}"
         )
+        # insert-only batches (no matched keys) write no DV partition;
+        # the verify must not demand one. Captured IMMEDIATELY after
+        # the runs write — probing after the (long) data write would
+        # misread a DV partition that vanished mid-commit as "never
+        # written" and silently drop the deletes (self-review r11).
+        wrote = _sidecar_partition_exists(spark, path, _SIDECAR, version)
         (
             updates.repartitionByRange(num_files, key)
             .sortWithinPartitions(key)
@@ -261,9 +267,6 @@ def merge_on_read(
         )
         from .manifest import _commit_manifest
 
-        # insert-only batches (no matched keys) write no DV partition;
-        # the verify must not demand one (the claim check still runs)
-        wrote = _sidecar_partition_exists(spark, path, _SIDECAR, version)
         _verify_sidecar_before_commit(
             spark, path, _SIDECAR, version, wrote=wrote
         )
@@ -357,7 +360,7 @@ def _pos_delete_runs(
     when ~800k runs rode the local path."""
     from .manifest import _local_sidecar_rows, _visible_intervals
 
-    status, pdf = _local_sidecar_rows(
+    status, pdf, vis = _local_sidecar_rows(
         spark, path, _SIDECAR, version, max_rows=_LOCAL_RUNS_MAX
     )
     if status == "none":
@@ -368,7 +371,8 @@ def _pos_delete_runs(
         runs = spark.read.parquet(f"{path}/{_SIDECAR}")
     except Exception:
         return None
-    vis = _visible_intervals(spark, path, version)
+    if vis is None:  # fallback path never computed the intervals
+        vis = _visible_intervals(spark, path, version)
     cond = None
     for lo, hi in vis:
         c = (F.col("v") > lo) & (F.col("v") <= hi)
