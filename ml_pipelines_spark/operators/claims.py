@@ -74,6 +74,17 @@ class ClaimBackend:
         """Keys currently claimed for ``table`` (sweep enumeration)."""
         raise NotImplementedError
 
+    def holds(self, spark: SparkSession, table: str, key: str) -> bool:
+        """Point lookup: is ``key`` currently claimed for ``table``?
+
+        Commit-path checks (``_verify_sidecar_before_commit``) must use
+        this, never ``key in held(...)``: ``held`` enumerates every
+        permanent committed-version claim, so each commit would pay
+        O(versions) metadata work growing forever with table history
+        (ADVICE r11). Backends override with one exists/SELECT; this
+        default only serves exotic third-party backends."""
+        return key in self.held(spark, table)
+
 
 class FileSystemClaimBackend(ClaimBackend):
     """Marker files under ``<table>/_claims/<key>``.
@@ -123,6 +134,13 @@ class FileSystemClaimBackend(ClaimBackend):
         pat = jvm.org.apache.hadoop.fs.Path(f"{table}/_claims/*")
         return sorted(
             st.getPath().getName() for st in (fs.globStatus(pat) or [])
+        )
+
+    def holds(self, spark: SparkSession, table: str, key: str) -> bool:
+        # one existence probe — never the O(versions) _claims/* glob
+        fs, jvm = _fs(spark, table)
+        return bool(
+            fs.exists(jvm.org.apache.hadoop.fs.Path(self._marker(table, key)))
         )
 
 
@@ -186,6 +204,10 @@ class CatalogClaimBackend(ClaimBackend):
         t = self._norm(table)
         with self._lock:
             return sorted(k for (tt, k) in self._claims if tt == t)
+
+    def holds(self, spark: SparkSession, table: str, key: str) -> bool:
+        with self._lock:
+            return (self._norm(table), key) in self._claims
 
 
 class SqliteClaimBackend(ClaimBackend):
@@ -267,6 +289,180 @@ class SqliteClaimBackend(ClaimBackend):
             )
         finally:
             con.close()
+
+    def holds(self, spark: SparkSession, table: str, key: str) -> bool:
+        # primary-key point SELECT — one index probe, not O(versions)
+        con = self._connect()
+        try:
+            row = con.execute(
+                "SELECT 1 FROM claims WHERE tbl = ? AND key = ?",
+                (self._norm(table), key),
+            ).fetchone()
+            return row is not None
+        finally:
+            con.close()
+
+
+class JdbcClaimBackend(ClaimBackend):
+    """Generic JDBC catalog backend (VERDICT r11 item 6) — the
+    production object-store deployment shape, driven through the JVM's
+    ``java.sql`` over py4j so it works with ANY JDBC driver already on
+    Spark's classpath (Postgres/MySQL in production; the bundled
+    EMBEDDED DERBY in tests — a real transactional database with real
+    locking, no external service needed).
+
+    A claim is ONE ``INSERT`` into a table with a composite PRIMARY
+    KEY; the database's own unique-constraint arbitration is the CAS.
+    A duplicate-key failure (SQLSTATE class 23) is the lost-race
+    signal; every other SQL error RAISES per the ClaimBackend contract
+    (an auth/connectivity failure must not masquerade as a commit
+    conflict). This is exactly how Iceberg's JDBC catalog arbitrates
+    commits over stores with no atomic create-if-absent.
+
+    ``url`` examples: ``jdbc:derby:/shared/claims;create=true``,
+    ``jdbc:postgresql://host/db?user=...``. The claims table is
+    created on first use (idempotent). NOTE: embedded Derby allows one
+    JVM per database directory — that is a Derby deployment property;
+    server-mode Derby/Postgres/MySQL arbitrate across drivers, same
+    SQL, same backend.
+    """
+
+    _TABLE = "mlps_claims"
+
+    def __init__(self, url: str) -> None:
+        self._url = url
+        self._ready = False
+        self._init_lock = threading.Lock()
+
+    # catalog keys on the agreed table NAME, not URI spelling
+    _norm = staticmethod(CatalogClaimBackend._norm)
+
+    def _conn(self, spark: SparkSession):
+        jvm = spark._jvm
+        self._ensure_schema(jvm)
+        return jvm.java.sql.DriverManager.getConnection(self._url)
+
+    def _ensure_schema(self, jvm) -> None:
+        with self._init_lock:
+            if self._ready:
+                return
+            con = jvm.java.sql.DriverManager.getConnection(self._url)
+            try:
+                st = con.createStatement()
+                try:
+                    # portable DDL; "already exists" from a concurrent
+                    # creator is fine (SQLSTATE X0Y32 on Derby, 42P07
+                    # on Postgres — both surface as an exception here)
+                    st.executeUpdate(
+                        f"CREATE TABLE {self._TABLE} ("
+                        " tbl VARCHAR(1024) NOT NULL,"
+                        " claim_key VARCHAR(256) NOT NULL,"
+                        " PRIMARY KEY (tbl, claim_key))"
+                    )
+                except Exception as e:
+                    if not _sql_state_in(e, ("X0Y32", "42P07", "42S01")):
+                        raise
+                finally:
+                    st.close()
+            finally:
+                con.close()
+            self._ready = True
+
+    def claim(self, spark: SparkSession, table: str, key: str) -> bool:
+        con = self._conn(spark)
+        try:
+            ps = con.prepareStatement(
+                f"INSERT INTO {self._TABLE} (tbl, claim_key) VALUES (?, ?)"
+            )
+            try:
+                ps.setString(1, self._norm(table))
+                ps.setString(2, key)
+                ps.executeUpdate()
+                return True
+            except Exception as e:
+                # SQLSTATE class 23 = integrity/unique violation — the
+                # lost race. Anything else is infrastructure: raise.
+                if _sql_state_in(e, prefix="23"):
+                    return False
+                raise
+            finally:
+                ps.close()
+        finally:
+            con.close()
+
+    def release(self, spark: SparkSession, table: str, key: str) -> None:
+        con = self._conn(spark)
+        try:
+            ps = con.prepareStatement(
+                f"DELETE FROM {self._TABLE} WHERE tbl = ? AND claim_key = ?"
+            )
+            try:
+                ps.setString(1, self._norm(table))
+                ps.setString(2, key)
+                ps.executeUpdate()
+            finally:
+                ps.close()
+        finally:
+            con.close()
+
+    def held(self, spark: SparkSession, table: str) -> list[str]:
+        con = self._conn(spark)
+        try:
+            ps = con.prepareStatement(
+                f"SELECT claim_key FROM {self._TABLE} WHERE tbl = ?"
+            )
+            try:
+                ps.setString(1, self._norm(table))
+                rs = ps.executeQuery()
+                out = []
+                while rs.next():
+                    out.append(rs.getString(1))
+                return sorted(out)
+            finally:
+                ps.close()
+        finally:
+            con.close()
+
+    def holds(self, spark: SparkSession, table: str, key: str) -> bool:
+        # primary-key point SELECT — one index probe (ADVICE r11)
+        con = self._conn(spark)
+        try:
+            ps = con.prepareStatement(
+                f"SELECT 1 FROM {self._TABLE} "
+                "WHERE tbl = ? AND claim_key = ?"
+            )
+            try:
+                ps.setString(1, self._norm(table))
+                ps.setString(2, key)
+                rs = ps.executeQuery()
+                return bool(rs.next())
+            finally:
+                ps.close()
+        finally:
+            con.close()
+
+
+def _sql_state_in(e: Exception, states: tuple = (), prefix: str | None = None) -> bool:
+    """SQLSTATE of a py4j-wrapped SQLException (walking causes)."""
+    try:
+        from py4j.protocol import Py4JJavaError
+    except ImportError:  # pragma: no cover
+        return False
+    if not isinstance(e, Py4JJavaError):
+        return False
+    j = e.java_exception
+    while j is not None:
+        try:
+            state = j.getSQLState()
+        except Exception:
+            state = None
+        if state:
+            if state in states:
+                return True
+            if prefix and state.startswith(prefix):
+                return True
+        j = j.getCause()
+    return False
 
 
 _backend: ClaimBackend = FileSystemClaimBackend()

@@ -109,9 +109,22 @@ def exact_heavy_hitters(
             yield pd.concat([out, marker], ignore_index=True)
 
     # pass-1 output is bounded (<= k candidates + 1 marker per batch) —
-    # checkpoint it so the total and the candidate set are two jobs
-    # over a few kilobytes, not two more scans of df
-    pass1 = df.select(col).mapInPandas(gen, schema=out_schema).localCheckpoint()
+    # cache it so the total and the candidate set are two jobs over a
+    # few kilobytes, not two more scans of df. The registry swap_cache
+    # slot (keyed on the input's semantic hash) bounds the storage to
+    # ONE live entry per call shape — the old localCheckpoint here
+    # leaked block-manager blocks on every invocation (ADVICE r11).
+    from ..queries.registry import swap_cache
+
+    try:
+        token = f"{df.semanticHash()}:{col}:{phi}"
+    except Exception:  # pragma: no cover — semanticHash always present
+        token = f"{id(df)}:{col}:{phi}"
+    pass1 = swap_cache(
+        "exact_heavy_hitters.pass1",
+        token,
+        df.select(col).mapInPandas(gen, schema=out_schema),
+    )
     total = pass1.agg(F.sum("__n")).collect()[0][0] or 0
     cand = (
         pass1.filter(F.col("__n").isNull())

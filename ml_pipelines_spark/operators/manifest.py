@@ -97,13 +97,25 @@ def _local_metadata_dir(
     return local if os.path.isdir(local) else None
 
 
-def _driver_sidecar_table(spark: SparkSession, path: str, name: str):
+def _driver_sidecar_table(
+    spark: SparkSession, path: str, name: str, ts_mode: str = "local"
+):
     """A metadata sidecar as a pyarrow Table read in the driver — or
     None when the caller must use the distributed read (remote
     filesystem, or sidecar above the size cap). Raises when the
     directory exists but holds no readable parquet, matching the
     distributed read's behavior on half-written metadata (callers'
-    except-paths and bootstrap guards rely on the error)."""
+    except-paths and bootstrap guards rely on the error).
+
+    ``ts_mode`` picks the timestamp convention for tz-naive columns
+    (pyarrow yields UTC walls; see ``_normalize_arrow_timestamps``):
+    ``"local"`` (default) converts to process-local naive walls — the
+    ``collect()`` convention, for ``to_pylist`` consumers whose values
+    are compared against collected rows or re-enter via tuple
+    ``createDataFrame``; ``"aware"`` casts to tz-aware UTC — for the
+    ``to_pandas`` -> ``createDataFrame(pdf)`` path, where Arrow
+    interprets NAIVE walls in the session tz (not the process tz) and
+    only aware values are unambiguous under both engine paths."""
     import os
 
     local = _local_metadata_dir(spark, path, name)
@@ -134,7 +146,63 @@ def _driver_sidecar_table(spark: SparkSession, path: str, name: str):
     # default ignore_prefixes ('_', '.') skips _SUCCESS/_temporary,
     # matching Spark's FileIndex convention
     dset = pds.dataset(local, format="parquet", partitioning="hive")
-    return dset.to_table()
+    return _normalize_arrow_timestamps(dset.to_table(), ts_mode)
+
+
+def _normalize_arrow_timestamps(tbl, ts_mode: str = "local"):
+    """Normalize tz-naive timestamp columns away from pyarrow's UTC
+    walls (ADVICE r11).
+
+    pyarrow reads Spark-written parquet timestamps as tz-NAIVE UTC
+    wall clocks, but the distributed twin of every driver read is
+    ``collect()`` — whose Python converter yields tz-naive
+    PROCESS-LOCAL walls — while ``createDataFrame`` over a PANDAS
+    frame (Arrow-enabled, the repo default) interprets naive walls in
+    the SESSION tz. On a non-UTC driver the un-normalized local-frame
+    path therefore shifts timestamp-typed tombstone keys and zone-map
+    bounds by the tz offset relative to the distributed fallback —
+    deletes silently miss (or hit wrong) rows and MoR victim pruning
+    skips files.
+
+    ``ts_mode="local"``: per-value conversion through the epoch to
+    process-local naive walls (DST resolved per instant, exactly like
+    ``TimestampType.fromInternal``) — for values compared against or
+    mixed with collected rows. ``ts_mode="aware"``: a metadata-only
+    cast to tz-aware UTC — for frames re-entering Spark as pandas,
+    where only aware values are unambiguous.
+    """
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    def _to_local_wall(v):
+        if v is None:
+            return None
+        # integer seconds through the epoch, microseconds re-attached —
+        # exact at any date (no float in the second arithmetic)
+        sec = int(
+            v.replace(tzinfo=_dt.timezone.utc, microsecond=0).timestamp()
+        )
+        return _dt.datetime.fromtimestamp(sec) + _dt.timedelta(
+            microseconds=v.microsecond
+        )
+
+    out = tbl
+    for i, f in enumerate(tbl.schema):
+        if not (pa.types.is_timestamp(f.type) and f.type.tz is None):
+            continue
+        if ts_mode == "aware":
+            out = out.set_column(
+                i,
+                f.name,
+                out.column(i).cast(pa.timestamp(f.type.unit, "UTC")),
+            )
+        else:
+            vals = [_to_local_wall(v) for v in out.column(i).to_pylist()]
+            out = out.set_column(
+                i, f.name, pa.array(vals, type=pa.timestamp("us"))
+            )
+    return out
 
 
 def _local_sidecar_rows(
@@ -166,7 +234,9 @@ def _local_sidecar_rows(
     if not _sidecar_exists(spark, path, sidecar):
         return "none", None, None
     try:
-        tbl = _driver_sidecar_table(spark, path, sidecar)
+        # "aware": this pdf re-enters Spark via createDataFrame(pandas)
+        # — naive walls would be read in the SESSION tz under Arrow
+        tbl = _driver_sidecar_table(spark, path, sidecar, ts_mode="aware")
     except Exception:
         return "none", None, None
     if tbl is None:
@@ -332,7 +402,10 @@ def _verify_sidecar_before_commit(
         )
     from .claims import get_claim_backend
 
-    if f"v={version}" not in get_claim_backend().held(spark, path):
+    # point lookup (ADVICE r11): held() enumerates every permanent
+    # committed-version claim — O(versions) per commit, growing with
+    # table history; holds() is one exists/SELECT
+    if not get_claim_backend().holds(spark, path, f"v={version}"):
         raise CommitConflict(
             f"commit of v={version} at {path}: this writer's claim was "
             "released externally (a concurrent sweep_orphan_versions?) "
@@ -511,13 +584,38 @@ def _manifest_rows(spark: SparkSession, path: str, version: int | None):
             # error beats silently returning an empty frame
             raise ValueError(f"no snapshot v={v} at {path}")
         vdir = os.path.join(local, f"v={v}")
-        return pds.dataset(vdir, format="parquet").to_table().to_pylist(), v
+        tbl = _normalize_arrow_timestamps(
+            pds.dataset(vdir, format="parquet").to_table()
+        )
+        return tbl.to_pylist(), v
     rows = spark.read.parquet(f"{path}/_manifest").collect()
     vs = sorted({int(r["v"]) for r in rows})
     v = version if version is not None else vs[-1]
     if v not in vs:
         raise ValueError(f"no snapshot v={v} at {path}")
     return [r for r in rows if int(r["v"]) == v], v
+
+
+def _carried_manifest_df(spark: SparkSession, path: str, manifest):
+    """Prior manifest rows re-entering the plan as a local frame,
+    typed by the STORED manifest schema (a footer-only schema read —
+    zero Spark jobs; the hive partition column ``v`` is stripped).
+    The old hard-coded ``min_v bigint`` schema crashed every
+    carried-manifest commit (delete/MoR/restore/clone/shard) on a
+    string/date/timestamp-keyed table — min_v/max_v carry the SORT
+    column's type (found by the r12 non-UTC timestamp lifecycle
+    test, tests/test_manifest_tz.py)."""
+    from pyspark.sql.types import StructType
+
+    stored = spark.read.parquet(f"{path}/_manifest").schema
+    schema = StructType([f for f in stored.fields if f.name != "v"])
+    return spark.createDataFrame(
+        [
+            (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+            for r in manifest
+        ],
+        schema,
+    )
 
 
 def _commit_manifest(
@@ -1093,10 +1191,7 @@ def build_manifest_list(
     the band's share of the table, not the table's file count.
     Returns the number of shard files written."""
     manifest, v = _manifest_rows(spark, path, version)
-    rows = spark.createDataFrame(
-        [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
-        "file string, min_v bigint, max_v bigint, n_rows bigint",
-    )
+    rows = _carried_manifest_df(spark, path, manifest)
     shards_dir = f"{path}/_manifest_shards/v={v}"
     (
         rows.repartitionByRange(num_shards, "min_v")
@@ -1258,13 +1353,7 @@ def _append_schema_event(
     # merely leaves a no-op metadata version and raises; the caller
     # retries and the event lands at version+1.
     try:
-        carried = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in manifest
-            ],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
+        carried = _carried_manifest_df(spark, path, manifest)
         carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
@@ -1557,13 +1646,7 @@ def delete_from_snapshot(
         # an EMPTY key frame writes no partition dir — capture that
         # now so the pre-commit verify knows not to demand one
         wrote = _sidecar_partition_exists(spark, path, "_deletes", version)
-        carried = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in manifest
-            ],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
+        carried = _carried_manifest_df(spark, path, manifest)
         _verify_sidecar_before_commit(
             spark, path, "_deletes", version, wrote=wrote
         )
@@ -1796,10 +1879,7 @@ def restore_snapshot(
     # without its restore row is merely a plain metadata append — the
     # raise tells the caller the restore failed; retry lands it fully.
     try:
-        carried = spark.createDataFrame(
-            [(r["file"], r["min_v"], r["max_v"], r["n_rows"]) for r in manifest],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
+        carried = _carried_manifest_df(spark, path, manifest)
         carried.repartition(1).write.mode("errorifexists").parquet(
             f"{path}/_manifest/v={version}"
         )
@@ -1847,13 +1927,7 @@ def shallow_clone(spark: SparkSession, src: str, dst: str) -> int:
             "writer is bootstrapping the same target"
         )
     try:
-        carried = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in manifest
-            ],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
+        carried = _carried_manifest_df(spark, src, manifest)
         carried.repartition(1).write.mode("errorifexists").parquet(
             f"{dst}/_manifest/v={v}"
         )

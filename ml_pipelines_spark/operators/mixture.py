@@ -139,27 +139,28 @@ def token_budget_select(
     domain_col: str,
     cost_col: str,
     budget: int,
-    order_by: list[Column] | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Best-first fill of a per-domain budget: order each domain by
-    ``order_by`` (default: cheapest first, then deterministic), keep
+    ``order_cols`` (default: cheapest first, then deterministic), keep
     rows while the running ``cost_col`` total stays within ``budget``.
 
-    One hash shuffle on the domain; the running sum is a single window
-    pass. The greedy prefix rule (cumulative sum INCLUDING the current
-    row must fit) is the same rule the SQL twin states, so selection is
-    oracle-checkable row for row.
+    The running sum rides edf.grouped_ordered_cumsum — per-(domain,
+    range-bucket) window partitions plus driver-cumulated bucket
+    offsets — NOT a per-domain window: a domain is a dictionary-class
+    skewed key, and one domain holding most of the corpus would funnel
+    through ONE task at 100 TB (the r11 skew-partition-window lint
+    class). The greedy prefix rule (cumulative sum INCLUDING the
+    current row must fit) is the same rule the SQL twin states, so
+    selection is oracle-checkable row for row. ``cost_col`` must be an
+    integer column; ``order_cols`` a within-domain total order.
     """
-    order = order_by or [F.col(cost_col).asc(), F.col(domain_col)]
-    w = (
-        Window.partitionBy(domain_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        df.withColumn("__cum", F.sum(cost_col).over(w))
-        .filter(F.col("__cum") <= budget)
-        .drop("__cum")
+    from .edf import grouped_ordered_cumsum
+
+    order = order_cols or [cost_col, domain_col]
+    cums = grouped_ordered_cumsum(df, [domain_col], order, [cost_col])
+    return cums.filter(F.col(f"cum_{cost_col}") <= budget).drop(
+        f"cum_{cost_col}"
     )
 
 

@@ -71,6 +71,7 @@ def delete_where(
     from .manifest import (
         CommitConflict,
         _abort_claim,
+        _carried_manifest_df,
         _claim_version,
         _is_path_exists_error,
         _manifest_rows,
@@ -107,13 +108,7 @@ def delete_where(
         # dir — capture that so the pre-commit verify skips its
         # existence check (the claim check still runs)
         wrote = _sidecar_partition_exists(spark, path, _SIDECAR, version)
-        carried = spark.createDataFrame(
-            [
-                (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-                for r in manifest
-            ],
-            "file string, min_v bigint, max_v bigint, n_rows bigint",
-        )
+        carried = _carried_manifest_df(spark, path, manifest)
         _verify_sidecar_before_commit(
             spark, path, _SIDECAR, version, wrote=wrote
         )

@@ -133,15 +133,30 @@ def hash_k_per_group(
 
     Unlike a fraction sample, group output size is bounded regardless of
     group skew, which is what a per-domain preview/eval carve-out needs.
-    One shuffle on the group key; the rank is a window ``row_number``
-    so ties cannot duplicate. Deterministic across engines and runs.
+    Two-phase: each input partition first keeps its own <= k rows per
+    group (a (spark_partition_id, group) window — never a whole group
+    in one task), then the global per-group window ranks <= k*P
+    survivors. The group key is dictionary-class and typically skewed
+    (source, lang); a single-phase per-group window would funnel the
+    dominant group through ONE task at 100 TB. The rank is a window
+    ``row_number`` so ties cannot duplicate; the top-k by a total order
+    is preserved under local pruning. Deterministic across engines.
     """
-    w = Window.partitionBy(*group_cols).orderBy(
+    order = [
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
         F.col(key_col),
+    ]
+    local = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy(
+        *order
     )
+    pruned = (
+        df.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        pruned.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )

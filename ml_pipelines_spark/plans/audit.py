@@ -91,7 +91,59 @@ def _bracket_groups(s: str) -> int:
     return groups
 
 
-def lint(df: DataFrame, max_unpartitioned_window_inputs: int = 0) -> list[Finding]:
+def _bracket_group_texts(s: str) -> list[str]:
+    """Contents of each TOP-LEVEL ``[...]`` group in a plan line."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+# Dictionary-class columns of the fixture schema: a handful of distinct
+# values, typically Zipf-skewed. A window partitioned ONLY by these is
+# not parallelism — at 100 TB the dominant value (the top language, the
+# 'view' event type, returnflag 'N') is most of the fact table funneled
+# through ONE task (VERDICT r11: the doc_length_quartiles shape, which
+# the global-window rule cannot see because the window IS partitioned).
+# Route such windows through operators/edf.grouped_ordered_ntiles-style
+# (group, range-bucket) composite keys instead.
+DICTIONARY_CLASS_COLUMNS = frozenset(
+    {
+        # documents / events
+        "lang", "source", "event_type",
+        # tpch dictionary & nation/region keys (25/5 values)
+        "l_returnflag", "l_linestatus", "o_orderstatus",
+        "o_orderpriority", "c_mktsegment", "p_brand", "p_type",
+        "n_nationkey", "n_name", "n_regionkey",
+        "r_regionkey", "r_name", "c_nationkey", "s_nationkey",
+        # embeddings class label
+        "label",
+    }
+)
+
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def lint(
+    df: DataFrame,
+    max_unpartitioned_window_inputs: int = 0,
+    max_skew_partition_windows: int = 0,
+) -> list[Finding]:
     """Scan the physical plan for scale-killers. Returns findings —
     empty means clean.
 
@@ -122,6 +174,12 @@ def lint(df: DataFrame, max_unpartitioned_window_inputs: int = 0) -> list[Findin
       non-aggregate (global sorts/limits funnel data; partial/final
       aggregates legitimately produce 1-row exchanges and are not
       flagged).
+    - ``skew-partition-window``: a Window node whose partition key
+      consists ONLY of ``DICTIONARY_CLASS_COLUMNS`` — the window IS
+      partitioned, but a dictionary key is not parallelism: the
+      dominant value is one task (VERDICT r11). Legitimate when the
+      window INPUT is itself dictionary-sized (a per-group aggregate);
+      callers who audited theirs pass ``max_skew_partition_windows``.
     """
     text = plan_text(df)
     findings: list[Finding] = []
@@ -129,10 +187,27 @@ def lint(df: DataFrame, max_unpartitioned_window_inputs: int = 0) -> list[Findin
         if node in text:
             findings.append(Finding("cartesian", node))
     unpart = 0
+    skewed: list[str] = []
     for line in text.splitlines():
         m = _WINDOW_RE.search(line)
-        if m and _bracket_groups(m.group(1)) == 2:
+        if not m:
+            continue
+        groups = _bracket_group_texts(m.group(1))
+        if len(groups) == 2:
             unpart += 1
+        elif len(groups) >= 3:
+            part_cols = set(_ATTR_RE.findall(groups[1]))
+            if part_cols and part_cols <= DICTIONARY_CLASS_COLUMNS:
+                skewed.append(",".join(sorted(part_cols)))
+    if len(skewed) > max_skew_partition_windows:
+        findings.append(
+            Finding(
+                "skew-partition-window",
+                f"{len(skewed)} window(s) partitioned only by "
+                f"dictionary-class key(s) [{'; '.join(skewed)}], "
+                f"{max_skew_partition_windows} allowed",
+            )
+        )
     if unpart > max_unpartitioned_window_inputs:
         findings.append(
             Finding(

@@ -256,65 +256,88 @@ from . import pipelines  # noqa: E402,F401
 # pytest-only (tests/test_sketches.py checks it against its exact and
 # full-HLL twins), so every registry row the driver can sample is
 # hash-checkable.
+# ---------------------------------------------------------------------------
+# Round-12 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: none.
+# (b) rule 2 — code touched this round (VERDICT r11 top-next + ADVICE
+#     items + the skew-partition-window lint sweep):
+#     doc_length_quartiles (per-lang NTILE -> grouped_ordered_ntiles),
+#     rfm_segments + heavy_hitters_two_pass (localCheckpoint leak ->
+#     swap_cache; integer-exact ntile arithmetic),
+#     gini_revenue_concentration + quantile_normalize_lengths
+#     (grouped_ordered_rank rewrites), token_budget_per_source
+#     (grouped_ordered_cumsum; token_budget_bpe shares the operator but
+#     is already in the age-7 block), sample_k_per_source +
+#     neyman_allocation_sample + topk_per_group (two-phase local
+#     prunes), and one representative per table-layer commit path
+#     touched by the carried-manifest schema fix + the tz
+#     normalization + the holds() point lookup: dv_position_delete_audit
+#     (delete_where), stream_mor_upsert_replay (merge_on_read),
+#     table_restore_orders (restore), shallow_clone_divergence (clone),
+#     manifest_two_tier_scan (shard rewrite).
+# (c) the flagship.
+# (d) rule 4 — SLA pressure: ALL 35 queries at the hard age-7 query-SLA
+#     edge (r5 evidence), alphabetical. Family SLA: asof/packing/tracks
+#     get fresh members through the age-7 block; the families sitting
+#     at exactly freshness 3 (formats, journeys, lm, pipelines, search,
+#     udaf) remain within SLA this round and lead round 13's refresher
+#     list.
+# 35 + 14 + 1 = 50.
+# ---------------------------------------------------------------------------
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
     # (b) rule 2: code touched this round
-    "rfm_segments",
-    "stream_mor_upsert_replay",
-    "mor_merge_audit",
-    "small_file_compaction_audit",
-    "table_format_lifecycle",
-    "dv_position_delete_audit",
-    "heavy_hitters_two_pass",
-    "drift_psi_events",
-    # (d) rule 4: the complete age-7 block (r4 evidence)
-    "anti_join",
-    "ann_multiprobe_topk",
-    "approx_distinct_users",
-    "array_envelope",
-    "bloom_semi_join_revenue",
-    "dedup_keep_first",
-    "dict_encode",
-    "diverse_curation",
     "doc_length_quartiles",
-    "embedding_outliers",
-    "exact_percentiles",
-    "filter_array_overlap",
-    "flatten_collect",
-    "group_collect_sorted",
-    "grouping_sets_pricing",
-    "intersect_except_custkeys",
-    "monthly_rollup",
-    "proj_cast",
-    "rollup_pricing",
-    "semi_join",
-    "star_join_revenue",
+    "rfm_segments",
+    "heavy_hitters_two_pass",
+    "gini_revenue_concentration",
+    "quantile_normalize_lengths",
+    "token_budget_per_source",
+    "sample_k_per_source",
+    "neyman_allocation_sample",
     "topk_per_group",
-    # (d) family SLA refreshers (freshest member would hit age 4 at
-    # round 12 otherwise; oldest member of each family chosen)
-    "quality_classifier_scores",
-    "q9_profit_nation_year",
-    "seasonal_naive_forecast",
-    "item_item_cosine",
-    # (b) rule 2, mid-round expansion: one representative per code path
-    # touched by the metadata-read/commit-latency work
-    "partition_spec_evolution_scan",
-    "manifest_stats_scan",
-    "zorder_rectangle_scan",
-    "table_tag_travel",
+    "dv_position_delete_audit",
+    "stream_mor_upsert_replay",
+    "table_restore_orders",
     "shallow_clone_divergence",
-    "dv_schema_evolution_scan",
-    "table_snapshots_metadata",
-    # (d) rule 4 fill: age-6 (r5 evidence) tail, alphabetical
-    "annotator_agreement_iou",
-    "approx_median_band",
-    "cohort_retention",
-    "dataset_card",
-    "dup_rate_by_source",
-    "event_transitions",
-    "funnel_conversion",
-    "hashed_doc_vectors",
+    "manifest_two_tier_scan",
+    # (d) rule 4: the complete age-7 block (r5 evidence), alphabetical
+    "ann_pq_topk",
+    "band_join_balances",
+    "cdc_apply_orders",
+    "count_min_user_freq",
+    "curate_images",
+    "cvat_image_tags",
+    "dsir_importance_weights",
+    "fuzzy_name_pairs",
+    "hourly_anomaly_flags",
+    "image_phash_near_dup",
+    "image_redact_checksum",
+    "image_resize_checksum",
+    "incremental_dedup_batches",
+    "kmeans_inertia",
+    "lang_source_chisq",
+    "length_bucket_batches",
+    "lineitem_correlations",
+    "ols_value_trend",
+    "portable_hll_users",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "remove_dup_passages",
+    "salted_join_revenue",
+    "schema_evolution_read",
+    "sequence_pack_bpe",
+    "sessionize_events",
+    "stream_dedup_replay",
+    "stream_enrich_replay",
+    "stream_interval_join_replay",
+    "token_budget_bpe",
+    "top_dup_passages",
+    "unigram_entropy_docs",
+    "unpivot_event_counts",
+    "weighted_sample_docs",
+    "winsorized_stats",
 ]
 
 

@@ -125,7 +125,7 @@ def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         CHAR_BUDGET,
-        order_by=[F.col("n_chars").asc(), F.col("doc_id").asc()],
+        order_cols=["n_chars", "doc_id"],
     ).select("doc_id", "source", "n_chars")
 
 
@@ -237,7 +237,7 @@ def token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_bpe_tokens",
         BPE_BUDGET,
-        order_by=[F.col("n_bpe_tokens").asc(), F.col("doc_id").asc()],
+        order_cols=["n_bpe_tokens", "doc_id"],
     ).select("doc_id", "source", "n_bpe_tokens")
 
 

@@ -660,12 +660,22 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
+    # Two-phase top-k: o_orderpriority is a 5-value skewed dictionary
+    # key, so the fact-sized phase windows on (input partition, group)
+    # and only the <= k*P survivors ride the bare per-group window
+    # (r12 skew-partition-window lint; waived as bounded-input).
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    local = Window.partitionBy(
+        F.spark_partition_id(), "o_orderpriority"
+    ).orderBy(*order)
+    pruned = (
         t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= 3)
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(*order)
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )

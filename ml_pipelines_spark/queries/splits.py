@@ -341,11 +341,25 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nh").cast("long"),
         ).alias("n_take"),
     )
-    rw = Window.partitionBy("source").orderBy(
+    # Two-phase rank: n_take <= _NEY_BUDGET, so each input partition
+    # first keeps its own <= budget rows per source and only <= budget*P
+    # survivors ride the bare per-source window — source is a skewed
+    # dictionary key (r12 skew-partition-window lint; waived as
+    # bounded-input on the survivor phase).
+    ney_order = [
         F.md5(F.concat(F.lit("ney"), F.col("doc_id").cast("string"))),
-        "doc_id",
+        F.col("doc_id"),
+    ]
+    local = Window.partitionBy(F.spark_partition_id(), "source").orderBy(
+        *ney_order
     )
-    ranked = docs.select(
+    pruned = (
+        docs.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= _NEY_BUDGET)
+        .drop("__lr")
+    )
+    rw = Window.partitionBy("source").orderBy(*ney_order)
+    ranked = pruned.select(
         "doc_id", "source", F.row_number().over(rw).alias("rn")
     )
     return (

@@ -83,11 +83,17 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Gini of customer revenue (revenue-active customers).
 
     Plan: orders aggregate to customer grain (the ONLY fact shuffle),
-    customer/nation attach as dimension joins, and the rank + sums run
-    per nation — a few hundred rows per group at any SF. All Gini
-    terms are exact BIGINTs; int64 holds while n·Σx stays under ~9e18
+    customer/nation attach as dimension joins, and the within-nation
+    rank rides edf.grouped_ordered_rank — per-(nation, range-bucket)
+    window partitions with driver-cumulated bucket offsets, because a
+    nation is a 25-value skewed key and customers scale with the data:
+    a bare per-nation window is |customers|/25 through one task at
+    100 TB (the r12 skew-partition-window lint class). All Gini terms
+    are exact BIGINTs; int64 holds while n·Σx stays under ~9e18
     (requote to dollars past that).
     """
+    from ..operators.edf import grouped_ordered_rank
+
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
     per_cust = (
         t(spark, sf_dir, "orders")
@@ -97,18 +103,14 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    ranked = (
+    joined = (
         per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            "x",
-            F.row_number()
-            .over(Window.partitionBy("n_name").orderBy("x", "o_custkey"))
-            .cast("long")
-            .alias("i"),
-        )
+        .select(F.col("n_name").alias("nation"), "x", "o_custkey")
     )
+    ranked = grouped_ordered_rank(
+        joined, ["nation"], ["x", "o_custkey"], "i"
+    ).select("nation", "x", F.col("i").cast("long").alias("i"))
     n = F.count(F.lit(1)).cast("long")
     sx = F.sum("x").cast("long")
     six = F.sum(F.col("i") * F.col("x")).cast("long")

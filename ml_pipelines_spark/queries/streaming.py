@@ -16,6 +16,28 @@ from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
 from .registry import query
 from .relational import t
 
+
+def _stamp_replay_wave(dirs, wave: int, seen: set) -> None:
+    """Pin FileStreamSource's oldest-modification-first ordering for a
+    replay WITHOUT sleeping: stamp the wave's part-files with a
+    synthetic, strictly increasing mtime (fixed past epoch + wave; the
+    source compares modification time only). The old shape slept 1.1 s
+    between waves so filesystem mtimes would tick — pure wall-clock on
+    every replay query, ~1-2 s each at sf0.1 (r12 stream profiling).
+    Only files not seen in an earlier wave are stamped, so re-appending
+    into the same directory keeps earlier waves strictly older."""
+    import os
+
+    base = 1_700_000_000 + wave * 100
+    for d in dirs if isinstance(dirs, (list, tuple)) else [dirs]:
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                if p in seen or not f.endswith(".parquet"):
+                    continue
+                os.utime(p, (base, base))
+                seen.add(p)
+
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
@@ -777,18 +799,26 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(-1, "2030-01-01 00:00:00")], ["b_user", "b_ts"]
         ).select("b_user", F.col("b_ts").cast("timestamp").alias("b_ts"))
         # the sentinel must be the LAST file each source picks up:
-        # FileStreamSource orders by modification time
-        time.sleep(1.1)
+        # FileStreamSource orders by modification time — pinned with
+        # synthetic mtimes instead of the old 1.1 s sleep
+        seen: set = set()
+        _stamp_replay_wave([d1, d2], 0, seen)
         sentinel_c.repartition(1).write.mode("append").parquet(d1)
         sentinel_b.repartition(1).write.mode("append").parquet(d2)
+        _stamp_replay_wave([d1, d2], 1, seen)
+        # 2 data files arrive in ONE trigger, the sentinel in the next:
+        # still a multi-batch replay (watermark advances across
+        # triggers, the sentinel batch flushes unmatched outer rows),
+        # one state-store micro-batch cheaper than one-file-per-trigger
+        # (r12 per-trigger profile: ~1.2 s per extra batch, BASELINE.md)
         s1 = (
             spark.readStream.schema(spark.read.parquet(d1).schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(d1)
         )
         s2 = (
             spark.readStream.schema(spark.read.parquet(d2).schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(d2)
         )
         # the attribution window is derived from c_ts (not a stored
@@ -901,15 +931,17 @@ def stream_timeout_sessions_replay(
         ev.filter(F.col("ts") < cut).coalesce(1).write.mode(
             "overwrite"
         ).parquet(d)
-        time.sleep(1.1)
+        seen: set = set()
+        _stamp_replay_wave(d, 0, seen)
         ev.filter(F.col("ts") >= cut).coalesce(1).write.mode(
             "append"
         ).parquet(d)
+        _stamp_replay_wave(d, 1, seen)
         sentinel = spark.createDataFrame(
             [("__sentinel__", "2030-01-01 00:00:00")], ["key", "ts"]
         ).select("key", F.col("ts").cast("timestamp").alias("ts"))
-        time.sleep(1.1)
         sentinel.repartition(1).write.mode("append").parquet(d)
+        _stamp_replay_wave(d, 2, seen)
         stream = (
             spark.readStream.schema(spark.read.parquet(d).schema)
             .option("maxFilesPerTrigger", "1")

@@ -874,14 +874,22 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(i / _QN_GRID) for i in range(_QN_GRID + 1)]),
         ).alias("grid")
     )
-    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    wc = Window.partitionBy("source")
+    # source is a skewed dictionary key — the within-source rank and
+    # count ride edf.grouped_ordered_rank (per-(source, range-bucket)
+    # window partitions + driver-cumulated offsets), never a bare
+    # per-source window over the fact table (r12 skew-partition-window
+    # lint). (doc_id is unique, so RANK == ROW_NUMBER here.)
+    from ..operators.edf import grouped_ordered_rank
+
+    rk = grouped_ordered_rank(
+        docs, ["source"], ["n_tokens", "doc_id"], "__i", total_col="__n"
+    )
     p = (
-        (F.rank().over(w) - 1).cast("double")
-        / F.greatest(F.count(F.lit(1)).over(wc) - 1, F.lit(1))
+        (F.col("__i") - 1).cast("double")
+        / F.greatest(F.col("__n") - 1, F.lit(1))
         * _QN_GRID
     )
-    ranked = docs.select("doc_id", "source", "n_tokens", p.alias("p"))
+    ranked = rk.select("doc_id", "source", "n_tokens", p.alias("p"))
     lo = F.least(F.floor("p").cast("int"), F.lit(_QN_GRID))
     hi = F.least(lo + 1, F.lit(_QN_GRID))
     glo = F.element_at(F.col("grid"), lo + 1)

@@ -182,3 +182,32 @@ def test_two_process_writers_both_commit_via_sqlite(spark, tmp_path):
             assert not os.path.exists(f"{table}/_claims")
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+def test_holds_point_lookup_all_backends(spark, tmp_path):
+    # ADVICE r11: the commit-path check is a POINT lookup (one
+    # exists/SELECT), never `key in held()` (O(versions) enumeration).
+    # Contract: holds() agrees with held() membership on every backend.
+    from ml_pipelines_spark.operators.claims import (
+        CatalogClaimBackend,
+        FileSystemClaimBackend,
+        JdbcClaimBackend,
+        SqliteClaimBackend,
+    )
+
+    t = str(tmp_path / "tbl")
+    backends = [
+        FileSystemClaimBackend(),
+        CatalogClaimBackend(),
+        SqliteClaimBackend(str(tmp_path / "claims.db")),
+        JdbcClaimBackend(f"jdbc:derby:{tmp_path}/holdsdb;create=true"),
+    ]
+    for b in backends:
+        name = type(b).__name__
+        assert not b.holds(spark, t, "v=1"), name
+        assert b.claim(spark, t, "v=1"), name
+        assert b.holds(spark, t, "v=1"), name
+        assert not b.holds(spark, t, "v=2"), name
+        assert "v=1" in b.held(spark, t), name
+        b.release(spark, t, "v=1")
+        assert not b.holds(spark, t, "v=1"), name

@@ -132,3 +132,76 @@ def test_ordered_ntile_no_global_window(spark):
     # zero unpartitioned Window nodes, no cartesian, no python UDF —
     # the whole point of the driver-cumulated offsets
     assert lint(out) == []
+
+
+@pytest.mark.parametrize(
+    "seed,n_rows,n", [(7, 211, 4), (9, 9, 4), (13, 400, 7)]
+)
+def test_grouped_ordered_ntiles_matches_serial(spark, seed, n_rows, n):
+    # exact NTILE(n) OVER (PARTITION BY g ORDER BY k, uid) on a SKEWED
+    # group key (one group holds ~70% of rows), a null group, and a
+    # tiny group with fewer rows than n
+    from ml_pipelines_spark.operators.edf import grouped_ordered_ntiles
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        r = rng.random()
+        g = "big" if r < 0.7 else ("mid" if r < 0.9 else None)
+        rows.append((g, rng.randrange(0, 8), i))
+    rows += [("tiny", 0, n_rows), ("tiny", 1, n_rows + 1)]
+    df = spark.createDataFrame(rows, ["g", "k", "uid"])
+    got = {
+        r.uid: r.tile
+        for r in grouped_ordered_ntiles(
+            df, ["g"], ["k", "uid"], n, "tile", num_partitions=8
+        ).collect()
+    }
+    serial = {}
+    for g in {"big", "mid", "tiny", None}:
+        grp = sorted((k, uid) for gg, k, uid in rows if gg == g)
+        q, rem = divmod(len(grp), n)
+        r = 0
+        for b in range(1, n + 1):
+            size = q + 1 if b <= rem else q
+            for _ in range(size):
+                if r < len(grp):
+                    serial[grp[r][1]] = b
+                    r += 1
+    assert got == serial
+    assert len(got) == len(rows)
+
+
+def test_grouped_ordered_ntiles_plan_is_skew_free(spark):
+    # no unpartitioned window, no cartesian, no per-group single-task
+    # funnel: every Window node partitions by (group, range-bucket)
+    from ml_pipelines_spark.operators.edf import grouped_ordered_ntiles
+    from ml_pipelines_spark.plans.audit import lint, plan_text
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "id % 97 AS k", "id AS uid"
+    )
+    out = grouped_ordered_ntiles(df, ["g"], ["k", "uid"], 4, "tile",
+                                 num_partitions=8)
+    assert lint(out) == []
+    # the window partition key includes the helper bucket column
+    text = plan_text(out)
+    assert "__gb" in text
+
+
+def test_ntile_helper_name_collision_raises(spark):
+    from ml_pipelines_spark.operators.edf import (
+        grouped_ordered_ntiles,
+        ordered_ntiles,
+    )
+
+    df = spark.range(10).selectExpr("id AS uid", "id % 3 AS __nb")
+    with pytest.raises(ValueError, match="__nb"):
+        ordered_ntiles(df, [(["uid"], "tile")], 4)
+    df2 = spark.range(10).selectExpr("id AS uid", "id % 3 AS __gb")
+    with pytest.raises(ValueError, match="__gb"):
+        grouped_ordered_ntiles(df2, ["__gb"], ["uid"], 4, "tile")
+    # output-name collision is also an error, not a silent clobber
+    df3 = spark.range(10).selectExpr("id AS uid", "id % 3 AS tile")
+    with pytest.raises(ValueError, match="tile"):
+        grouped_ordered_ntiles(df3, ["tile"], ["uid"], 4, "tile")

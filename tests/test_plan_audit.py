@@ -82,3 +82,60 @@ def test_lint_clean_on_registry_flagships(spark, sf_dir):
 
     assert lint(QUERIES["q1_pricing_summary"](spark, sf_dir)) == []
     assert lint(QUERIES["star_join_revenue"](spark, sf_dir)) == []
+
+
+def test_skew_partition_window_rule(spark, sf_dir):
+    # VERDICT r11 item 3: rank/ntile windows partitioned ONLY by a
+    # dictionary-class column (lang, source, nation...) are a skew
+    # funnel the global-window rule cannot see. Violating plan fires;
+    # the grouped range-bucket twin (partition includes the helper
+    # bucket column) and a high-cardinality partition are clean.
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.select(
+        "doc_id",
+        F.ntile(4)
+        .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("q"),
+    )
+    assert "skew-partition-window" in _rules(lint(bad))
+    # audited-caller escape hatch mirrors max_unpartitioned_window_inputs
+    assert "skew-partition-window" not in _rules(
+        lint(bad, max_skew_partition_windows=1)
+    )
+
+    from ml_pipelines_spark.operators.edf import grouped_ordered_ntiles
+
+    good = grouped_ordered_ntiles(
+        docs.select("doc_id", "lang", "n_chars"),
+        ["lang"], ["n_chars", "doc_id"], 4, "q",
+    )
+    assert "skew-partition-window" not in _rules(lint(good))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    high_card = ev.select(
+        "event_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    assert "skew-partition-window" not in _rules(lint(high_card))
+
+
+def test_skew_rule_composite_key_with_fact_column_is_clean(spark, sf_dir):
+    # partitioning by (dictionary key, data-sized key) is real
+    # parallelism — the rule only fires when EVERY partition column is
+    # dictionary-class
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        "event_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type", "user_id").orderBy("ts")
+        )
+        .alias("rn"),
+    )
+    assert "skew-partition-window" not in _rules(lint(df))

@@ -31,6 +31,17 @@ Waiver semantics, per group:
   a deterministic output ordering over a k-row result. The
   data-sized phase is always partitioned; only the reduced frame
   funnels through one task.
+- SKEW_WINDOW — a Window partitioned only by a dictionary-class key
+  (VERDICT r11 / r12 rule) whose INPUT is bounded: either an
+  aggregate at day/hour/vocabulary grain (rows = |dictionary| x
+  time-or-vocab grain, not fact-sized), or the survivor phase of a
+  two-phase prune (<= k*P rows after a (spark_partition_id, group)
+  local window). The fact-sized single-phase shapes this rule exists
+  for (doc_length_quartiles' per-lang NTILE, gini's per-nation rank,
+  token_budget's per-source cumsum, sample_k/topk/neyman's per-group
+  row_number) were all rewritten onto grouped range-bucket forms or
+  two-phase prunes in round 12 — the waivers below are only the
+  bounded residues.
 """
 
 from __future__ import annotations
@@ -116,7 +127,8 @@ GLOBAL_WINDOW = {
     "q20_dominant_suppliers",
     "q21_late_sole_supplier",
     "q2_min_cost_supplier",
-    "quantile_normalize_lengths",
+    # quantile_normalize_lengths: removed r12 — the grouped
+    # range-bucket rank rewrite killed its global window
     "quantile_treatment_effects",
     "rrf_hybrid_search",
     # rank windows over two-phase-pruned k·P survivors + the 10-row
@@ -133,11 +145,31 @@ GLOBAL_WINDOW = {
     "yolo_export_lines",
 }
 
+SKEW_WINDOW = {
+    # day-grain aggregate input (|event_type| x days rows)
+    "conformal_forecast_band",
+    "cusum_change_points",
+    "ewma_daily_value",
+    # hour-grain aggregate input
+    "hourly_anomaly_flags",
+    # <= k*P survivors of the two-phase bottom-k hash prune
+    "kmv_distinct_users",
+    "kmv_set_ops_users",
+    # <= budget*P / k*P survivors of a (partition_id, group) local prune
+    "neyman_allocation_sample",
+    "sample_k_per_source",
+    "topk_per_group",
+    # (source, token) vocabulary-grain aggregate input
+    "zipf_slope_by_source",
+}
+
 WAIVERS: dict[str, set[str]] = {}
 for name in CARTESIAN_SCALAR | CARTESIAN_DIM:
     WAIVERS.setdefault(name, set()).add("cartesian")
 for name in GLOBAL_WINDOW:
     WAIVERS.setdefault(name, set()).add("global-window")
+for name in SKEW_WINDOW:
+    WAIVERS.setdefault(name, set()).add("skew-partition-window")
 
 # Never waivable: there is no bounded-input justification for
 # row-at-a-time Python or an aggregate-free single-partition funnel.

@@ -572,3 +572,26 @@ def test_rfm_segments_zero_unpartitioned_windows(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the three score ranks each ride a bucket-partitioned window
     assert plan.count("Window") >= 3
+
+
+def test_doc_length_quartiles_no_per_lang_window(spark, sf_dir):
+    # VERDICT r11 weak item: the per-language NTILE. A language
+    # partition is not a dictionary — the dominant language at 100 TB
+    # is one task's worth of the whole corpus. The rewrite routes
+    # through grouped_ordered_ntiles: every Window node must partition
+    # by (lang, __gb range bucket), and no ntile() window function may
+    # appear anywhere in the plan.
+    import re
+
+    from ml_pipelines_spark.plans.audit import lint
+    from ml_pipelines_spark.queries.registry import QUERIES
+
+    df = QUERIES["doc_length_quartiles"](spark, sf_dir)
+    assert lint(df) == []
+    plan = _plan(df)
+    assert "ntile(" not in plan
+    # every window partition spec that mentions lang also carries the
+    # range-bucket helper — no lang-only partition survives
+    for line in plan.splitlines():
+        if "Window" in line and "lang" in line:
+            assert "__gb" in line, line

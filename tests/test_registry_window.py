@@ -119,3 +119,25 @@ def test_family_sla_every_family_fresh_within_3_rounds():
 def test_every_query_registered_and_oracle_subset():
     assert set(ORACLES) <= set(QUERIES)
     assert set(_CHECK_FIRST) <= set(QUERIES)
+
+
+def test_coverage_doc_census_matches_registry():
+    # VERDICT r11 item 5: the COVERAGE.md header count drifted from the
+    # runtime registry once; keep it mechanical. The doc must state the
+    # exact registered-query total and the bench-only count.
+    import os
+    import re
+
+    from ml_pipelines_spark.queries import QUERIES
+    from ml_pipelines_spark.queries.registry import BENCH_ONLY
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    m = re.search(r"(\d+) registered queries", doc)
+    assert m, "COVERAGE.md lost its census line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md says {m.group(1)} registered queries; the runtime "
+        f"registry has {len(QUERIES)} — update the doc header"
+    )
+    assert f"{len(BENCH_ONLY)} bench-only" in doc
