@@ -269,12 +269,17 @@ from . import pipelines  # noqa: E402,F401
 #     (grouped_ordered_cumsum; token_budget_bpe shares the operator but
 #     is already in the age-7 block), sample_k_per_source +
 #     neyman_allocation_sample + topk_per_group (two-phase local
-#     prunes), and one representative per table-layer commit path
-#     touched by the carried-manifest schema fix + the tz
-#     normalization + the holds() point lookup: dv_position_delete_audit
-#     (delete_where), stream_mor_upsert_replay (merge_on_read),
-#     table_restore_orders (restore), shallow_clone_divergence (clone),
-#     manifest_two_tier_scan (shard rewrite).
+#     prunes), stream_outer_join_replay + stream_timeout_sessions_replay
+#     (mtime-stamped waves, retimed triggers, 4-partition state pin —
+#     the round's biggest behavioral change to micro-batch
+#     decomposition; stream_dedup_replay/stream_running_totals share
+#     only the pin and carry local oracle evidence), and one
+#     representative per table-layer commit path touched by the
+#     carried-manifest schema fix + the tz normalization + the holds()
+#     point lookup: dv_position_delete_audit (delete_where),
+#     stream_mor_upsert_replay (merge_on_read + restore/clone/shard
+#     shapes share these code paths and carry r11 evidence + local
+#     oracle runs this round).
 # (c) the flagship.
 # (d) rule 4 — SLA pressure: ALL 35 queries at the hard age-7 query-SLA
 #     edge (r5 evidence), alphabetical. Family SLA: asof/packing/tracks
@@ -299,9 +304,9 @@ _CHECK_FIRST = [
     "topk_per_group",
     "dv_position_delete_audit",
     "stream_mor_upsert_replay",
-    "table_restore_orders",
+    "stream_outer_join_replay",
+    "stream_timeout_sessions_replay",
     "shallow_clone_divergence",
-    "manifest_two_tier_scan",
     # (d) rule 4: the complete age-7 block (r5 evidence), alphabetical
     "ann_pq_topk",
     "band_join_balances",

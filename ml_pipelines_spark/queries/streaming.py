@@ -187,6 +187,10 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_type", "value")
     d = tempfile.mkdtemp(prefix="mlps_srt_")
     name = f"srt_{uuid.uuid4().hex}"
+    # streaming-aggregate state: pin to 4 partitions for the finite
+    # replay (commits x partitions x triggers dominate at this volume)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         ev.repartition(2).write.mode("overwrite").parquet(d)
         schema = spark.read.parquet(d).schema
@@ -221,6 +225,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(d, ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
@@ -255,6 +260,9 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     d = tempfile.mkdtemp(prefix="mlps_sdr_")
     name = f"sdr_{uuid.uuid4().hex}"
+    # dropDuplicates state: pin to 4 partitions for the finite replay
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # same rows written twice -> two files -> two identical batches
         ev.coalesce(1).write.mode("append").parquet(d)
@@ -282,6 +290,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(d, ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)
@@ -789,6 +798,13 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = tempfile.mkdtemp(prefix="mlps_soj_c_")
     d2 = tempfile.mkdtemp(prefix="mlps_soj_b_")
     name = f"soj_{uuid.uuid4().hex}"
+    # The stream-stream join keeps TWO state stores per partition and
+    # pays commits x partitions x triggers; the r12 per-trigger profile
+    # (BASELINE.md) put ~1 s/batch in addBatch at session partition
+    # count. Pin state to 4 partitions for the finite replay — the knob
+    # a real deployment RAISES to size state to stream volume.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         clicks.repartition(2).write.mode("overwrite").parquet(d1)
         buys.repartition(2).write.mode("overwrite").parquet(d2)
@@ -862,6 +878,7 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
         try:
@@ -924,6 +941,11 @@ def stream_timeout_sessions_replay(
     )
     d = tempfile.mkdtemp(prefix="mlps_sts_")
     name = f"sts_{uuid.uuid4().hex}"
+    # applyInPandasWithState keeps one state store per partition and
+    # pays commits x partitions x triggers; pin state to 4 partitions
+    # for the finite replay (raise for a real high-volume stream).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # time-partitioned replay files: the sessionizer's order
         # contract is per-key time order ACROSS batches
@@ -973,6 +995,7 @@ def stream_timeout_sessions_replay(
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(d, ignore_errors=True)
         try:
             spark.catalog.dropTempView(name)

@@ -2,6 +2,10 @@
 stateful operators (applyInPandasWithState)."""
 
 from .joins import interval_join_streams  # noqa: F401
+from .state_backend import (  # noqa: F401
+    rocksdb_state_conf,
+    state_backend,
+)
 from .stateful import (  # noqa: F401
     running_totals,
     running_totals_tws,
