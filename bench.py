@@ -327,6 +327,9 @@ HEADLINE = [
     # change-data-feed between table versions; exact higher moments
     "table_change_feed",
     "moments_by_segment",
+    # round-12 incremental append scan + table-appends streaming source
+    "table_incremental_appends",
+    "stream_table_appends_replay",
     # round-8 table-lifecycle completion: metadata-only ALTERs, RESTORE,
     # WAP stage/audit/publish + expire GC, secondary-column stats prune,
     # per-file bloom point lookup — each timing includes its one-time

@@ -300,13 +300,18 @@ _CHECK_FIRST = [
     "quantile_normalize_lengths",
     "token_budget_per_source",
     "sample_k_per_source",
-    "neyman_allocation_sample",
+    # (neyman_allocation_sample shares the two-phase prune shape with
+    # sample_k/topk and keeps local oracle evidence; displaced by the
+    # two rule-1 registrations)
     "topk_per_group",
     "dv_position_delete_audit",
     "stream_mor_upsert_replay",
     "stream_outer_join_replay",
     "stream_timeout_sessions_replay",
-    "shallow_clone_divergence",
+    # (a) rule 1: registered this round, never driver-checked — the
+    # incremental append scan + the table-appends streaming source
+    "table_incremental_appends",
+    "stream_table_appends_replay",
     # (d) rule 4: the complete age-7 block (r5 evidence), alphabetical
     "ann_pq_topk",
     "band_join_balances",

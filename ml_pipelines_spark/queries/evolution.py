@@ -2206,3 +2206,129 @@ def small_file_compaction_audit(
         .withColumn("n_big_carried", F.lit(n_big).cast("long"))
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental APPEND scan + the table-appends streaming source: an
+# append-only 3-version table (orders sliced by o_orderkey % 3, one
+# slice per commit), consumed two ways against the same declarative
+# oracle. The batch query reads "(v1, latest]" — exactly the files
+# versions 2 and 3 appended, tagged with their commit version from the
+# v=N path (operators/appends.py). The streaming query replays ALL
+# versions through spark.readStream.format("table_appends") — Spark 4
+# Python DataSource, offsets = committed versions, one micro-batch per
+# version under maxVersionsPerTrigger=1 — and must reconstruct every
+# slice exactly. A wrong file diff (carried file re-emitted, appended
+# file missed) or a version misattribution breaks either hash; the
+# non-append guard rails (compaction/delete/restore in range raise)
+# are pytest-asserted in tests/test_table_appends.py.
+# ---------------------------------------------------------------------------
+_APPENDS_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _appends_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.manifest import append_snapshot, write_manifest_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _APPENDS_DIRS:
+        out_dir = tempfile.mkdtemp(prefix="table_app_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        orders = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_manifest_table(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            out_dir,
+            "o_orderkey",
+            num_files=4,
+        )
+        for m in (1, 2):
+            append_snapshot(
+                orders.filter(F.col("o_orderkey") % 3 == m),
+                out_dir,
+                "o_orderkey",
+                num_files=2,
+            )
+        _APPENDS_DIRS[key] = out_dir
+    return _APPENDS_DIRS[key]
+
+
+@query(
+    "table_incremental_appends",
+    """
+    SELECT CAST(o_orderkey % 3 AS INT) + 1 AS commit_version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY 1
+    """,
+)
+def table_incremental_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.appends import read_appends
+
+    path = _appends_table_dir(spark, sf_dir)
+    inc = read_appends(spark, path, from_version=1)
+    return inc.groupBy(
+        F.col("_commit_version").alias("commit_version")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "stream_table_appends_replay",
+    """
+    SELECT CAST(o_orderkey % 3 AS INT) + 1 AS commit_version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def stream_table_appends_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    from ..sources.table_appends_datasource import TableAppendsDataSource
+
+    path = _appends_table_dir(spark, sf_dir)
+    try:
+        spark.dataSource.register(TableAppendsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    name = f"tap_{uuid.uuid4().hex}"
+    q = (
+        spark.readStream.format("table_appends")
+        .option("path", path)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.table(name).groupBy(
+        F.col("_commit_version").alias("commit_version")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+    )
+    rows = final.collect()
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, final.schema)
