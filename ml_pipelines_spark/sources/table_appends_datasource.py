@@ -98,9 +98,37 @@ def _manifest_file_set(fs, root: str, version: int) -> set[str]:
 def _sidecar_versions_in(
     fs, root: str, sidecar: str, lo: int, hi: int
 ) -> list[int]:
-    return [
-        v for v in _committed_versions(fs, root, sidecar) if lo < v <= hi
-    ]
+    """Commit versions recorded by ``sidecar`` inside ``(lo, hi]``.
+
+    Two sidecar layouts exist (operators/manifest.py): ``_posdeletes``
+    is hive-partitioned (``v=N`` dirs — answered from the listing,
+    zero bytes read), while ``_restores`` / ``_schema_events`` are
+    FLAT append dirs whose version is a ``v`` COLUMN — those need a
+    one-column read of the (tiny, event-count-sized) sidecar."""
+    import pyarrow.fs as pafs
+
+    parted = _committed_versions(fs, root, sidecar)
+    if parted:
+        return [v for v in parted if lo < v <= hi]
+    info = fs.get_file_info(f"{root}/{sidecar}")
+    if info.type != pafs.FileType.Directory:
+        return []
+    import pyarrow.dataset as pds
+
+    try:
+        col = (
+            pds.dataset(
+                f"{root}/{sidecar}", format="parquet", filesystem=fs
+            )
+            .to_table(columns=["v"])
+            .column("v")
+            .to_pylist()
+        )
+    except Exception:
+        # exists but unreadable (crashed writer's _temporary only):
+        # same degrade-to-empty the batch _restore_map applies
+        return []
+    return sorted({int(v) for v in col if lo < int(v) <= hi})
 
 
 def _data_path(file_uri: str, root: str) -> str:

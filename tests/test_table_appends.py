@@ -254,3 +254,44 @@ def test_stream_refuses_non_append_span(spark, table3):
     )
     assert out.count() == 0
     spark.catalog.dropTempView("tap_after")
+
+
+def test_stream_refuses_restore_and_schema_event_spans(spark, table3):
+    # _restores/_schema_events are FLAT sidecars (the version is a
+    # column, not a v=N dir) — the streaming guard must read them,
+    # not just list partitions (r12 self-review fix)
+    from ml_pipelines_spark.operators.manifest import (
+        rename_column,
+        restore_snapshot,
+    )
+    from ml_pipelines_spark.sources.table_appends_datasource import (
+        TableAppendsDataSource,
+        _fs_and_root,
+        _sidecar_versions_in,
+    )
+
+    restore_snapshot(spark, table3, 1)      # v4 (removes v2/v3 files)
+    rename_column(spark, table3, "x", "y")  # v5 schema event
+    fs, root = _fs_and_root(table3)
+    assert _sidecar_versions_in(fs, root, "_restores", 0, 99) == [4]
+    assert _sidecar_versions_in(fs, root, "_schema_events", 0, 99) == [5]
+    assert _sidecar_versions_in(fs, root, "_restores", 4, 99) == []
+    assert _sidecar_versions_in(fs, root, "_none_such", 0, 99) == []
+
+    spark.dataSource.register(TableAppendsDataSource)
+    # a span crossing the restore/rename must refuse (the guard now
+    # fires BEFORE the file-removal fallback would)
+    q = (
+        spark.readStream.format("table_appends")
+        .option("path", table3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("tap_rs")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="RESTORE|schema"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
