@@ -187,3 +187,33 @@ def test_bpe_checkpoint_boundary_is_equivalence_preserving(spark, monkeypatch):
     monkeypatch.setattr(lm, "_BPE_CKPT_EVERY", 10**9)
     never = lm.bpe_train_merges(df, k=k)
     assert every_round == never == _serial_bpe(freqs, k)
+
+
+def test_bpe_input_lineage_executes_once(spark):
+    """r12: the trainer materializes the vocabulary (eager
+    localCheckpoint) BEFORE the merge loop, so the lineage feeding
+    ``words`` executes exactly once — not once per round. Counted with
+    an accumulator inside a mapInPandas stage on the input path: after
+    k rounds the count must equal the number of input partitions, not
+    k x partitions (the pre-r12 shape re-ran the corpus scan per
+    round's argmax job)."""
+    from ml_pipelines_spark.operators.lm import bpe_train_merges
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(1)
+            yield b
+
+    base = spark.createDataFrame(
+        [("banana", 7), ("bandana", 5), ("cabana", 4), ("abba", 3)],
+        ["word", "freq"],
+    ).repartition(2)
+    words = base.mapInPandas(tap, schema="word string, freq long")
+    got = bpe_train_merges(words, k=4)
+    assert len(got) == 4
+    # one Arrow batch per partition at this size; the assertion is the
+    # upper bound that matters: the tap ran during ONE materialization,
+    # not once per merge round.
+    assert acc.value <= 2, f"input lineage re-executed: tap ran {acc.value}x"
