@@ -219,9 +219,24 @@ def dsir_log_weights(
             F.lit(buckets),
         ).alias("bucket"),
     )
-    dim = bkt.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("raw_c"),
-        F.count(F.when(F.col("__tgt"), 1)).alias("tgt_c"),
+    # ONE tokenize pass: the exploded token stream previously fed BOTH
+    # the model build and the score join, re-executing the
+    # tokenize+md5 lineage twice per invocation. Fold it to per-(doc,
+    # bucket) counts first — ≤ |docs|·buckets rows, the frame both
+    # consumers need — and checkpoint THAT (never the token stream; at
+    # 100 TB the count table is the materializable artifact). The
+    # per-doc score becomes Σ_buckets c·lr, algebraically equal to the
+    # old per-token Σ lr and inside the ROUND(5dp) tolerance the query
+    # contract already grants float summation.
+    db = bkt.groupBy("__id", "__tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    db = db.localCheckpoint(eager=True)
+    dim = db.groupBy("bucket").agg(
+        F.sum("__c").alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(0)).alias(
+            "tgt_c"
+        ),
     )
     tot = dim.agg(F.sum("raw_c").alias("r"), F.sum("tgt_c").alias("tt"))
     lr = dim.crossJoin(F.broadcast(tot)).select(
@@ -232,9 +247,12 @@ def dsir_log_weights(
         ).alias("lr"),
     )
     per = (
-        bkt.join(F.broadcast(lr), "bucket")
+        db.join(F.broadcast(lr), "bucket")
         .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("s"))
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__c") * F.col("lr")).alias("s"),
+        )
     )
     return df.select(F.col(id_col).alias("__id")).join(per, "__id", "left").select(
         F.col("__id").alias(id_col),

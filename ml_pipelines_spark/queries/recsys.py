@@ -66,6 +66,13 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    # Materialize the distinct basket set ONCE: four consumers (item
+    # counts, the basket total, both sides of the pair self-join)
+    # otherwise each replay the scan+distinct — the alias projections
+    # defeat exchange reuse, so the r12-before plan carried FIVE
+    # parquet scans of lineitem. Blocks are ContextCleaner-reclaimed
+    # with the plan (guide §1.2: remove redundant passes first).
+    baskets = baskets.localCheckpoint(eager=True)
     item_counts = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("c")
     )

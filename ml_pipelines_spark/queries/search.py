@@ -78,8 +78,18 @@ _BM25_CTES = f"""
 """
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score) for documents matching ≥1 query term."""
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, tf0..tfN) — the per-document BM25 statistics from
+    ONE tokenize pass over the corpus, eagerly localCheckpoint'd.
+
+    Every consumer of the statistics (the corpus aggregate, the score
+    join, the relevance grades in search_eval_ndcg) previously
+    re-executed the tokenize lineage — 2 corpus scans per bm25/rrf
+    invocation and 3+ for the eval query (guide §1.2: remove redundant
+    passes first). The checkpoint is a corpus-row but ~5-int-column
+    frame (at 100 TB: a written doc-stats table, the standard IR
+    posture); blocks are ContextCleaner-reclaimed with the plan, same
+    as the audio fingerprint boundary."""
     docs = t(spark, sf_dir, "documents")
     stats = docs.select(
         "doc_id",
@@ -89,6 +99,15 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, term in enumerate(QUERY_TERMS)
         ],
     )
+    return stats.localCheckpoint(eager=True)
+
+
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, stats: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, score) for documents matching ≥1 query term."""
+    if stats is None:
+        stats = _doc_stats(spark, sf_dir)
     corpus = stats.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -409,15 +428,19 @@ def _rel_sql() -> str:
 def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_bruteforce
 
-    docs = t(spark, sf_dir, "documents")
-    rel = docs.select(
+    # ONE tokenize pass feeds the relevance grades, the IDCG anchor and
+    # the BM25 leg (previously 3+ corpus scans per invocation): rel is
+    # CASE WHEN tf_i > 0 over the shared checkpointed stats — the exact
+    # definition the oracle's rel CTE computes from docstats.
+    stats = _doc_stats(spark, sf_dir)
+    rel = stats.select(
         "doc_id",
         sum(
             (
-                F.when(_tf_col(term) > 0, 1).otherwise(0)
-                for term in QUERY_TERMS[1:]
+                F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+                for i in range(1, len(QUERY_TERMS))
             ),
-            F.when(_tf_col(QUERY_TERMS[0]) > 0, 1).otherwise(0),
+            F.when(F.col("tf0") > 0, 1).otherwise(0),
         ).alias("rel"),
     )
     idcg = (
@@ -437,7 +460,7 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0][0]
     )
-    scored = _bm25_scores(spark, sf_dir)
+    scored = _bm25_scores(spark, sf_dir, stats=stats)
     # two-phase top-k (the bm25_top_docs pattern): per-partition prune
     # to N_FUSE so the global rank window sees k·P survivors, never the
     # full matched corpus
