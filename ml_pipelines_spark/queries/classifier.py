@@ -592,30 +592,30 @@ def feature_ablation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ablated = [w if k != j else 0.0 for k, w in enumerate(weights)]
         aggs.append(hits(ablated).alias(f"h_{j}"))
     aggs.append(F.count(F.lit(1)).alias("n"))
+    # One aggregation pass computes every margin variant, and the six
+    # output rows fan out of that single 1-row result with ONE explode —
+    # the previous union-of-selects re-ran the aggregate over the cached
+    # feature frame once per output row (6 scans -> 1 at any scale).
     one = feats.agg(*aggs)
-    out = one.select(
-        F.lit("full").alias("ablated"),
-        F.col("h_full").cast("long").alias("hits"),
-        F.col("n").cast("long").alias("n_docs"),
-        F.round(F.col("h_full") * 1.0 / F.col("n"), 6).alias("accuracy"),
-        F.round(F.lit(0.0), 6).alias("importance"),
-    )
-    for j, term in enumerate(_TERMS):
-        out = out.unionAll(
-            one.select(
-                F.lit(term).alias("ablated"),
-                F.col(f"h_{j}").cast("long").alias("hits"),
-                F.col("n").cast("long").alias("n_docs"),
-                F.round(F.col(f"h_{j}") * 1.0 / F.col("n"), 6).alias(
-                    "accuracy"
-                ),
-                F.round(
-                    (F.col("h_full") - F.col(f"h_{j}")) * 1.0 / F.col("n"),
-                    6,
-                ).alias("importance"),
-            )
+
+    def _row(name: str, hits_col: str, importance: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("ablated"),
+            F.col(hits_col).cast("long").alias("hits"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col(hits_col) * 1.0 / F.col("n"), 6).alias("accuracy"),
+            F.round(importance, 6).alias("importance"),
         )
-    return out
+
+    rows = [_row("full", "h_full", F.lit(0.0))] + [
+        _row(
+            term,
+            f"h_{j}",
+            (F.col("h_full") - F.col(f"h_{j}")) * 1.0 / F.col("n"),
+        )
+        for j, term in enumerate(_TERMS)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("__r")).select("__r.*")
 
 
 # ---------------------------------------------------------------------------

@@ -1397,13 +1397,21 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(
         docs, "doc_id", "text", num_perm=NUM_PERM, bands=BANDS, shingle_k=3
     ).select("id_a", "id_b")
-    hit = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    # ONE pass over the candidates computes n_cand AND n_hit: a left join
+    # against the (unique-by-construction, swap_cached) truth pairs with
+    # a presence flag replaces the old n_cand aggregate + hit semi-join
+    # pair, each of which re-ran the full MinHash LSH candidate
+    # generation (shingle + signature + band join).
+    flagged = cand.join(
+        truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.count(F.col("__t")).alias("n_hit"),
+    )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        n_true.join(n_cand)
-        .join(n_hit)
+        n_true.join(counts)
         .select(
             "n_true",
             "n_cand",

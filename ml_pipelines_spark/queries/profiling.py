@@ -822,8 +822,13 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_col = F.when(
             F.col("o_totalprice") <= F.col(f"e{i}"), F.lit(i - 1)
         ).otherwise(bin_col)
+    # ONE pass computes both features' bin counts: the broadcast of the
+    # 1-row edges frame attaches the decile cuts to the same scan the
+    # categorical sums read (previously the numeric and categorical
+    # aggregates were two full scans of orders). The 1-row result is
+    # materialized so the two output rows below don't each re-run it.
     binned = orders.join(F.broadcast(edges)).select(
-        ref.alias("ref"), bin_col.alias("bin")
+        ref.alias("ref"), bin_col.alias("bin"), "o_orderpriority"
     )
     aggs = []
     for b in range(_PSI_BINS):
@@ -837,44 +842,44 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when((F.col("bin") == b) & ~F.col("ref"), 1).otherwise(0)
             ).alias(f"c{b}")
         )
+    for b, pri in enumerate(_PRIORITIES):
+        m = F.col("o_orderpriority") == pri
+        aggs.append(
+            F.sum(F.when(m & F.col("ref"), 1).otherwise(0)).alias(f"kr{b}")
+        )
+        aggs.append(
+            F.sum(F.when(m & ~F.col("ref"), 1).otherwise(0)).alias(f"kc{b}")
+        )
     aggs.append(F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("nr"))
     aggs.append(F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("nc"))
-    num_row = binned.agg(*aggs)
+    one_row = binned.agg(*aggs)
 
-    def psi_expr(n_bins: int) -> F.Column:
+    def psi_expr(n_bins: int, prefix_r: str, prefix_c: str) -> F.Column:
         total = None
         for b in range(n_bins):
-            p = (F.col(f"r{b}") + 0.5) / (F.col("nr") + n_bins * 0.5)
-            q = (F.col(f"c{b}") + 0.5) / (F.col("nc") + n_bins * 0.5)
+            p = (F.col(f"{prefix_r}{b}") + 0.5) / (F.col("nr") + n_bins * 0.5)
+            q = (F.col(f"{prefix_c}{b}") + 0.5) / (F.col("nc") + n_bins * 0.5)
             term = (p - q) * F.log(p / q)
             total = term if total is None else total + term
         return total
 
-    num = num_row.select(
-        F.lit("o_totalprice").alias("feature"),
-        F.round(psi_expr(_PSI_BINS), 6).alias("psi"),
-        F.col("nr").cast("long").alias("n_ref"),
-        F.col("nc").cast("long").alias("n_cur"),
-    )
-    # categorical feature: literal class bins
-    cat_aggs = []
-    for b, pri in enumerate(_PRIORITIES):
-        m = F.col("o_orderpriority") == pri
-        cat_aggs.append(
-            F.sum(F.when(m & ref, 1).otherwise(0)).alias(f"r{b}")
+    def _row(feature: str, psi: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(feature).alias("feature"),
+            F.round(psi, 6).alias("psi"),
+            F.col("nr").cast("long").alias("n_ref"),
+            F.col("nc").cast("long").alias("n_cur"),
         )
-        cat_aggs.append(
-            F.sum(F.when(m & ~ref, 1).otherwise(0)).alias(f"c{b}")
-        )
-    cat_aggs.append(F.sum(F.when(ref, 1).otherwise(0)).alias("nr"))
-    cat_aggs.append(F.sum(F.when(~ref, 1).otherwise(0)).alias("nc"))
-    cat = orders.agg(*cat_aggs).select(
-        F.lit("o_orderpriority").alias("feature"),
-        F.round(psi_expr(len(_PRIORITIES)), 6).alias("psi"),
-        F.col("nr").cast("long").alias("n_ref"),
-        F.col("nc").cast("long").alias("n_cur"),
+
+    # Both feature rows fan out of the single 1-row aggregate with one
+    # explode — a union of two selects would re-run the aggregate per row.
+    rows = [
+        _row("o_totalprice", psi_expr(_PSI_BINS, "r", "c")),
+        _row("o_orderpriority", psi_expr(len(_PRIORITIES), "kr", "kc")),
+    ]
+    return one_row.select(F.explode(F.array(*rows)).alias("__r")).select(
+        "__r.*"
     )
-    return num.unionAll(cat)
 
 
 # ---------------------------------------------------------------------------

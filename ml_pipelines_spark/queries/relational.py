@@ -1367,10 +1367,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Materialize the distinct basket set once: it feeds FOUR consumers
+    # (both sides of the pair self-join, the per-brand support counts and
+    # the n_orders anchor) and each would otherwise re-run the
+    # lineitem⋈part join + distinct — the same shared-basket boundary
+    # item_item_cosine uses (at 100 TB this is a written basket table).
     ob = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = ob.alias("a")
     b = ob.alias("b")

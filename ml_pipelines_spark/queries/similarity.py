@@ -794,14 +794,32 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    scored = pair.unionByName(
-        pair.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            F.col("label_b").alias("label_a"),
-            F.col("label_a").alias("label_b"),
-            "cos",
+    # Mirror each unordered pair into both directed rows with ONE explode
+    # in the same stage, instead of a union whose two legs each re-execute
+    # the candidate join + Arrow cosine kernel (exchange reuse only caches
+    # the exchanges, not the join or the Python eval above them — the old
+    # plan carried the whole lineage twice: 16 parquet scans and 12
+    # ArrowEvalPython nodes collapse to one of each per consumer).
+    mirrored = F.explode(
+        F.array(
+            F.struct(
+                F.col("id_a").alias("id_a"),
+                F.col("id_b").alias("id_b"),
+                F.col("label_a").alias("label_a"),
+                F.col("label_b").alias("label_b"),
+                F.col("cos").alias("cos"),
+            ),
+            F.struct(
+                F.col("id_b").alias("id_a"),
+                F.col("id_a").alias("id_b"),
+                F.col("label_b").alias("label_a"),
+                F.col("label_a").alias("label_b"),
+                F.col("cos").alias("cos"),
+            ),
         )
+    )
+    scored = pair.select(mirrored.alias("__m")).select(
+        "__m.id_a", "__m.id_b", "__m.label_a", "__m.label_b", "__m.cos"
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), "id_b")
     agr = (
@@ -1050,7 +1068,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    exact = knn_bruteforce(emb, QUERY_VEC, k=K).select("vec_id")
+    # Collect the k exact top-k ids once (k = 10 — a bounded scalar
+    # anchor, like rfm's 1-row max): they probe all three method rows,
+    # and as a lazy semi-join side the full brute-force cosine scan
+    # re-executed once PER method (3 extra corpus passes). Each hit
+    # count is now a literal IN filter — no join build, no extra scan.
+    exact_ids = [
+        r["vec_id"]
+        for r in knn_bruteforce(emb, QUERY_VEC, k=K).select("vec_id").collect()
+    ]
     methods = {
         "lsh": ann_lsh_topk(emb, QUERY_VEC, k=K, planes=PLANES),
         "multiprobe": ann_multiprobe_topk(emb, QUERY_VEC, k=K, planes=PLANES),
@@ -1060,7 +1086,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in methods.items():
         row = (
             df.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
+            .filter(F.col("vec_id").isin(exact_ids))
             .agg(
                 F.lit(name).alias("method"),
                 F.count(F.lit(1)).alias("n_hit"),
