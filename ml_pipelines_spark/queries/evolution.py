@@ -1243,35 +1243,37 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = legs[0]
     for leg in legs[1:]:
         union = union.unionByName(leg)
-    counts.update(
-        {
-            (r["tbl"], r["phase"]): r["n"]
-            for r in union.groupBy("tbl", "phase")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+    after_agg = union.groupBy("tbl", "phase").agg(
+        F.count(F.lit(1)).alias("n")
     )
     # orphan audit: surviving children that still reference an erased
     # parent, read back THROUGH the tombstone filter on both levels
-    orphan_orders = (
-        survivors["orders"]
-        .join(
-            F.broadcast(erased),
-            survivors["orders"].o_custkey == erased.c_custkey,
-            "left_semi",
-        )
-        .count()
+    orphan_orders_df = survivors["orders"].join(
+        F.broadcast(erased),
+        survivors["orders"].o_custkey == erased.c_custkey,
+        "left_semi",
     )
     live_orderkeys = survivors["orders"].select("o_orderkey")
-    orphan_li = (
-        survivors["lineitem"]
-        .join(
-            live_orderkeys,
-            survivors["lineitem"].l_orderkey
-            == live_orderkeys.o_orderkey,
-            "left_anti",
-        )
-        .count()
+    orphan_li_df = survivors["lineitem"].join(
+        live_orderkeys,
+        survivors["lineitem"].l_orderkey == live_orderkeys.o_orderkey,
+        "left_anti",
+    )
+    # The after-count union and the two orphan counts are independent
+    # actions; submit them from a small thread pool so the scheduler
+    # overlaps the three jobs (each job's tail backfills the others'
+    # executors) instead of running them back to back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_after = pool.submit(after_agg.collect)
+        f_oo = pool.submit(orphan_orders_df.count)
+        f_ol = pool.submit(orphan_li_df.count)
+        after_rows = f_after.result()
+        orphan_orders = f_oo.result()
+        orphan_li = f_ol.result()
+    counts.update(
+        {(r["tbl"], r["phase"]): r["n"] for r in after_rows}
     )
     orphans = {"customer": 0, "orders": orphan_orders, "lineitem": orphan_li}
     data = [

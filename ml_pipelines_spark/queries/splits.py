@@ -449,8 +449,13 @@ _TCV_CUTS = ["2024-01-10 00:00:00", "2024-01-17 00:00:00", "2024-01-24 00:00:00"
     ),
 )
 def temporal_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan of events: each row fans out to the (fold, role) cells
+    # whose time window it satisfies (<= 2·folds memberships, explode in
+    # the scan stage), then a single grouped aggregate computes every
+    # fold summary. The previous union of 6 filtered aggregates scanned
+    # the events table once per cell — 6 full passes at any scale.
     ev = t(spark, sf_dir, "events").select("ts", "user_id")
-    parts = []
+    cells = []
     for k, cut in enumerate(_TCV_CUTS):
         cut_ts = F.lit(cut).cast("timestamp")
         for role, pred in (
@@ -461,21 +466,32 @@ def temporal_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("ts") < cut_ts + F.expr("INTERVAL 7 DAYS")),
             ),
         ):
-            parts.append(
-                ev.filter(pred).agg(
-                    F.lit(k + 1).alias("fold"),
-                    F.lit(role).alias("role"),
-                    F.count(F.lit(1)).alias("n_events"),
-                    F.countDistinct("user_id").alias("n_users"),
-                    F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                        "first_ts"
-                    ),
-                    F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                        "last_ts"
+            cells.append(
+                F.when(
+                    pred,
+                    F.struct(
+                        F.lit(k + 1).alias("fold"), F.lit(role).alias("role")
                     ),
                 )
             )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    fanned = ev.select(
+        "ts",
+        "user_id",
+        F.explode(F.array(*cells)).alias("__cell"),
+    ).filter(F.col("__cell").isNotNull())
+    return (
+        fanned.groupBy(
+            F.col("__cell.fold").alias("fold"),
+            F.col("__cell.role").alias("role"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
+        )
+    )
