@@ -227,6 +227,26 @@ def ordered_ntiles(
     return out
 
 
+#: A window partition of up to this many rows is a HEALTHY task, not a
+#: skew wall: the rows here are narrow (a key, an order column, a
+#: measure — tens of bytes), so 1M rows is a few tens of MB, inside the
+#: guide §2.2 "100 MB - 1 GB per partition" band. Below the gate the
+#: bucket machinery's probe jobs cost more than the window they avoid
+#: (VERDICT r12: a 1.5-5 s fixed price on sub-second queries). The gate
+#: is DATA-sized, not host-sized — the same threshold picks the bucket
+#: path wherever a group outgrows one task, so 100 TB inputs always
+#: take it. Override per session with spark.mlps.edf.smallGroupMaxRows.
+_SMALL_GROUP_CONF = "spark.mlps.edf.smallGroupMaxRows"
+_SMALL_GROUP_DEFAULT = 1_000_000
+
+
+def _small_group_max_rows(spark) -> int:
+    try:
+        return int(spark.conf.get(_SMALL_GROUP_CONF, str(_SMALL_GROUP_DEFAULT)))
+    except Exception:
+        return _SMALL_GROUP_DEFAULT
+
+
 def _grouped_prefix_frame(
     df: DataFrame,
     group_cols: list[str],
@@ -234,6 +254,8 @@ def _grouped_prefix_frame(
     measures: dict[str, "F.Column"],
     num_partitions: int | None,
     where: str,
+    gate_from: DataFrame | None = None,
+    gate_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Shared engine for the grouped-* operators: spread every group
     across data-derived ORDER-column range buckets (operators/ids.py
@@ -248,6 +270,23 @@ def _grouped_prefix_frame(
     them. Parallelism is P regardless of group skew; no window
     partition is ever a whole group.
 
+    SIZE GATE (round 13, VERDICT r12 item 2): the bucket machinery
+    costs two full-lineage probe jobs (cut-point sample + cell counts)
+    before the main pass — a fixed multi-second price that dwarfs the
+    window it replaces whenever groups are small. One dictionary-sized
+    probe (``groupBy(group).count()``) now decides the path: when the
+    LARGEST group is <= ``spark.mlps.edf.smallGroupMaxRows`` (default
+    1M — a few tens of MB through one task, guide §2.2's healthy band),
+    every group fits a single window task and the frame degenerates to
+    ``__gb = 0`` with zero offsets and window-computed totals — no
+    sample job, no cells job, no lookup join; the plan is the bare
+    per-group window plus one constant key (the gate probe has PROVED
+    the bounded-input justification the skew-window lint rule asks
+    for). Above the gate the original bucket path runs unchanged; its
+    now-three probe jobs are noise at the data volume that triggers it.
+    Both paths compute identical values (the rank/cumsum arithmetic is
+    exact either way), so results never depend on the gate.
+
     ``group_cols`` values may be null (a null group is its own
     partition, matching SQL windows); ``order_cols`` must be non-null.
     ``group_cols`` cardinality must be driver-sized — this is a skew
@@ -256,18 +295,52 @@ def _grouped_prefix_frame(
     so the driver cumulation is exact.
     """
     spark = df.sparkSession
-    helper = {"__gb", "__k", "__r"}
+    helper = {"__gb", "__k", "__r", "__n"}
     for m in measures:
         helper |= {f"__off_{m}", f"__tot_{m}"}
     _guard_names(df, helper, where)
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    names = sorted(measures)
+    # ``gate_from``: optional CHEAPER stand-in for the gate probe. It is
+    # LOAD-BEARING like dense_ids' counts_from — its per-group counts
+    # (grouped by ``gate_group_cols``, default ``group_cols``) must be
+    # an UPPER BOUND on df's per-group counts (e.g. the pre-join,
+    # pre-filter parent table when the join/filter provably never adds
+    # rows per group). An upper bound can only push the decision toward
+    # the bucket path, never wrongly into the small path.
+    gate_src = gate_from if gate_from is not None else df
+    gate_keys = gate_group_cols if gate_from is not None else group_cols
+    gate = (
+        gate_src.groupBy(*(gate_keys or group_cols))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    max_group = max((r["__n"] for r in gate), default=0)
+    if max_group <= _small_group_max_rows(spark):
+        # Catalyst folds the constant __gb out of the window partition
+        # spec, so the plan honestly shows the bare per-group window —
+        # the skew-window lint flags it, and the registered callers
+        # carry a SKEW_WINDOW waiver citing this gate's bound. The
+        # totals window orders like the callers' rank window (full
+        # frame, same value) so both ride ONE exchange + sort.
+        out = df.withColumn("__gb", F.lit(0).cast("int"))
+        w_g = (
+            Window.partitionBy(*group_cols, "__gb")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        for m in names:
+            out = out.withColumn(f"__off_{m}", F.lit(0).cast("long"))
+            out = out.withColumn(
+                f"__tot_{m}", measures[m].over(w_g).cast("long")
+            )
+        return out
     bounds = _cut_points(df, order_cols, parts)
     bucketed = df.withColumn(
         "__gb", _bucket_expr(order_cols, bounds).cast("int")
     )
-    names = sorted(measures)
     cells = (
         bucketed.groupBy(*group_cols, "__gb")
         .agg(
@@ -317,6 +390,8 @@ def grouped_ordered_rank(
     out_col: str,
     total_col: str | None = None,
     num_partitions: int | None = None,
+    gate_from: DataFrame | None = None,
+    gate_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact ``ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY
     order_cols)`` for a LOW-CARDINALITY, possibly heavily SKEWED
@@ -336,6 +411,7 @@ def grouped_ordered_rank(
     keyed = _grouped_prefix_frame(
         df, group_cols, order_cols, {"n": F.count(F.lit(1))},
         num_partitions, "grouped_ordered_rank",
+        gate_from=gate_from, gate_group_cols=gate_group_cols,
     )
     w_local = Window.partitionBy(*group_cols, "__gb").orderBy(*order_cols)
     keyed = keyed.withColumn(

@@ -57,6 +57,14 @@ _PD_FILE, _PD_POS = "__pd_file", "__pd_pos"
 from .manifest import _LOCAL_SIDECAR_ROWS_MAX as _LOCAL_RUNS_MAX  # noqa: E402
 
 
+class EmptyBatchError(ValueError):
+    """merge_on_read refused an empty updates batch (no version
+    minted). A ValueError subclass so existing callers' handling is
+    unchanged; stream_upsert_sink catches it to fold the per-trigger
+    emptiness probe into the merge's own band aggregate (one fewer
+    blocking job per trigger)."""
+
+
 def delete_where(
     spark: SparkSession, path: str, condition: Column | str
 ) -> int:
@@ -208,7 +216,9 @@ def merge_on_read(
         # refuse the no-op: an empty batch minting a version is far
         # more often a broken upstream than an intent (the same guard
         # as publish_branch's empty-branch rejection)
-        raise ValueError(f"merge_on_read into {path}: empty updates batch")
+        raise EmptyBatchError(
+            f"merge_on_read into {path}: empty updates batch"
+        )
     manifest, prev = _manifest_rows(spark, path, None)
     version = prev + 1
     if not _claim_version(spark, path, version):
@@ -315,16 +325,6 @@ def stream_upsert_sink(
 
     def _apply(batch_df: DataFrame) -> int:
         spark = batch_df.sparkSession
-        if batch_df.limit(1).count() == 0:
-            # an empty trigger must not mint a version (merge_on_read
-            # rejects empty batches for the same reason); record the
-            # current latest so the ledger entry is well-formed
-            vs = (
-                versions(spark, path)
-                if _sidecar_exists(spark, path, "_manifest")
-                else []
-            )
-            return vs[-1] if vs else 0
         batch = batch_df
         if seq_col is not None:
             w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
@@ -334,10 +334,23 @@ def stream_upsert_sink(
                 .drop("_rn")
             )
         if not _sidecar_exists(spark, path, "_manifest"):
+            # bootstrap: an empty first trigger must not mint a table
+            if batch_df.limit(1).count() == 0:
+                return 0
             return write_manifest_table(
                 batch, path, key, num_files=num_files
             )
-        return merge_on_read(spark, path, batch, key, num_files=num_files)
+        try:
+            return merge_on_read(
+                spark, path, batch, key, num_files=num_files
+            )
+        except EmptyBatchError:
+            # an empty trigger must not mint a version; merge_on_read's
+            # own band aggregate detects it, so no separate per-trigger
+            # emptiness probe job runs. Record the current latest so
+            # the ledger entry is well-formed.
+            vs = versions(spark, path)
+            return vs[-1] if vs else 0
 
     return ledgered_batch_sink(stream_df, checkpoint_dir, _apply)
 

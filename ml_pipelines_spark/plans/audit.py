@@ -73,6 +73,52 @@ class Finding:
         return f"{self.rule}: {self.detail}"
 
 
+_EXPR_ID_RE = re.compile(r"#\d+L?")
+_PLAN_ID_RE = re.compile(r"\[plan_id=\d+\]")
+
+
+def duplicate_scan_fingerprints(df: DataFrame) -> dict[str, int]:
+    """Parquet-scan fingerprints appearing MORE THAN ONCE in one plan —
+    the shared-lineage re-execution smell (round 12's dominant fixable
+    defect class, VERDICT r12 item 6: a frame consumed by N sinks
+    re-executes its whole lineage N times; exchange reuse never covers
+    post-exchange joins or Python evals).
+
+    A fingerprint is the scan node line with expression/plan ids
+    stripped: same file, same pushed filters, same read schema. Two
+    IDENTICAL scans almost always mean one logical pass executed twice
+    (each of the 15 round-12 before-plans shows the pattern; the fixed
+    after-plans show one scan or a ``Scan ExistingRDD`` checkpoint).
+    Two scans of the same table with DIFFERENT column sets or filters
+    do not fire — two column-pruned scans are often cheaper than one
+    fused scan plus an exploded shuffle, and are a deliberate shape in
+    this repo. Scans printed INSIDE an ``InMemoryRelation`` body do not
+    count either: a persisted frame (the registry's swap_cache warm
+    boundary) prints its build lineage once per consuming
+    ``InMemoryTableScan`` but executes it once. Legitimate duplicates
+    exist (true self-joins over a frame too large to be worth a
+    checkpoint); like the other lint rules this is a review tool —
+    every firing needs a written waiver, enforced by the registry
+    sweep test."""
+    counts: dict[str, int] = {}
+    cached_indent: int | None = None
+    for line in plan_text(df).splitlines():
+        body = line.lstrip(" :+-*(0123456789)")
+        indent = len(line) - len(body)
+        if cached_indent is not None:
+            if indent > cached_indent:
+                continue  # inside a persisted build lineage
+            cached_indent = None
+        if body.startswith("InMemoryRelation"):
+            cached_indent = indent
+            continue
+        if "Scan parquet" not in line and "FileScan parquet" not in line:
+            continue
+        fp = _PLAN_ID_RE.sub("", _EXPR_ID_RE.sub("", body.strip()))
+        counts[fp] = counts.get(fp, 0) + 1
+    return {fp: n for fp, n in counts.items() if n > 1}
+
+
 # Window node text: `Window [exprs], [partitionExprs], [orderExprs]` —
 # an unpartitioned window prints only TWO bracket groups.
 _WINDOW_RE = re.compile(r"\bWindow (\[.*)$")

@@ -289,65 +289,95 @@ from . import pipelines  # noqa: E402,F401
 #     list.
 # 35 + 14 + 1 = 50.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Round-13 window, filled by the standing schedule:
+# (a) rule 1 — never driver-checked: none.
+# (b) rule 2 — code touched. This block OPENS with the 17 queries
+#     VERDICT r12 item 1 ordered to the head: their round-12 rewrites
+#     (explode-mirror, IN-literal anchors, flagged-join fusions, the
+#     shared-lineage checkpoints, the BPE trainer checkpoint) have only
+#     builder-run oracle evidence; the driver must confirm. Then the
+#     queries whose code round 13 touches: the edf size-gate
+#     (doc_length_quartiles, gini_revenue_concentration,
+#     quantile_normalize_lengths, token_budget_per_source,
+#     token_budget_bpe), the mor-upsert replay retune, the Arrow-batch
+#     table-appends reader, the lm_perplexity/mor_merge/compaction
+#     audit one-pass folds, and the logreg/stream_session paths under
+#     examination (both also age-7).
+# (c) the flagship.
+# (d) rule 4 — SLA pressure: four refreshers for the families whose
+#     freshest member ages past 3 this round (formats, journeys,
+#     pipelines, udaf — lm and search are refreshed through the
+#     VERDICT-17 block), then 16 of the 39 age-7 queries, alphabetical.
+#     16 age-7 queries do not fit (q10/q13/q16/q17/q18/q19/q21/q22/
+#     q7/q8, near_dup_keep_docs, range_frame_weekly,
+#     training_shard_manifest, triangle_count_near_dup,
+#     video_scene_cuts, zipf_slope_by_source)
+#     — at age 7 they are INSIDE the SLA this round; the VERDICT-17
+#     re-verification outranks pre-emptive refresh (round-13 is the
+#     terminal round of the schedule; were there a round 14, they would
+#     lead its window).
+# 1 + 17 + 12 + 4 + 16 = 50.
+# ---------------------------------------------------------------------------
 _CHECK_FIRST = [
     # (c) flagship rides every round
     "q1_pricing_summary",
-    # (b) rule 2: code touched this round
-    "doc_length_quartiles",
-    "rfm_segments",
+    # (b) VERDICT r12 item 1: the 17 round-12 rewrites lacking driver
+    # correctness evidence, verbatim from the verdict list
+    # (exact_heavy_hitters there names the heavy_hitters_two_pass
+    # registration)
+    "knn_label_agreement",
+    "ann_recall_eval",
+    "feature_ablation_importance",
+    "psi_drift_orders",
+    "dedup_recall_eval",
+    "basket_brand_rules",
+    "temporal_cv_folds",
+    "gdpr_erasure_audit",
+    "bpe_train_merges",
+    "bm25_top_docs",
+    "rrf_hybrid_search",
+    "search_eval_ndcg",
+    "curate_corpus_v2",
+    "item_item_cosine",
+    "ewma_daily_value",
+    "neyman_allocation_sample",
     "heavy_hitters_two_pass",
+    # (b) rule 2: code touched in round 13
+    "doc_length_quartiles",
     "gini_revenue_concentration",
     "quantile_normalize_lengths",
     "token_budget_per_source",
-    "sample_k_per_source",
-    # (neyman_allocation_sample shares the two-phase prune shape with
-    # sample_k/topk and keeps local oracle evidence; displaced by the
-    # two rule-1 registrations)
-    "topk_per_group",
-    "dv_position_delete_audit",
-    "stream_mor_upsert_replay",
-    "stream_outer_join_replay",
-    "stream_timeout_sessions_replay",
-    # (a) rule 1: registered this round, never driver-checked — the
-    # incremental append scan + the table-appends streaming source
-    "table_incremental_appends",
-    "stream_table_appends_replay",
-    # (d) rule 4: the complete age-7 block (r5 evidence), alphabetical
-    "ann_pq_topk",
-    "band_join_balances",
-    "cdc_apply_orders",
-    "count_min_user_freq",
-    "curate_images",
-    "cvat_image_tags",
-    "dsir_importance_weights",
-    "fuzzy_name_pairs",
-    "hourly_anomaly_flags",
-    "image_phash_near_dup",
-    "image_redact_checksum",
-    "image_resize_checksum",
-    "incremental_dedup_batches",
-    "kmeans_inertia",
-    "lang_source_chisq",
-    "length_bucket_batches",
-    "lineitem_correlations",
-    "ols_value_trend",
-    "portable_hll_users",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "remove_dup_passages",
-    "salted_join_revenue",
-    "schema_evolution_read",
-    "sequence_pack_bpe",
-    "sessionize_events",
-    "stream_dedup_replay",
-    "stream_enrich_replay",
-    "stream_interval_join_replay",
     "token_budget_bpe",
-    "top_dup_passages",
-    "unigram_entropy_docs",
-    "unpivot_event_counts",
-    "weighted_sample_docs",
-    "winsorized_stats",
+    "stream_mor_upsert_replay",
+    "stream_table_appends_replay",
+    "logreg_quality_train",
+    "stream_session_replay",
+    "lm_perplexity_docs",
+    "mor_merge_audit",
+    "small_file_compaction_audit",
+    # (d) family SLA refreshers
+    "orc_roundtrip_docs",
+    "sequence_match_funnel",
+    "e1_training_assembly",
+    "grouped_quantile_udaf",
+    # (d) rule 4: age-7 block, alphabetical (16 of 39 — see header)
+    "ab_test_zscores",
+    "activity_streaks",
+    "attribution_last_touch",
+    "classifier_calibration",
+    "containment_pairs_docs",
+    "cube_pricing",
+    "entity_resolution_suppliers",
+    "kmv_distinct_users",
+    "label_centroid_similarity",
+    "label_prop_communities",
+    "mad_outlier_docs",
+    "mixed_lang_docs",
+    "near_dup_components",
+    "near_dup_keep_best",
+    "ngram_jaccard_pairs",
+    "pareto_front_docs",
 ]
 
 

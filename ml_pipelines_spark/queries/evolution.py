@@ -1783,8 +1783,12 @@ def mor_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _mor_merge_dir(spark, sf_dir)
     man = spark.read.parquet(f"{path}/_manifest")
-    v1 = {r["file"] for r in man.filter("v = 1").collect()}
-    v2 = {r["file"] for r in man.filter("v = 2").collect()}
+    # one manifest collect for both versions (guide §2.6 class: the two
+    # filtered collects were two sequential driver-blocking jobs on the
+    # same tiny sidecar)
+    vf = man.filter(F.col("v").isin(1, 2)).select("v", "file").collect()
+    v1 = {r["file"] for r in vf if r["v"] == 1}
+    v2 = {r["file"] for r in vf if r["v"] == 2}
     rewritten = len(v1 - v2)  # MoR contract: every v1 file carried
     surv = read_snapshot(spark, path)
     return (
@@ -2193,8 +2197,13 @@ def small_file_compaction_audit(
     path = _sfc_table_dir(spark, sf_dir)
     man = spark.read.parquet(f"{path}/_manifest")
     latest = versions(spark, path)[-1]
-    cur = {r["file"] for r in man.filter(F.col("v") == latest).collect()}
-    v1 = {r["file"] for r in man.filter(F.col("v") == 1).collect()}
+    # one manifest collect for both versions (guide §2.6 class: two
+    # sequential driver-blocking jobs on the same tiny sidecar)
+    vf = (
+        man.filter(F.col("v").isin(1, latest)).select("v", "file").collect()
+    )
+    cur = {r["file"] for r in vf if r["v"] == latest}
+    v1 = {r["file"] for r in vf if r["v"] == 1}
     n_files = len(cur)
     n_big = len(cur & v1)
     return (
@@ -2307,30 +2316,45 @@ def stream_table_appends_replay(
         spark.dataSource.register(TableAppendsDataSource)
     except Exception:
         pass  # already registered in this session
-    name = f"tap_{uuid.uuid4().hex}"
+    # Aggregate INSIDE each micro-batch (guide §2.3 "aggregate before
+    # you shuffle/ship", r13): the memory sink materialized every
+    # streamed row on the driver and the final aggregate re-scanned
+    # that in-memory table — O(table rows) of driver memory and a
+    # second pass, purely to compute three per-version partial sums.
+    # foreachBatch folds each trigger to (version, count, cents-sum)
+    # partials — exact BIGINT arithmetic, combined per version across
+    # batches — so the driver holds O(versions) state regardless of
+    # table size. Every row still crosses the Python streaming source
+    # (the surface this query exercises); values are identical.
+    acc: dict[int, list[int]] = {}
+
+    def _fold(batch_df: DataFrame, _bid: int) -> None:
+        for r in (
+            batch_df.groupBy("_commit_version")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").cast("long").alias("c"),
+            )
+            .collect()
+        ):
+            a = acc.setdefault(int(r["_commit_version"]), [0, 0])
+            a[0] += int(r["n"])
+            a[1] += int(r["c"])
+
     q = (
         spark.readStream.format("table_appends")
         .option("path", path)
         .option("maxVersionsPerTrigger", 1)
         .load()
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        .writeStream.foreachBatch(_fold)
+        .queryName(f"tap_{uuid.uuid4().hex}")
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    final = spark.table(name).groupBy(
-        F.col("_commit_version").alias("commit_version")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.sum("cents").cast("long") / 100.0).alias("total_value"),
+    rows = [(v, n, c / 100.0) for v, (n, c) in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "commit_version int, n_rows bigint, total_value double"
     )
-    rows = final.collect()
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
-    return spark.createDataFrame(rows, final.schema)

@@ -478,6 +478,15 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rank"
     )
     emb = t(spark, sf_dir, "embeddings")
+    # NOTE (r13, measured and REJECTED): collecting this ≤N_FUSE-row
+    # leg into a local anchor (the idcg idiom) removes the 4 duplicate
+    # embeddings scans its two lazy consumers cause, but the extra
+    # BLOCKING job regressed the query +0.9-1.0 s at sf0.1 AND
+    # +1.1-3.2 s at the 10× tier in interleaved A/B (the lazy scans
+    # evaluate inside ONE job and partially dedupe via exchange reuse;
+    # the anchor serializes a driver round-trip) — the same
+    # fixed-cost-at-small-scale trade VERDICT r12 ordered undone for
+    # the edf probes. Kept lazy; waived under DUP_SCAN_TWO_PASS.
     sem_all = knn_bruteforce(emb, QUERY_VEC, k=N_FUSE).select(
         F.col("vec_id").alias("doc_id"), "rank"
     )

@@ -420,9 +420,12 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split discipline for time-dependent training data (leakage through
 # temporal adjacency, not just key overlap): fold k trains on
 # everything strictly before cut_k MINUS a 1-day embargo and validates
-# on [cut_k, cut_k + 7d). Pure range predicates on the timestamp —
-# partition-prunable at 100 TB when the table is date-partitioned —
-# and the output is a fold-grained summary, never a row-per-membership
+# on [cut_k, cut_k + 7d). The scan carries ONE pushed range predicate —
+# ts < last_cut + 7d, the union of every cell window (ADVICE r12: the
+# one-scan fan-out must not turn into an unbounded full-table read) —
+# partition-prunable at 100 TB when the table is date-partitioned; the
+# per-cell predicates are evaluated in the fan-out stage, and the
+# output is a fold-grained summary, never a row-per-membership
 # materialization. Timestamps compare exactly; boundary rows land on
 # one deterministic side on both engines.
 # ---------------------------------------------------------------------------
@@ -454,7 +457,20 @@ def temporal_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan stage), then a single grouped aggregate computes every
     # fold summary. The previous union of 6 filtered aggregates scanned
     # the events table once per cell — 6 full passes at any scale.
-    ev = t(spark, sf_dir, "events").select("ts", "user_id")
+    # The pre-filter below is the UNION of all cell windows (every cell
+    # predicate implies ts < last_cut + 7d), so it is value-invariant
+    # and restores the pushed-down range the fused scan had lost
+    # (ADVICE r12 medium): rows past the last validation window are
+    # skipped at the reader instead of being exploded and discarded.
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts")
+            < F.lit(_TCV_CUTS[-1]).cast("timestamp")
+            + F.expr("INTERVAL 7 DAYS")
+        )
+        .select("ts", "user_id")
+    )
     cells = []
     for k, cut in enumerate(_TCV_CUTS):
         cut_ts = F.lit(cut).cast("timestamp")

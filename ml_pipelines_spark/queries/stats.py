@@ -108,8 +108,15 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .select(F.col("n_name").alias("nation"), "x", "o_custkey")
     )
+    # gate_from: the size-gate probe needs only an UPPER BOUND on the
+    # largest nation's row count; customers-per-nationkey bounds
+    # revenue-active-customers-per-nation (the join is 1:1 on customer,
+    # the aggregate only drops customers), and the one-column customer
+    # scan is far cheaper than re-executing the orders aggregate + two
+    # joins just to decide the gate.
     ranked = grouped_ordered_rank(
-        joined, ["nation"], ["x", "o_custkey"], "i"
+        joined, ["nation"], ["x", "o_custkey"], "i",
+        gate_from=cust, gate_group_cols=["c_nationkey"],
     ).select("nation", "x", F.col("i").cast("long").alias("i"))
     n = F.count(F.lit(1)).cast("long")
     sx = F.sum("x").cast("long")

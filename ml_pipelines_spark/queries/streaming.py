@@ -1153,15 +1153,27 @@ def stream_mor_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="mlps_cdc_ck_") + f"/{uuid.uuid4().hex}"
     try:
         # one file per batch, modification times strictly increasing so
-        # the file source replays them in CDC order
-        for i, b in enumerate((base, b1, b2)):
+        # the file source replays them in CDC order. The three writes
+        # are independent — submit them from a pool (guide §2.6) so the
+        # single-task coalesce(1) writes overlap instead of serializing
+        # three jobs; the CDC order comes from the mtime stamp applied
+        # AFTER all writes land, not from write completion order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(i_b):
+            i, b = i_b
+            spark.sparkContext.setJobDescription(f"mor fixture b{i}")
             stage = f"{src}/_stage{i}"
             b.coalesce(1).write.parquet(stage)
             part = _glob.glob(f"{stage}/part-*.parquet")[0]
             dst = f"{src}/b{i}.parquet"
             shutil.move(part, dst)
             shutil.rmtree(stage)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+            return i, dst
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for i, dst in pool.map(_write, enumerate((base, b1, b2))):
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
         schema = spark.read.parquet(f"{src}/b0.parquet").schema
         stream = (
             spark.readStream.schema(schema)

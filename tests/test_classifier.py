@@ -3,6 +3,8 @@ on a separable corpus, and the quantized-sum partitioning invariance."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
@@ -53,6 +55,7 @@ def test_train_logreg_matches_numpy_bitwise(spark):
     assert w_spark == list(w_np)  # bit-equal, not approx: integer sums
 
 
+@pytest.mark.slow  # 31-job GD training soak (~14s)
 def test_train_logreg_learns_separable_labels(spark):
     rng = np.random.RandomState(3)
     X = np.column_stack([np.ones(200), rng.rand(200)])

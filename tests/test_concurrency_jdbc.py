@@ -11,6 +11,8 @@ database instead of filesystem markers."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 import threading
@@ -18,9 +20,13 @@ import threading
 from pyspark.sql import functions as F
 
 from ml_pipelines_spark.operators.claims import (
+
     JdbcClaimBackend,
     claim_backend,
 )
+
+# slow tier: embedded-Derby CAS race re-run (~20s) — excluded from the driver-budget default run
+pytestmark = pytest.mark.slow
 
 
 def _derby_url(tmp_path) -> str:

@@ -16,6 +16,8 @@ path is exercised.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import subprocess
@@ -27,11 +29,15 @@ import time
 from pyspark.sql import functions as F
 
 from ml_pipelines_spark.operators.manifest import (
+
     read_snapshot,
     sweep_orphan_versions,
     versions,
     write_manifest_table,
 )
+
+# slow tier: multi-process commit race stress (~50s) — excluded from the driver-budget default run
+pytestmark = pytest.mark.slow
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

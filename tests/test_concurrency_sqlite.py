@@ -7,6 +7,8 @@ race on the primitive itself (no Spark, cheap)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import subprocess
@@ -19,9 +21,13 @@ import time
 from pyspark.sql import functions as F
 
 from ml_pipelines_spark.operators.claims import (
+
     SqliteClaimBackend,
     claim_backend,
 )
+
+# slow tier: multi-process sqlite-CAS race stress (~55s) — excluded from the driver-budget default run
+pytestmark = pytest.mark.slow
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -301,6 +301,7 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize("seed", [1, 2, 3, 7])
+@_pytest.mark.slow  # O(n^2) bruteforce cross-check, 4 seeds (~24s)
 def test_prefix_filter_matches_bruteforce(spark, seed):
     # Random docs over a SMALL vocab so pair similarities land on both
     # sides of the threshold; several seeds so no single lucky draw can
@@ -395,3 +396,27 @@ def test_lsh_plan_matches_known_optima():
     precise = lsh_plan(0.5, 16, fp_weight=10.0)
     recall = lsh_plan(0.5, 16, fn_weight=10.0)
     assert precise["rows_per_band"] >= recall["rows_per_band"]
+
+
+def test_jaccard_truth_pairs_unique_per_pair(spark, sf_dir):
+    # ADVICE r12: dedup_recall_eval's flagged LEFT join counts n_cand
+    # and n_hit in one pass, which is only correct while the truth set
+    # stays unique per (id_a, id_b) — jaccard_pairs aggregates by pair
+    # today, but a future change to it (or the swap_cache layer)
+    # emitting duplicate or mirrored pairs would silently inflate both
+    # counts. Pin the invariant where the join relies on it.
+    import pyspark.sql.functions as F
+
+    from ml_pipelines_spark.queries.dedup import _jaccard_pairs_08
+
+    truth = _jaccard_pairs_08(spark, sf_dir)
+    dup = (
+        truth.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0
+    # no mirrored duplicates either: pairs are stored canonically a < b
+    mirrored = truth.filter(F.col("id_a") >= F.col("id_b")).count()
+    assert mirrored == 0

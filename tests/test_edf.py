@@ -134,10 +134,26 @@ def test_ordered_ntile_no_global_window(spark):
     assert lint(out) == []
 
 
+@pytest.fixture(params=["small", "big"])
+def edf_gate(spark, request):
+    """Run a test under BOTH sides of the grouped-* size gate: the
+    default small path (bare per-group window behind the gate probe)
+    and the bucket path forced by a zero-row gate. Values must be
+    identical either way — the gate may only change the plan."""
+    from ml_pipelines_spark.operators.edf import _SMALL_GROUP_CONF
+
+    if request.param == "big":
+        spark.conf.set(_SMALL_GROUP_CONF, "0")
+    try:
+        yield request.param
+    finally:
+        spark.conf.unset(_SMALL_GROUP_CONF)
+
+
 @pytest.mark.parametrize(
     "seed,n_rows,n", [(7, 211, 4), (9, 9, 4), (13, 400, 7)]
 )
-def test_grouped_ordered_ntiles_matches_serial(spark, seed, n_rows, n):
+def test_grouped_ordered_ntiles_matches_serial(spark, edf_gate, seed, n_rows, n):
     # exact NTILE(n) OVER (PARTITION BY g ORDER BY k, uid) on a SKEWED
     # group key (one group holds ~70% of rows), a null group, and a
     # tiny group with fewer rows than n
@@ -175,18 +191,81 @@ def test_grouped_ordered_ntiles_matches_serial(spark, seed, n_rows, n):
 def test_grouped_ordered_ntiles_plan_is_skew_free(spark):
     # no unpartitioned window, no cartesian, no per-group single-task
     # funnel: every Window node partitions by (group, range-bucket)
-    from ml_pipelines_spark.operators.edf import grouped_ordered_ntiles
+    from ml_pipelines_spark.operators.edf import (
+        _SMALL_GROUP_CONF,
+        grouped_ordered_ntiles,
+    )
     from ml_pipelines_spark.plans.audit import lint, plan_text
 
     df = spark.range(2000).selectExpr(
         "CAST(id % 3 AS STRING) AS g", "id % 97 AS k", "id AS uid"
     )
-    out = grouped_ordered_ntiles(df, ["g"], ["k", "uid"], 4, "tile",
-                                 num_partitions=8)
+    spark.conf.set(_SMALL_GROUP_CONF, "0")  # force the bucket path
+    try:
+        out = grouped_ordered_ntiles(df, ["g"], ["k", "uid"], 4, "tile",
+                                     num_partitions=8)
+    finally:
+        spark.conf.unset(_SMALL_GROUP_CONF)
     assert lint(out) == []
     # the window partition key includes the helper bucket column
     text = plan_text(out)
     assert "__gb" in text
+
+
+def test_grouped_size_gate_small_path_skips_probes(spark):
+    # Below the gate (VERDICT r12 item 2) the grouped-* operators must
+    # not pay the bucket machinery: no cut-point sample, no cell
+    # collect, no offset-lookup broadcast join — the plan is the bare
+    # per-group window keyed on (group, constant bucket), and the only
+    # probe is ONE dictionary-sized groupBy count. Above the gate the
+    # lookup join must be back.
+    from ml_pipelines_spark.operators.edf import (
+        _SMALL_GROUP_CONF,
+        grouped_ordered_rank,
+    )
+    from ml_pipelines_spark.plans.audit import lint, plan_text
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "id % 97 AS k", "id AS uid"
+    )
+    small = grouped_ordered_rank(df, ["g"], ["k", "uid"], "rk")
+    small_text = plan_text(small)
+    assert "__lgb" not in small_text, "small path must not build the lookup"
+    assert small_text.count("Exchange hashpartitioning") == 1
+    assert lint(small) == []
+    spark.conf.set(_SMALL_GROUP_CONF, "0")
+    try:
+        big = grouped_ordered_rank(df, ["g"], ["k", "uid"], "rk")
+    finally:
+        spark.conf.unset(_SMALL_GROUP_CONF)
+    assert "__lgb" in plan_text(big), "bucket path must keep the lookup"
+    # identical values either way — the gate only changes the plan
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, big.collect())
+    )
+
+
+def test_grouped_cumsum_matches_serial_both_paths(spark, edf_gate):
+    from ml_pipelines_spark.operators.edf import grouped_ordered_cumsum
+
+    rng = random.Random(17)
+    rows = [
+        ("big" if rng.random() < 0.8 else None, i, rng.randrange(1, 9))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "uid", "c"])
+    got = {
+        r.uid: r.cum_c
+        for r in grouped_ordered_cumsum(
+            df, ["g"], ["uid"], ["c"], num_partitions=8
+        ).collect()
+    }
+    running: dict = {}
+    serial = {}
+    for g, uid, c in sorted(rows, key=lambda t: t[1]):
+        running[g] = running.get(g, 0) + c
+        serial[uid] = running[g]
+    assert got == serial
 
 
 def test_ntile_helper_name_collision_raises(spark):

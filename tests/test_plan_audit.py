@@ -105,13 +105,29 @@ def test_skew_partition_window_rule(spark, sf_dir):
         lint(bad, max_skew_partition_windows=1)
     )
 
-    from ml_pipelines_spark.operators.edf import grouped_ordered_ntiles
+    from ml_pipelines_spark.operators.edf import (
+        _SMALL_GROUP_CONF,
+        grouped_ordered_ntiles,
+    )
 
-    good = grouped_ordered_ntiles(
+    # above the size gate the grouped range-bucket twin is clean...
+    spark.conf.set(_SMALL_GROUP_CONF, "0")
+    try:
+        good = grouped_ordered_ntiles(
+            docs.select("doc_id", "lang", "n_chars"),
+            ["lang"], ["n_chars", "doc_id"], 4, "q",
+        )
+    finally:
+        spark.conf.unset(_SMALL_GROUP_CONF)
+    assert "skew-partition-window" not in _rules(lint(good))
+    # ...below it the bare per-group window is DELIBERATE (the gate
+    # probe proved the bound) and fires — registered callers carry the
+    # SKEW_WINDOW waiver citing the runtime gate (r13)
+    small = grouped_ordered_ntiles(
         docs.select("doc_id", "lang", "n_chars"),
         ["lang"], ["n_chars", "doc_id"], 4, "q",
     )
-    assert "skew-partition-window" not in _rules(lint(good))
+    assert "skew-partition-window" in _rules(lint(small))
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     high_card = ev.select(
@@ -139,3 +155,42 @@ def test_skew_rule_composite_key_with_fact_column_is_clean(spark, sf_dir):
         .alias("rn"),
     )
     assert "skew-partition-window" not in _rules(lint(df))
+
+
+def test_duplicate_scan_rule_fires_and_clean_twin_passes(spark, sf_dir):
+    # VERDICT r12 item 6: the shared-lineage re-execution smell. The
+    # violating shape — one lazy frame consumed by two sinks — repeats
+    # an identical parquet scan in the plan; the clean twin (different
+    # column sets per branch) and the cached twin (swap_cache-style
+    # persist) must both pass.
+    from ml_pipelines_spark.plans.audit import duplicate_scan_fingerprints
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    shared = ev.select("user_id", "value").filter(F.col("value") > 0)
+    violating = shared.groupBy("user_id").count().join(
+        shared.groupBy("user_id").agg(F.sum("value").alias("s")),
+        "user_id",
+    )
+    dups = duplicate_scan_fingerprints(violating)
+    assert dups and all(n >= 2 for n in dups.values()), dups
+
+    # clean twin: the two branches scan DIFFERENT column sets — two
+    # column-pruned scans, deliberately not flagged
+    a = ev.select("user_id").groupBy("user_id").count()
+    b = ev.select("event_id", "value").groupBy("event_id").agg(
+        F.sum("value").alias("s")
+    )
+    assert duplicate_scan_fingerprints(a.crossJoin(b.limit(1))) == {}
+
+    # cached twin: a persisted shared frame prints its build lineage
+    # per consumer but executes once — not flagged
+    cached = shared.persist()
+    try:
+        cached.count()
+        joined = cached.groupBy("user_id").count().join(
+            cached.groupBy("user_id").agg(F.sum("value").alias("s")),
+            "user_id",
+        )
+        assert duplicate_scan_fingerprints(joined) == {}
+    finally:
+        cached.unpersist()

@@ -83,6 +83,7 @@ def test_rocksdb_dedup_matches_default_provider(spark, dup_stream_dir):
     assert not any(k.startswith("rocksdb") for k in base_metrics)
 
 
+@pytest.mark.slow  # alternative-state-backend equivalence (~8s)
 def test_rocksdb_sessionize_matches_default_provider(spark, dup_stream_dir):
     # the custom applyInPandasWithState sessionizer under RocksDB:
     # closed sessions must be bit-identical to the default provider's

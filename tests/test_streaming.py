@@ -220,6 +220,7 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
     assert sorted((r["point_id"], r["interval_id"]) for r in out) == expected
 
 
+@pytest.mark.slow  # streaming-vs-batch equivalence soak (~32s)
 def test_rollup_stream_sink_matches_batch(spark, event_stream_dir):
     """foreachBatch + incremental_rollup over a 3-file stream must leave
     the stored rollup equal to the single-shot batch rollup."""
@@ -322,6 +323,7 @@ class TestTransformWithStateSeam:
         assert got == want
 
 
+@pytest.mark.slow  # stateful outer-join soak (~26s)
 def test_outer_interval_join_matches_batch_left_join(spark, sf_dir):
     # Stored-interval form: unmatched points emit null-padded once both
     # watermarks pass their window; a far-future sentinel drains the

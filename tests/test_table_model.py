@@ -36,9 +36,13 @@ from ml_pipelines_spark.operators.manifest import (
     write_manifest_table,
 )
 from ml_pipelines_spark.operators.posdeletes import (
+
     delete_where,
     merge_on_read,
 )
+
+# slow tier: randomized lifecycle model fuzz (~45s) — excluded from the driver-budget default run
+pytestmark = pytest.mark.slow
 
 N_OPS = 12
 
